@@ -1,0 +1,290 @@
+"""Index build pipeline: documents → impact-ordered quantized segment tables.
+
+Reproduces the reference build semantics (`tools/JASS_index.cpp:145-404`)
+with a Spark-first physical plan:
+
+  documents ──tokenize (Arrow UDF / JVM regexp)──▶ (doc_id, term) tokens
+    ─groupBy(doc_id, term)─▶ tf  [shuffle keyed (doc_id,term): skew-free,
+                                  map-side partial agg]
+    ─groupBy(doc_id)─▶ doc_lengths (= Σ tf, one pass over tf, co-keyed)
+    ─groupBy(term)─▶ term df      [counts: partial agg absorbs Zipf skew]
+    ─join─▶ ATIRE BM25 column expression (k1=0.9, b=0.4, idf=ln(N/df))
+    ─agg min/max─▶ uniform quantization to impacts in [1,1024]
+    ─repartitionByRange(term, doc_id) + sortWithinPartitions─▶
+      mapInPandas segment packer ─▶ segments(term, impact, min_doc,
+                                             part_freq, doc_ids)
+
+Semantics pinned to the reference:
+- tf saturates at 1024 (`source/index_postings.h:114-148`,
+  largest_impact at `source/index_postings_impact.h:40-42`).
+- document length = count of alpha+numeric tokens
+  (`tools/JASS_index.cpp:302-331`).
+- mean document length = collection_length / N — the reference divides by
+  (vector size - 1) because slot 0 is the unused doc 0
+  (`source/ranking_function_atire_bm25.h:65-69`), which equals N.
+- BM25: rsv = ln(N/df) * (tf*(k1+1)) / (tf + k1*(1-b + b*len/mean)),
+  evaluated with the reference's exact operation grouping
+  (`source/ranking_function_atire_bm25.h:97-145`).
+- uniform quantization (Anh/de Kretser/Moffat SIGIR'01):
+  impact = trunc((score-min)/(max-min) * (1024-1)) + 1
+  (`source/quantize.h:186-192`); scores ≥ 0 so trunc == floor.
+- segments: per (term, impact), ascending doc_ids
+  (`source/index_postings.h:254-369`, `source/serialise_jass_v1.h:43-68`).
+
+Scale design (10^12-doc point):
+- Hot-term (Zipf head) segment build: ``repartitionByRange(term, doc_id)``
+  splits ONLY heavy terms across tasks (range boundaries come from sampling),
+  so a stopword's postings become many bounded shards while tail terms stay
+  single-shard — this is the skew "salt", chosen by the data itself. The
+  packer additionally caps shards at ``shard_size`` doc_ids.
+- df/doc-length aggregations are pure counts → map-side partial aggregation
+  makes them skew-immune.
+- The vocabulary join is broadcast when small, AQE skew-join otherwise.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from jassv2_spark.functions.tokenizer import spark_tokens
+from jassv2_spark.sources.docids import assign_doc_ids
+
+K1_DEFAULT = 0.9  # tools/JASS_index.cpp:348
+B_DEFAULT = 0.4
+LARGEST_IMPACT = 1024  # source/index_postings_impact.h:40-42
+SMALLEST_IMPACT = 1
+MAX_TF = LARGEST_IMPACT  # tf saturation, source/index_postings.h:114-148
+
+
+@dataclass
+class BuildConf:
+    k1: float = K1_DEFAULT
+    b: float = B_DEFAULT
+    tokenizer: str = "parity"  # 'parity' (Arrow UDF) | 'ascii' (pure JVM)
+    shard_size: int = 1 << 16  # max doc_ids per segment shard row
+    num_partitions: int | None = None
+    broadcast_vocab: bool | None = None  # None = let AQE decide
+
+
+@dataclass
+class Index:
+    """In-memory (DataFrame) form of the index; see persist.py for disk."""
+
+    spark: SparkSession
+    doc_map: DataFrame          # (doc_id, key)
+    doc_lengths: DataFrame      # (doc_id, dl)
+    postings: DataFrame         # (term, doc_id, tf)  [tf saturated]
+    scored: DataFrame           # (term, doc_id, tf, dl, df, score)
+    impacts: DataFrame          # (term, doc_id, impact)
+    segments: DataFrame         # (term, impact, min_doc, part_freq, doc_ids)
+    seg_stats: DataFrame        # (term, impact, seg_freq)
+    term_stats: DataFrame       # (term, df, max_impact, n_segments)
+    n_docs: int = 0
+    collection_length: int = 0
+    mean_doc_length: float = 0.0
+    min_rsv: float = 0.0
+    max_rsv: float = 0.0
+    conf: BuildConf = field(default_factory=BuildConf)
+
+    def unpersist(self) -> None:
+        for df in (self.segments, self.seg_stats, self.term_stats, self.doc_map):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def _segment_packer(shard_size: int):
+    """mapInPandas packer: sorted (term, impact, doc_id) runs → shard rows.
+
+    Input partitions are range-partitioned on (term, doc_id) and sorted by
+    (term, impact, doc_id); consecutive equal (term, impact) rows form one
+    segment, emitted as shards of ≤ shard_size ascending doc_ids. A segment
+    spanning partitions simply yields shards in both (disjoint, ordered
+    doc_id ranges) — the serve side unions shards, so this is transparent.
+    """
+
+    out_schema = StructType(
+        [
+            StructField("term", StringType(), False),
+            StructField("impact", IntegerType(), False),
+            StructField("min_doc", LongType(), False),
+            StructField("part_freq", IntegerType(), False),
+            StructField("doc_ids", ArrayType(LongType(), False), False),
+        ]
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend_term, pend_impact, pend_ids = None, None, []
+
+        def flush_rows(rows, term, impact, ids):
+            for s in range(0, len(ids), shard_size):
+                chunk = ids[s : s + shard_size]
+                rows.append((term, impact, int(chunk[0]), len(chunk), list(chunk)))
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows: list = []
+            terms = pdf["term"].to_numpy()
+            impacts = pdf["impact"].to_numpy()
+            docs = pdf["doc_id"].to_numpy()
+            start = 0
+            for i in range(1, len(pdf) + 1):
+                if i == len(pdf) or terms[i] != terms[start] or impacts[i] != impacts[start]:
+                    ids = docs[start:i]
+                    if pend_term == terms[start] and pend_impact == impacts[start]:
+                        pend_ids.extend(ids.tolist())
+                    else:
+                        if pend_term is not None:
+                            flush_rows(rows, pend_term, pend_impact, pend_ids)
+                        pend_term, pend_impact = terms[start], impacts[start]
+                        pend_ids = ids.tolist()
+                    start = i
+            # emit all but the trailing run (it may continue in next batch)
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+        if pend_term is not None:
+            rows = []
+            flush_rows(rows, pend_term, pend_impact, pend_ids)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return pack, out_schema
+
+
+def build_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "url",
+    doc_id_col: str | None = None,
+    conf: BuildConf | None = None,
+    cache: bool = True,
+) -> Index:
+    """Build the impact-ordered index from a documents DataFrame.
+
+    ``doc_id_col``: use an existing unique numeric id as the internal docid
+    (tie-breaks follow it); otherwise dense 1-based ids are assigned by
+    ``key_col`` order (reference ingest-order semantics,
+    `source/index_manager.h:219-222`).
+    """
+    conf = conf or BuildConf()
+    spark = docs.sparkSession
+    nparts = conf.num_partitions or spark.sparkContext.defaultParallelism
+
+    if doc_id_col is None:
+        docs = assign_doc_ids(docs, key_col=key_col, out_col="doc_id", num_partitions=nparts)
+        did = "doc_id"
+    else:
+        did = doc_id_col
+        docs = docs.withColumn(did, F.col(did).cast("long"))
+
+    doc_map = docs.select(F.col(did).alias("doc_id"), F.col(key_col).cast("string").alias("key"))
+
+    n_docs = docs.count()
+
+    tokens = docs.select(
+        F.col(did).alias("doc_id"),
+        F.explode(spark_tokens(text_col, mode=conf.tokenizer, xml=True)).alias("term"),
+    )
+    # one shuffle keyed (doc_id, term); counts get map-side partial agg
+    counts = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    postings = counts.select(
+        "doc_id", "term", F.least(F.col("cnt"), F.lit(MAX_TF)).cast("long").alias("tf")
+    )
+    doc_lengths = counts.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    term_df = counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    if cache:
+        postings = postings.persist()
+        doc_lengths = doc_lengths.persist()
+
+    collection_length = doc_lengths.agg(F.sum("dl")).collect()[0][0] or 0
+    # mean = Σlen / (slots-1); slot 0 is the unused doc 0 ⇒ Σlen / N
+    # (source/ranking_function_atire_bm25.h:65-69)
+    mean_dl = float(collection_length) / float(n_docs) if n_docs else 0.0
+
+    vocab = F.broadcast(term_df) if conf.broadcast_vocab else term_df
+    k1, b = float(conf.k1), float(conf.b)
+    tf_d = F.col("tf").cast("double")
+    # exact reference grouping: idf * (top_row / (tf + k1*(1-b + b*len/mean)))
+    length_correction = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(mean_dl))
+    idf = F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+    score = idf * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + length_correction))
+
+    scored = (
+        postings.join(doc_lengths, "doc_id")
+        .join(vocab, "term")
+        .withColumn("score", score)
+    )
+    if cache:
+        scored = scored.persist()
+
+    mm = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi")).collect()[0]
+    min_rsv, max_rsv = float(mm["lo"] or 0.0), float(mm["hi"] or 0.0)
+
+    if max_rsv > min_rsv:
+        impact_col = (
+            F.floor(
+                (F.col("score") - F.lit(min_rsv))
+                / F.lit(max_rsv - min_rsv)
+                * F.lit(float(LARGEST_IMPACT - SMALLEST_IMPACT))
+            ).cast("int")
+            + F.lit(SMALLEST_IMPACT)
+        )
+    else:  # degenerate: all scores identical (reference UB; we pin impact=1)
+        impact_col = F.lit(SMALLEST_IMPACT)
+
+    impacts = scored.select("term", "doc_id", impact_col.alias("impact"))
+
+    pack, seg_schema = _segment_packer(conf.shard_size)
+    segments = (
+        impacts.repartitionByRange(nparts, "term", "doc_id")
+        .sortWithinPartitions("term", "impact", "doc_id")
+        .mapInPandas(pack, schema=seg_schema)
+    )
+    if cache:
+        segments = segments.persist()
+
+    seg_stats = segments.groupBy("term", "impact").agg(F.sum("part_freq").alias("seg_freq"))
+    term_stats = seg_stats.groupBy("term").agg(
+        F.sum("seg_freq").alias("df"),
+        F.max("impact").alias("max_impact"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    if cache:
+        seg_stats = seg_stats.persist()
+        term_stats = term_stats.persist()
+        doc_map = doc_map.persist()
+
+    return Index(
+        spark=spark,
+        doc_map=doc_map,
+        doc_lengths=doc_lengths,
+        postings=postings,
+        scored=scored,
+        impacts=impacts,
+        segments=segments,
+        seg_stats=seg_stats,
+        term_stats=term_stats,
+        n_docs=n_docs,
+        collection_length=int(collection_length),
+        mean_doc_length=mean_dl,
+        min_rsv=min_rsv,
+        max_rsv=max_rsv,
+        conf=conf,
+    )

@@ -1,0 +1,189 @@
+"""Score-at-a-time anytime top-k query evaluation, declarative-first.
+
+Reproduces the serve-side semantics of the reference
+(`anytime/JASS_anytime_api.cpp:434-648`) as a DataFrame plan:
+
+1. Query parse: casefold/tokenize (shared tokenizer), sort-unique terms with
+   per-query frequency q_tf (`source/query_term_list.h:143-167`); the
+   unique-term count INCLUDES out-of-vocabulary terms (query_terms_count is
+   taken before the vocab lookup `continue`, JASS_anytime_api.cpp:484-495).
+2. Segment gather: inner join terms × seg_stats — OOV terms drop out like
+   the reference's silent vocab miss. Each segment's impact is scaled by
+   q_tf (`source/deserialised_jass_v1.h:357`).
+3. largest_possible_rsv = Σ over matched terms of max(q_tf-scaled impact)
+   (JASS_anytime_api.cpp:500-511).
+4. uint8 rsv budget rescale: iff largest_possible_rsv > MAX_RSV (255),
+   every segment impact becomes
+   trunc(impact / largest * (255 - n_query_terms) + 1)
+   (JASS_anytime_api.cpp:544-563,581-582; values positive so trunc==floor).
+5. Segment order: impact DESC, segment_frequency ASC
+   (JASS_anytime_api.cpp:516-533). The reference uses an unstable std::sort;
+   we add `term ASC` as a deterministic tertiary key (invisible at ρ=100%).
+6. Anytime ρ budget: process the ordered prefix whose cumulative
+   segment_frequency fits trunc(total_postings × ρ); stop BEFORE the first
+   overflowing segment (JASS_anytime_api.cpp:578-592).
+7. Accumulate: rsv(doc) = Σ scaled impacts over processed segments — a hash
+   aggregate (the reference's uint8 accumulator array + dirty pages is the
+   serial-hardware version of the same thing; the rescale guarantees sums
+   fit 255 so integer math is exact either way).
+8. Top-k: ORDER BY rsv DESC, doc_id DESC LIMIT k per query. The min-heap +
+   pointer tie-break (higher accumulator address = higher docid wins,
+   `source/pointer_box.h:151-154`; ascending emit reversed by
+   `source/run_export_trec.h:54-67`) converges to exactly this ordering
+   because accumulator values only grow.
+
+Scale notes: the (queries × seg_stats) side is tiny and explicitly
+broadcast; the only large shuffle is the per-(query, doc) hash aggregate,
+keyed (query_id, doc_id) — skew-free. Partition pruning on the segment
+table's term-bucketed layout (persist.py) replaces the reference's
+vocabulary binary search (`source/deserialised_jass_v1.h:311-334`).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jassv2_spark.functions.tokenizer import spark_tokens
+from jassv2_spark.operators.build import Index
+
+MAX_RSV = 255  # source/query.h:131,137 (uint8 accumulators)
+DEFAULT_K = 10  # source/query.h:136 via anytime/JASS_anytime.cpp:30
+MAX_TOP_K = 1000  # source/query.h:136
+
+
+def parse_queries(queries: DataFrame, tokenizer: str = "parity") -> tuple[DataFrame, DataFrame]:
+    """(query_id, query) → (q_terms(query_id, term, q_tf), q_meta(query_id, n_terms))."""
+    toks = queries.select(
+        "query_id",
+        F.explode(spark_tokens("query", mode=tokenizer, xml=False)).alias("term"),
+    )
+    q_terms = toks.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("q_tf"))
+    q_meta = q_terms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    return q_terms, q_meta
+
+
+def gather_segments(
+    index: Index,
+    q_terms: DataFrame,
+    q_meta: DataFrame,
+    rho: float = 1.0,
+    postings_budget: int | None = None,
+) -> DataFrame:
+    """Matched, scaled, ordered, ρ-filtered segments per query.
+
+    Returns (query_id, term, impact, seg_freq, simpact, scaled, seg_rank,
+    cum_postings) — the processed-segment set.
+    """
+    matched = (
+        F.broadcast(q_terms)
+        .join(index.seg_stats, "term")
+        .withColumn("simpact", (F.col("impact") * F.col("q_tf")).cast("long"))
+    )
+
+    per_term = matched.groupBy("query_id", "term").agg(
+        F.max("simpact").alias("term_max"), F.sum("seg_freq").alias("term_postings")
+    )
+    q_agg = per_term.groupBy("query_id").agg(
+        F.sum("term_max").alias("largest_rsv"),
+        F.sum("term_postings").alias("total_postings"),
+    )
+
+    seg = matched.join(F.broadcast(q_agg), "query_id").join(F.broadcast(q_meta), "query_id")
+
+    scaled = F.when(
+        F.col("largest_rsv") > F.lit(MAX_RSV),
+        F.floor(
+            F.col("simpact").cast("double")
+            / F.col("largest_rsv").cast("double")
+            * (F.lit(float(MAX_RSV)) - F.col("n_terms").cast("double"))
+            + F.lit(1.0)
+        ).cast("long"),
+    ).otherwise(F.col("simpact"))
+    seg = seg.withColumn("scaled", scaled)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("simpact").desc(), F.col("seg_freq").asc(), F.col("term").asc()
+    )
+    seg = seg.withColumn("seg_rank", F.row_number().over(w)).withColumn(
+        "cum_postings", F.sum("seg_freq").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+    if rho < 1.0:
+        # postings_to_process = total_postings × ρ, truncated (uint64 cast)
+        budget = F.floor(F.col("total_postings").cast("double") * F.lit(float(rho)))
+        seg = seg.where(F.col("cum_postings") <= budget)
+    elif postings_budget is not None:
+        seg = seg.where(F.col("cum_postings") <= F.lit(int(postings_budget)))
+    return seg
+
+
+def search(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    rho: float = 1.0,
+    postings_budget: int | None = None,
+    tokenizer: str | None = None,
+    with_keys: bool = True,
+) -> DataFrame:
+    """Batch top-k search. Returns (query_id, doc_id[, key], rsv, rank)."""
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(queries, tokenizer=tokenizer)
+    seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
+
+    processed = F.broadcast(seg.select("query_id", "term", "impact", "scaled"))
+    hits = (
+        processed.join(index.segments, ["term", "impact"])
+        .select("query_id", F.explode("doc_ids").alias("doc_id"), "scaled")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("scaled").alias("rsv"))
+    )
+
+    wk = Window.partitionBy("query_id").orderBy(F.col("rsv").desc(), F.col("doc_id").desc())
+    topk = hits.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= F.lit(k))
+
+    if with_keys:
+        # topk is tiny (≤ queries × k): broadcast it into the big doc_map,
+        # never the reverse (doc_map is N rows).
+        topk = F.broadcast(topk).join(index.doc_map, "doc_id")
+        return topk.select("query_id", "doc_id", "key", "rsv", "rank")
+    return topk.select("query_id", "doc_id", "rsv", "rank")
+
+
+def search_metrics(
+    index: Index,
+    queries: DataFrame,
+    rho: float = 1.0,
+    postings_budget: int | None = None,
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """Per-query stats: postings_processed / segments_processed /
+    total_postings / largest_rsv (mirrors `anytime/JASS_anytime_result.h`)."""
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(queries, tokenizer=tokenizer)
+    seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
+    return seg.groupBy("query_id").agg(
+        F.sum("seg_freq").alias("postings_processed"),
+        F.count(F.lit(1)).alias("segments_processed"),
+        F.max("total_postings").alias("total_postings"),
+        F.max("largest_rsv").alias("largest_possible_rsv"),
+    )
+
+
+def trec_run(results: DataFrame, run_name: str = "JASSv2spark") -> DataFrame:
+    """TREC 6-column run lines: topic Q0 key rank rsv run_name
+    (`source/run_export_trec.h:26-29,50-82`)."""
+    return results.orderBy("query_id", "rank").select(
+        F.concat_ws(
+            " ",
+            F.col("query_id"),
+            F.lit("Q0"),
+            F.col("key"),
+            F.col("rank").cast("string"),
+            F.col("rsv").cast("string"),
+            F.lit(run_name),
+        ).alias("line")
+    )

@@ -1,0 +1,124 @@
+"""End-to-end search: Spark pipeline vs the pure-Python reference oracle
+(tests/oracle.py) on the 10-doc golden collection and a synthetic corpus;
+covers q_tf multiplication, uint8 rescale, OOV terms, ρ budget, tie-breaks.
+"""
+
+import pytest
+
+from jassv2_spark.fixtures import TEN_DOC_QUERIES, synthetic_corpus, synthetic_queries, ten_documents
+from jassv2_spark.operators.build import build_index
+from jassv2_spark.operators.search import search, search_metrics, trec_run
+from tests.oracle import PyIndex
+
+
+@pytest.fixture(scope="module")
+def ten(spark):
+    rows = [(r["url"], r["html"].decode()) for r in ten_documents()]
+    docs = spark.createDataFrame(rows, ["url", "html"])
+    idx = build_index(docs, text_col="html", key_col="url")
+    py = PyIndex([(i, rows[i - 1][1]) for i in range(1, 11)])
+    yield idx, py
+    idx.unpersist()
+
+
+def _spark_results(idx, spark, queries, k=10, rho=1.0):
+    qdf = spark.createDataFrame(queries, ["query_id", "query"])
+    res = search(idx, qdf, k=k, rho=rho, with_keys=False).collect()
+    out = {}
+    for r in res:
+        out.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["rsv"]))
+    return {q: [(d, v) for _, d, v in sorted(rows)] for q, rows in out.items()}
+
+
+@pytest.mark.parametrize("rho", [1.0, 0.35])
+def test_ten_doc_queries_match_oracle(ten, spark, rho):
+    idx, py = ten
+    got = _spark_results(idx, spark, TEN_DOC_QUERIES, k=10, rho=rho)
+    for qid, qtext in TEN_DOC_QUERIES:
+        want, _ = py.search(qtext, k=10, rho=rho)
+        assert got.get(qid, []) == want, f"{qid} ({qtext!r}) rho={rho}"
+
+
+def test_oov_query_empty(ten, spark):
+    idx, _ = ten
+    got = _spark_results(idx, spark, [("qz", "zzz qqq")])
+    assert got == {}
+
+
+def test_duplicate_term_qtf_scaling(ten, spark):
+    idx, py = ten
+    # "ten ten nine": q_tf(ten)=2 doubles ten's impacts; triggers rescale if
+    # largest_possible_rsv > 255 (it does: impacts are in [1,1024]).
+    got = _spark_results(idx, spark, [("q", "ten ten nine")])
+    want, _ = py.search("ten ten nine")
+    assert got["q"] == want
+    # and differs from the unrepeated query's scores
+    got1 = _spark_results(idx, spark, [("q", "ten nine")])
+    want1, _ = py.search("ten nine")
+    assert got1["q"] == want1
+
+
+def test_tie_break_higher_doc_id_first(ten, spark):
+    idx, py = ten
+    # single-term queries where several docs share an impact: ties must be
+    # ordered doc_id descending (pointer order, source/pointer_box.h:151-154)
+    for term in ["ten", "nine", "eight", "seven"]:
+        got = _spark_results(idx, spark, [("q", term)])
+        want, _ = py.search(term)
+        assert got["q"] == want
+        rsvs = [v for _, v in want]
+        for (d1, v1), (d2, v2) in zip(want, want[1:]):
+            if v1 == v2:
+                assert d1 > d2
+
+
+def test_metrics_and_rho_budget(ten, spark):
+    idx, py = ten
+    qdf = spark.createDataFrame([("q3", "three seven")], ["query_id", "query"])
+    m_full = {r["query_id"]: r for r in search_metrics(idx, qdf, rho=1.0).collect()}
+    _, processed_full = py.search("three seven", rho=1.0)
+    assert m_full["q3"]["postings_processed"] == processed_full == 3 + 7
+    m_part = {r["query_id"]: r for r in search_metrics(idx, qdf, rho=0.5).collect()}
+    _, processed_part = py.search("three seven", rho=0.5)
+    assert m_part["q3"]["postings_processed"] == processed_part
+    assert m_part["q3"]["postings_processed"] <= int(10 * 0.5)
+
+
+def test_trec_run_format(ten, spark):
+    idx, _ = ten
+    qdf = spark.createDataFrame([("q2", "ten")], ["query_id", "query"])
+    res = search(idx, qdf, k=3)
+    lines = [r["line"] for r in trec_run(res, "run1").collect()]
+    assert len(lines) == 3
+    parts = lines[0].split(" ")
+    assert parts[0] == "q2" and parts[1] == "Q0" and parts[5] == "run1"
+    assert parts[3] == "1"  # rank
+
+
+@pytest.mark.parametrize("rho", [1.0, 0.2])
+def test_synthetic_corpus_matches_oracle(spark, rho):
+    rows = synthetic_corpus(300)
+    docs = spark.createDataFrame(
+        [(r["url"], r["html"].decode()) for r in rows], ["url", "html"]
+    )
+    idx = build_index(docs, text_col="html", key_col="url")
+    py = PyIndex([(i + 1, rows[i]["html"].decode()) for i in range(len(rows))])
+    queries = synthetic_queries(25)
+    got = _spark_results(idx, spark, queries, k=10, rho=rho)
+    for qid, qtext in queries:
+        want, _ = py.search(qtext, k=10, rho=rho)
+        assert got.get(qid, []) == want, f"{qid} ({qtext!r}) rho={rho}"
+    idx.unpersist()
+
+
+def test_search_same_results_at_two_parallelisms(spark):
+    rows = synthetic_corpus(200)
+    base = spark.createDataFrame(
+        [(r["url"], r["html"].decode()) for r in rows], ["url", "html"]
+    )
+    i1 = build_index(base.repartition(1), text_col="html", key_col="url", cache=False)
+    i4 = build_index(base.repartition(4), text_col="html", key_col="url", cache=False)
+    queries = synthetic_queries(10)
+    r1 = _spark_results(i1, spark, queries)
+    r4 = _spark_results(i4, spark, queries)
+    assert r1 == r4
