@@ -1,0 +1,451 @@
+"""Driver-contract query registry: paired (Spark callable, DuckDB oracle SQL).
+
+Every entry implements one operator from SURVEY.md §2 over the driver's
+parquet tables (`documents`, `embeddings`, `lineitem`, ...) twice:
+  - a Spark DataFrame plan (the engine), and
+  - an ANSI-SQL string for DuckDB (the oracle),
+with IDENTICAL column names, types (BIGINT/DOUBLE/VARCHAR), and — by
+construction — bitwise-identical float math: every transcendental (ln) is
+computed driver-side in CPython (== glibc == DuckDB, verified), all other
+ops are exact IEEE arithmetic emitted in the same evaluation order on both
+sides, and float literals are emitted with repr() so they parse to the same
+doubles.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jassv2_spark.operators.ann import cosine_topk
+from jassv2_spark.operators.build import BuildConf, Index, build_index
+from jassv2_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from jassv2_spark.operators.search import search, search_metrics, trec_run
+from jassv2_spark.operators.textstats import (
+    STOPWORDS,
+    TOKEN_PATTERN,
+    fingerprints,
+    lang_guess,
+    quality_scores,
+    token_counts,
+)
+
+K1, B = 0.9, 0.4
+K = 10
+RHO_PARTIAL = 0.35
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+# float literals emitted via repr() → both engines parse to the same double
+_K1R, _BR = repr(K1), repr(B)
+_K1P1 = repr(K1 + 1.0)
+_OMB = repr(1.0 - B)
+
+# Reference query set over the synthetic web-corpus vocabulary (FIXTURES.md):
+# multi-term, single-term, duplicated-term (q_tf), OOV, long queries.
+ENTRY_QUERIES = [
+    ("q01", "spark join"),
+    ("q02", "hash table scan"),
+    ("q03", "the fast query"),
+    ("q04", "merge merge sort"),
+    ("q05", "zzz notaword"),
+    ("q06", "window"),
+    ("q07", "group agg value data"),
+    ("q08", "a the batch slow"),
+    ("q09", "customer filter column row line"),
+    ("q10", "vector stream big key order"),
+]
+
+# ---------------------------------------------------------------- SQL CTEs
+
+_BASE = f"""
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+         FROM documents),
+cnt AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM toks GROUP BY doc_id, term),
+tfx AS (SELECT doc_id, term, least(cnt, 1024)::BIGINT AS tf FROM cnt),
+dlx AS (SELECT doc_id, sum(cnt)::BIGINT AS dl FROM cnt GROUP BY doc_id),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+cl AS (SELECT sum(dl)::BIGINT AS clen FROM dlx),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tfx GROUP BY term),
+scored AS (
+  SELECT t.term, t.doc_id, t.tf, d.dl, f.df,
+    ln(nn.n::DOUBLE / f.df::DOUBLE)
+      * ((t.tf::DOUBLE * {_K1P1})
+         / (t.tf::DOUBLE + {_K1R} * ({_OMB} + ({_BR} * d.dl::DOUBLE) / (cl.clen::DOUBLE / nn.n::DOUBLE)))) AS score
+  FROM tfx t JOIN dlx d USING (doc_id) JOIN dfx f ON f.term = t.term, nn, cl),
+mm AS (SELECT min(score) AS lo, max(score) AS hi FROM scored),
+imp AS (SELECT term, doc_id,
+          CASE WHEN mm.hi > mm.lo
+               THEN (floor((score - mm.lo) / (mm.hi - mm.lo) * 1023.0))::BIGINT + 1
+               ELSE 1 END AS impact
+        FROM scored, mm),
+seg AS (SELECT term, impact, count(*)::BIGINT AS seg_freq FROM imp GROUP BY term, impact)
+"""
+
+
+def _values_clause() -> str:
+    return ", ".join(f"('{qid}', '{q}')" for qid, q in ENTRY_QUERIES)
+
+
+def _query_ctes(rho: float) -> str:
+    if rho < 1.0:
+        keep = f"cum_postings <= floor(total_postings::DOUBLE * {repr(float(rho))})"
+    else:
+        keep = "TRUE"
+    return f"""
+q(query_id, query) AS (VALUES {_values_clause()}),
+qtok AS (SELECT query_id, unnest(regexp_extract_all(lower(query), '{TOKEN_PATTERN}')) AS term FROM q),
+qt AS (SELECT query_id, term, count(*)::BIGINT AS q_tf FROM qtok GROUP BY query_id, term),
+qm AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM qt GROUP BY query_id),
+mseg AS (SELECT qt.query_id, qt.term, s.impact, s.seg_freq,
+                (s.impact * qt.q_tf)::BIGINT AS simpact
+         FROM qt JOIN seg s USING (term)),
+pterm AS (SELECT query_id, term, max(simpact) AS term_max, sum(seg_freq) AS term_postings
+          FROM mseg GROUP BY query_id, term),
+qagg AS (SELECT query_id, sum(term_max)::BIGINT AS largest_rsv,
+                sum(term_postings)::BIGINT AS total_postings
+         FROM pterm GROUP BY query_id),
+sseg AS (SELECT m.query_id, m.term, m.impact, m.seg_freq, m.simpact,
+                qa.largest_rsv, qa.total_postings, qm.n_terms,
+    CASE WHEN qa.largest_rsv > 255
+         THEN (floor(m.simpact::DOUBLE / qa.largest_rsv::DOUBLE * (255.0 - qm.n_terms::DOUBLE) + 1.0))::BIGINT
+         ELSE m.simpact END AS scaled,
+    sum(m.seg_freq) OVER (PARTITION BY m.query_id
+                          ORDER BY m.simpact DESC, m.seg_freq ASC, m.term ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_postings
+  FROM mseg m JOIN qagg qa USING (query_id) JOIN qm USING (query_id)),
+kept AS (SELECT * FROM sseg WHERE {keep})
+"""
+
+
+_TOPK_CTES = """
+hits AS (SELECT k.query_id, i.doc_id, sum(k.scaled)::BIGINT AS rsv
+         FROM kept k JOIN imp i ON i.term = k.term AND i.impact = k.impact
+         GROUP BY k.query_id, i.doc_id),
+ranked AS (SELECT query_id, doc_id, rsv,
+                  (row_number() OVER (PARTITION BY query_id ORDER BY rsv DESC, doc_id DESC))::BIGINT AS rank
+           FROM hits)
+"""
+
+_QPARSE_CTES = f"""
+q(query_id, query) AS (VALUES {{values}}),
+qtok AS (SELECT query_id, unnest(regexp_extract_all(lower(query), '{TOKEN_PATTERN}')) AS term FROM q),
+qt AS (SELECT query_id, term, count(*)::BIGINT AS q_tf FROM qtok GROUP BY query_id, term)
+"""
+
+_SHINGLE3 = f"""
+dtoks AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+               ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+          END) AS shingle
+        FROM dtoks))
+"""
+
+
+# ------------------------------------------------------------ Spark helpers
+
+_INDEX_CACHE: dict[str, Index] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def get_index(spark: SparkSession, sf_dir: str) -> Index:
+    idx = _INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = build_index(
+            _docs(spark, sf_dir),
+            text_col="text",
+            key_col="doc_id",
+            doc_id_col="doc_id",
+            conf=BuildConf(k1=K1, b=B, tokenizer="parity"),
+        )
+        _INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ENTRY_QUERIES, ["query_id", "query"])
+
+
+# ------------------------------------------------------------- the registry
+
+
+def _sql(*parts: str) -> str:
+    return "WITH " + ",".join(p.strip().strip(",") for p in parts if p.strip())
+
+
+def registry() -> dict[str, tuple]:
+    """name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)."""
+    r: dict[str, tuple] = {}
+
+    # ---- search-engine family (SURVEY.md §2.2/2.4/2.6/2.7) ----
+    r["jass_tokenize_tf"] = (
+        lambda spark, sf: get_index(spark, sf).postings.select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf")
+        ),
+        _sql(_BASE) + " SELECT doc_id, term, tf FROM tfx",
+    )
+    r["jass_doc_lengths"] = (
+        lambda spark, sf: get_index(spark, sf).doc_lengths.select(
+            "doc_id", F.col("dl").cast("long").alias("dl")
+        ),
+        _sql(_BASE) + " SELECT doc_id, dl FROM dlx",
+    )
+    r["jass_term_df"] = (
+        lambda spark, sf: get_index(spark, sf).term_stats.select(
+            "term", F.col("df").cast("long").alias("df")
+        ),
+        _sql(_BASE) + " SELECT term, df FROM dfx",
+    )
+
+    def _stats(spark, sf):
+        idx = get_index(spark, sf)
+        return spark.createDataFrame(
+            [(idx.n_docs, idx.collection_length, idx.mean_doc_length)],
+            "n_docs long, collection_len long, avg_dl double",
+        )
+
+    r["jass_collection_stats"] = (
+        _stats,
+        _sql(_BASE)
+        + " SELECT nn.n AS n_docs, cl.clen AS collection_len, cl.clen::DOUBLE / nn.n::DOUBLE AS avg_dl FROM nn, cl",
+    )
+    r["jass_bm25_scores"] = (
+        lambda spark, sf: get_index(spark, sf).scored.select("term", "doc_id", "score"),
+        _sql(_BASE) + " SELECT term, doc_id, score FROM scored",
+    )
+    r["jass_quantized_impacts"] = (
+        lambda spark, sf: get_index(spark, sf).impacts.select(
+            "term", "doc_id", F.col("impact").cast("long").alias("impact")
+        ),
+        _sql(_BASE) + " SELECT term, doc_id, impact FROM imp",
+    )
+    r["jass_impact_segments"] = (
+        lambda spark, sf: get_index(spark, sf)
+        .segments.select("term", "impact", F.explode("doc_ids").alias("doc_id"))
+        .groupBy("term", "impact")
+        .agg(
+            F.count(F.lit(1)).alias("seg_freq"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("doc_ids_csv"),
+        )
+        .select(
+            "term",
+            F.col("impact").cast("long").alias("impact"),
+            F.col("seg_freq").cast("long").alias("seg_freq"),
+            "doc_ids_csv",
+        ),
+        _sql(_BASE)
+        + """ SELECT term, impact, count(*)::BIGINT AS seg_freq,
+                     string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids_csv
+              FROM imp GROUP BY term, impact""",
+    )
+    def _qparse(spark, sf):
+        from jassv2_spark.operators.search import parse_queries
+
+        q_terms, _ = parse_queries(_queries_df(spark))
+        return q_terms.select("query_id", "term", F.col("q_tf").cast("long").alias("q_tf"))
+
+    r["jass_query_parse"] = (
+        _qparse,
+        _sql(_QPARSE_CTES.format(values=_values_clause()))
+        + " SELECT query_id, term, q_tf FROM qt",
+    )
+
+    def _topk_fn(rho):
+        def fn(spark, sf):
+            return search(
+                get_index(spark, sf), _queries_df(spark), k=K, rho=rho, with_keys=False
+            ).select(
+                "query_id",
+                "doc_id",
+                F.col("rsv").cast("long").alias("rsv"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+
+        return fn
+
+    _topk_select = f" SELECT query_id, doc_id, rsv, rank FROM ranked WHERE rank <= {K}"
+    r["jass_topk"] = (
+        _topk_fn(1.0),
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
+    )
+    r["jass_topk_rho35"] = (
+        _topk_fn(RHO_PARTIAL),
+        _sql(_BASE, _query_ctes(RHO_PARTIAL), _TOPK_CTES) + _topk_select,
+    )
+    r["jass_query_metrics"] = (
+        lambda spark, sf: search_metrics(get_index(spark, sf), _queries_df(spark), rho=1.0).select(
+            "query_id",
+            F.col("postings_processed").cast("long").alias("postings_processed"),
+            F.col("segments_processed").cast("long").alias("segments_processed"),
+            F.col("total_postings").cast("long").alias("total_postings"),
+            F.col("largest_possible_rsv").cast("long").alias("largest_possible_rsv"),
+        ),
+        _sql(_BASE, _query_ctes(1.0))
+        + """ SELECT query_id, sum(seg_freq)::BIGINT AS postings_processed,
+                     count(*)::BIGINT AS segments_processed,
+                     max(total_postings)::BIGINT AS total_postings,
+                     max(largest_rsv)::BIGINT AS largest_possible_rsv
+              FROM kept GROUP BY query_id""",
+    )
+    r["jass_trec_run"] = (
+        lambda spark, sf: trec_run(
+            search(get_index(spark, sf), _queries_df(spark), k=K, rho=1.0, with_keys=True)
+        ),
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES)
+        + f""" SELECT query_id || ' Q0 ' || doc_id::VARCHAR || ' ' || rank::VARCHAR || ' '
+                      || rsv::VARCHAR || ' JASSv2spark' AS line
+               FROM ranked WHERE rank <= {K}""",
+    )
+
+    # ---- training-data pipeline: dedup family ----
+    r["dedup_exact"] = (
+        lambda spark, sf: exact_duplicates(_docs(spark, sf)).select(
+            "text_hash", F.col("n_dups").cast("long").alias("n_dups"), F.col("keep_id").cast("long").alias("keep_id")
+        ),
+        "SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups, min(doc_id)::BIGINT AS keep_id "
+        "FROM documents GROUP BY md5(text)",
+    )
+    r["dedup_ngram_jaccard"] = (
+        lambda spark, sf: ngram_jaccard_pairs(_docs(spark, sf), n=3).select(
+            "doc_a", "doc_b", "inter", "uni", "jaccard"
+        ),
+        _sql(_SHINGLE3)
+        + """,
+        sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+        SELECT pr.doc_a, pr.doc_b, pr.inter,
+               (sa.n_sh + sb.n_sh - pr.inter)::BIGINT AS uni,
+               pr.inter::DOUBLE / (sa.n_sh + sb.n_sh - pr.inter)::DOUBLE AS jaccard
+        FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a JOIN sz sb ON sb.doc_id = pr.doc_b""",
+    )
+
+    def _minhash_sql() -> str:
+        sigs = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+        bands = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, md5(h{4*b} || h{4*b+1} || h{4*b+2} || h{4*b+3}) AS band_hash FROM sig"
+            for b in range(4)
+        )
+        return (
+            _sql(_SHINGLE3)
+            + f""",
+            sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+            banded AS ({bands})
+            SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b, count(*)::BIGINT AS n_shared_bands
+            FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id"""
+        )
+
+    r["dedup_minhash_lsh"] = (
+        lambda spark, sf: minhash_lsh_pairs(_docs(spark, sf), n=3, num_hashes=16, bands=4).select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            "n_shared_bands",
+        ),
+        _minhash_sql(),
+    )
+    # SimHash: bit-level pandas UDF — no portable SQL oracle (rows-only check)
+    r["dedup_simhash"] = (
+        lambda spark, sf: simhash_fingerprints(_docs(spark, sf)),
+        None,
+    )
+
+    # ---- training-data pipeline: text analysis ----
+    r["text_token_counts"] = (
+        lambda spark, sf: token_counts(_docs(spark, sf)),
+        f"""SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws,
+                   len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::BIGINT AS n_tok
+            FROM documents""",
+    )
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    r["text_quality"] = (
+        lambda spark, sf: quality_scores(_docs(spark, sf)),
+        f"""WITH d AS (SELECT doc_id, text, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+                      FROM documents)
+            SELECT doc_id,
+                   len(tk)::BIGINT AS n_tokens,
+                   len(list_distinct(tk))::BIGINT AS n_types,
+                   list_aggregate(list_transform(tk, t -> length(t)), 'sum')::DOUBLE / len(tk)::DOUBLE AS avg_token_len,
+                   len(list_filter(tk, t -> t IN ({stop_list})))::DOUBLE / len(tk)::DOUBLE AS stopword_ratio,
+                   length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS alnum_ratio
+            FROM d""",
+    )
+    r["text_lang_guess"] = (
+        lambda spark, sf: lang_guess(_docs(spark, sf)),
+        """SELECT doc_id,
+                  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                       WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+                       WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                       WHEN regexp_matches(text, '[Ͱ-Ͽ]') THEN 'el'
+                       WHEN regexp_matches(text, '[a-zA-Z]') THEN 'en'
+                       ELSE 'und' END AS lang_guess
+           FROM documents""",
+    )
+    r["text_fingerprint"] = (
+        lambda spark, sf: fingerprints(_docs(spark, sf), shingle=8),
+        f"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+                      FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(tk) = 0 THEN NULL
+                        WHEN len(tk) < 8 THEN md5(array_to_string(tk, ' '))
+                        ELSE list_aggregate(list_transform(range(1, len(tk) - 6),
+                                            i -> md5(array_to_string(tk[i:i+7], ' '))), 'min')
+                   END AS fingerprint
+            FROM d""",
+    )
+
+    # ---- similarity search over embeddings ----
+    r["ann_cosine_topk"] = (
+        lambda spark, sf: cosine_topk(_emb(spark, sf), ANN_QUERY_IDS, k=K, round_dp=4),
+        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+            q AS (SELECT vec_id AS qid, ve AS qe FROM e WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),
+            p AS (SELECT q.qid, e.vec_id,
+                    round(list_dot_product(qe, ve)
+                          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ve, ve))), 4) AS cos
+                  FROM q, e),
+            r AS (SELECT qid, vec_id, cos,
+                         (row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC))::BIGINT AS rank
+                  FROM p)
+            SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}""",
+    )
+
+    # ---- relational sanity (TPC-H Q1 shape over lineitem) ----
+    def _q1(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    r["tpch_q1_lineitem"] = (
+        _q1,
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                  round(sum(l_extendedprice), 2) AS sum_base_price,
+                  count(*)::BIGINT AS count_order
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           GROUP BY l_returnflag, l_linestatus""",
+    )
+
+    return r

@@ -218,17 +218,30 @@ def build_index(
     # (source/ranking_function_atire_bm25.h:65-69)
     mean_dl = float(collection_length) / float(n_docs) if n_docs else 0.0
 
+    # idf = ln(N/df), computed on the DRIVER per distinct df value and
+    # broadcast-joined. Rationale: the JVM's Math.log differs from
+    # glibc/DuckDB/CPython log by 1 ulp on ~8% of inputs (measured), which
+    # can flip a quantization bucket at a trunc boundary; a driver-side
+    # table makes the whole BM25 expression bitwise engine-independent
+    # (every other op is exact IEEE arithmetic in a fixed order). Distinct
+    # df values are integers ≤ N — a tiny collect even at huge vocabularies.
+    df_vals = [r[0] for r in term_df.select("df").distinct().collect()]
+    idf_rows = [(int(d), math.log(n_docs / d)) for d in df_vals]
+    idf_map = F.broadcast(
+        spark.createDataFrame(idf_rows, schema="df long, idf double")
+    )
+
     vocab = F.broadcast(term_df) if conf.broadcast_vocab else term_df
     k1, b = float(conf.k1), float(conf.b)
     tf_d = F.col("tf").cast("double")
     # exact reference grouping: idf * (top_row / (tf + k1*(1-b + b*len/mean)))
     length_correction = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(mean_dl))
-    idf = F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
-    score = idf * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + length_correction))
+    score = F.col("idf") * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + length_correction))
 
     scored = (
         postings.join(doc_lengths, "doc_id")
         .join(vocab, "term")
+        .join(idf_map, "df")
         .withColumn("score", score)
     )
     if cache:

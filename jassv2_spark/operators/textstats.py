@@ -1,0 +1,97 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure-JVM column expressions (whole-stage codegen, no Python in the hot
+path): token counting, quality scoring, language-ID heuristic, document
+fingerprinting (min-hash of token shingles — a rolling-hash analogue that is
+portable across engines via md5).
+
+Each operator's semantics are deliberately expressible in ANSI SQL so the
+DuckDB oracle can mirror them bit-for-bit (integer counts, exact IEEE
+ratios, md5 over utf-8 bytes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[a-z]+|[0-9]+"
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def _toks(text_col: str) -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_ws, n_tok): whitespace-split count and tokenizer-token count."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")).cast("long").alias("n_ws"),
+        F.size(_toks(text_col)).cast("long").alias("n_tok"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: token/type counts, length ratios, stopword
+    ratio, alphanumeric density. Deterministic, engine-portable math."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    d = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        _toks(text_col).alias("__toks"),
+    )
+    n_tokens = F.size("__toks").cast("long")
+    return d.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("long").alias("n_types"),
+        (
+            F.aggregate("__toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast(
+                "double"
+            )
+            / n_tokens.cast("double")
+        ).alias("avg_token_len"),
+        (
+            F.size(F.expr(f"filter(__toks, t -> t in ({stop_list}))")).cast("double")
+            / n_tokens.cast("double")
+        ).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace("__t", "[^a-z0-9]", "")).cast("double")
+            / F.length("__t").cast("double")
+        ).alias("alnum_ratio"),
+    )
+
+
+def lang_guess(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Char-class language-ID heuristic (script detection). A real n-gram
+    model would be a broadcast lookup over the same plumbing."""
+    t = F.col(text_col)
+    guess = (
+        F.when(t.rlike("[一-鿿]"), F.lit("zh"))
+        .when(t.rlike("[぀-ヿ]"), F.lit("ja"))
+        .when(t.rlike("[Ѐ-ӿ]"), F.lit("ru"))
+        .when(t.rlike("[Ͱ-Ͽ]"), F.lit("el"))
+        .when(t.rlike("[a-zA-Z]"), F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle: int = 8
+) -> DataFrame:
+    """(id, fingerprint): min-md5 over `shingle`-token windows — a portable
+    document fingerprint (winnowing-style min-selection over a rolling
+    window hash). Docs shorter than one window hash all their tokens."""
+    w = shingle
+    expr = f"""
+      CASE WHEN size(__toks) = 0 THEN NULL
+           WHEN size(__toks) < {w} THEN md5(cast(array_join(__toks, ' ') AS binary))
+           ELSE array_min(transform(sequence(1, size(__toks) - {w - 1}),
+                          i -> md5(cast(array_join(slice(__toks, i, {w}), ' ') AS binary))))
+      END
+    """
+    return docs.select(F.col(id_col), _toks(text_col).alias("__toks")).select(
+        F.col(id_col), F.expr(expr).alias("fingerprint")
+    )
