@@ -1,0 +1,137 @@
+"""Postings compression codecs: delta + variable-byte, and a QMX-style
+block codec — numpy implementations for Arrow-batched UDF use.
+
+Re-implements the *formats' ideas*, not the reference code:
+- Variable byte: 7-bit big-endian chunks with a stop bit on the LAST byte,
+  matching the reference's convention (`source/compress_integer_variable_byte.h:24-38`:
+  "the low bit of the last byte is set"... JASS uses high-bit-set-on-last
+  stop-bit over big-endian 7-bit groups).
+- d1/delta: ascending docids stored as gaps; the serve side cumsums
+  (`source/compress_integer.h:94`, `source/query_heap_clean.h:389`).
+- QMX-style: fixed 128-int blocks, each packed to the block's max bit
+  width, one selector byte per block (`source/compress_integer_qmx_improved.h`
+  describes the original; ours is a simplified same-shape scheme).
+
+These exist for the storage-fidelity deliverable: segments can be persisted
+as BinaryType instead of array<long>. Parquet's own dictionary/RLE/zstd is
+the default; the custom codecs round-trip-tested per
+`tools/test_integer_compress.cpp`'s strategy (crafted + random sequences).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
+    """Ascending uint docids → gaps (first element kept as-is)."""
+    a = np.asarray(doc_ids, dtype=np.uint64)
+    out = a.copy()
+    out[1:] = a[1:] - a[:-1]
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Big-endian 7-bit groups, stop bit (0x80) on the final byte of each
+    integer — the reference's variable-byte convention."""
+    out = bytearray()
+    for v in np.asarray(values, dtype=np.uint64):
+        v = int(v)
+        chunks = [v & 0x7F]
+        v >>= 7
+        while v:
+            chunks.append(v & 0x7F)
+            v >>= 7
+        for c in reversed(chunks[1:]):
+            out.append(c)
+        out.append(chunks[0] | 0x80)
+    return bytes(out)
+
+
+def vbyte_decode(data: bytes, n: int | None = None) -> np.ndarray:
+    out = []
+    cur = 0
+    for b in data:
+        if b & 0x80:
+            out.append((cur << 7) | (b & 0x7F))
+            cur = 0
+        else:
+            cur = (cur << 7) | b
+    if n is not None:
+        assert len(out) == n, f"expected {n} ints, got {len(out)}"
+    return np.asarray(out, dtype=np.uint64)
+
+
+QMX_BLOCK = 128
+
+
+def qmx_encode(values: np.ndarray) -> bytes:
+    """QMX-style: 128-int blocks, per-block bit width selector byte, then
+    the block's values packed at that width (little-endian bit order).
+    Final short block is length-prefixed by the selector's high bit."""
+    a = np.asarray(values, dtype=np.uint64)
+    out = bytearray()
+    for start in range(0, len(a), QMX_BLOCK):
+        block = a[start : start + QMX_BLOCK]
+        width = max(1, int(block.max()).bit_length()) if len(block) else 1
+        full = len(block) == QMX_BLOCK
+        out.append(width | (0 if full else 0x80))
+        if not full:
+            out.append(len(block))
+        # pack little-endian bitstream
+        bits = np.zeros(len(block) * width, dtype=np.uint8)
+        for i, v in enumerate(block):
+            v = int(v)
+            for j in range(width):
+                bits[i * width + j] = (v >> j) & 1
+        out.extend(np.packbits(bits, bitorder="little").tobytes())
+    return bytes(out)
+
+
+def qmx_decode(data: bytes) -> np.ndarray:
+    out = []
+    pos = 0
+    while pos < len(data):
+        sel = data[pos]
+        pos += 1
+        width = sel & 0x7F
+        if sel & 0x80:
+            count = data[pos]
+            pos += 1
+        else:
+            count = QMX_BLOCK
+        nbytes = (count * width + 7) // 8
+        bits = np.unpackbits(
+            np.frombuffer(data[pos : pos + nbytes], dtype=np.uint8), bitorder="little"
+        )[: count * width]
+        pos += nbytes
+        vals = bits.reshape(count, width).astype(np.uint64)
+        weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
+        out.append(vals @ weights)
+    return np.concatenate(out) if out else np.array([], dtype=np.uint64)
+
+
+def compress_doc_ids(doc_ids, codec: str = "vbyte") -> bytes:
+    """Ascending docids → delta → codec bytes."""
+    gaps = delta_encode(np.asarray(doc_ids, dtype=np.uint64))
+    if codec == "vbyte":
+        return vbyte_encode(gaps)
+    if codec == "qmx":
+        return qmx_encode(gaps)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def decompress_doc_ids(data: bytes, codec: str = "vbyte", n: int | None = None) -> np.ndarray:
+    if codec == "vbyte":
+        gaps = vbyte_decode(data, n)
+    elif codec == "qmx":
+        gaps = qmx_decode(data)
+        if n is not None:
+            gaps = gaps[:n]
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    return delta_decode(gaps)

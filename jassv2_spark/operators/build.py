@@ -186,6 +186,13 @@ def build_index(
     spark = docs.sparkSession
     nparts = conf.num_partitions or spark.sparkContext.defaultParallelism
 
+    # The tokenizer stage parallelism is bounded by the input's partition
+    # count (a single parquet file = 1-2 splits in this sandbox; a real
+    # 100 TB scan has thousands). Widen narrow inputs so the per-document
+    # stages use the whole cluster.
+    if docs.rdd.getNumPartitions() < nparts:
+        docs = docs.repartition(nparts)
+
     if doc_id_col is None:
         docs = assign_doc_ids(docs, key_col=key_col, out_col="doc_id", num_partitions=nparts)
         did = "doc_id"
@@ -201,8 +208,12 @@ def build_index(
         F.col(did).alias("doc_id"),
         F.explode(spark_tokens(text_col, mode=conf.tokenizer, xml=True)).alias("term"),
     )
-    # one shuffle keyed (doc_id, term); counts get map-side partial agg
+    # one shuffle keyed (doc_id, term); counts get map-side partial agg.
+    # Persist counts — the single tokenizer pass — so postings/doc_lengths/
+    # term_df all derive from it without re-tokenizing.
     counts = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    if cache:
+        counts = counts.persist()
     postings = counts.select(
         "doc_id", "term", F.least(F.col("cnt"), F.lit(MAX_TF)).cast("long").alias("tf")
     )
@@ -210,7 +221,6 @@ def build_index(
     term_df = counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     if cache:
-        postings = postings.persist()
         doc_lengths = doc_lengths.persist()
 
     collection_length = doc_lengths.agg(F.sum("dl")).collect()[0][0] or 0
