@@ -287,6 +287,24 @@ def registry() -> dict[str, tuple]:
         _topk_fn(RHO_PARTIAL),
         _sql(_BASE, _query_ctes(RHO_PARTIAL), _TOPK_CTES) + _topk_select,
     )
+
+    def _topk_wand(spark, sf):
+        from jassv2_spark.operators.wand import search_wand
+
+        return search_wand(
+            get_index(spark, sf), _queries_df(spark), k=K, prefix=4
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    # block-max pruning is rank-safe ⇒ shares the exhaustive oracle
+    r["jass_topk_wand"] = (
+        _topk_wand,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
+    )
     r["jass_query_metrics"] = (
         lambda spark, sf: search_metrics(get_index(spark, sf), _queries_df(spark), rho=1.0).select(
             "query_id",
