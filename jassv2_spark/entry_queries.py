@@ -330,6 +330,74 @@ def registry() -> dict[str, tuple]:
                FROM ranked WHERE rank <= {K}""",
     )
 
+    # ---- IR evaluation (JASS_eval parity: tools/JASS_eval.cpp) ----
+    def _eval_fn(spark, sf):
+        from jassv2_spark.operators.evaluate import evaluate_run
+
+        idx = get_index(spark, sf)
+        run = search(idx, _queries_df(spark), k=K, rho=1.0, with_keys=False)
+        # deterministic binary qrels: docs containing any query term
+        q_terms, _ = __import__(
+            "jassv2_spark.operators.search", fromlist=["parse_queries"]
+        ).parse_queries(_queries_df(spark))
+        qrels = (
+            q_terms.join(idx.postings.select("term", "doc_id"), "term")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        return evaluate_run(run, qrels, depth=K, rbp_p=0.95)
+
+    def _flit(x: float) -> str:
+        # DuckDB parses plain decimal literals as DECIMAL (value-changing
+        # for long mantissas); an exponent forces the DOUBLE/strtod path.
+        s = repr(float(x))
+        return s if "e" in s or "inf" in s or "nan" in s else s + "e0"
+
+    def _eval_sql() -> str:
+        from jassv2_spark.operators.evaluate import RBP_SCALE, rbp_weights_fixed
+
+        ap_lcm = math.lcm(*range(1, K + 1))
+        rbp_case = " ".join(
+            f"WHEN {r} THEN {wi}::BIGINT" for r, wi in rbp_weights_fixed(K, 0.95)
+        )
+        ap_case = " ".join(f"WHEN {r} THEN {ap_lcm // r}::BIGINT" for r in range(1, K + 1))
+        return (
+            _sql(_BASE, _query_ctes(1.0), _TOPK_CTES)
+            + f""",
+rel AS (SELECT DISTINCT qt.query_id, t.doc_id FROM qt JOIN tfx t ON t.term = qt.term),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM rel GROUP BY query_id),
+rr AS (SELECT r.query_id, r.rank,
+              CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel,
+              CASE r.rank {rbp_case} END AS rbp_wi,
+              CASE r.rank {ap_case} END AS ap_wi
+       FROM ranked r LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+       WHERE r.rank <= {K}),
+c1 AS (SELECT *, sum(is_rel) OVER (PARTITION BY query_id ORDER BY rank
+                                   ROWS UNBOUNDED PRECEDING) AS found FROM rr),
+m AS (SELECT query_id,
+        sum(CASE WHEN is_rel = 1 THEN found * ap_wi ELSE 0 END)::BIGINT AS ap_int,
+        sum(CASE WHEN is_rel = 1 THEN rbp_wi ELSE 0 END)::BIGINT AS rbp_int,
+        min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel,
+        sum(is_rel)::BIGINT AS n_rel_ret, count(*)::BIGINT AS n_ret
+      FROM c1 GROUP BY query_id)
+SELECT coalesce(n.query_id, m.query_id) AS query_id,
+  coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+  coalesce(m.n_ret, 0)::BIGINT AS n_ret,
+  CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 1.0
+       WHEN coalesce(m.n_ret, 0) = 0 THEN 0.0
+       ELSE (coalesce(m.ap_int, 0)::DOUBLE / {_flit(ap_lcm)}) / n.n_rel::DOUBLE
+  END AS map,
+  CASE WHEN m.first_rel IS NOT NULL THEN 1.0 / m.first_rel::DOUBLE ELSE 0.0 END AS mrr,
+  {_flit(1.0 - 0.95)} * (coalesce(m.rbp_int, 0)::DOUBLE / {_flit(RBP_SCALE)}) AS rbp,
+  coalesce(m.n_rel_ret, 0)::DOUBLE / {_flit(K)} AS p_at_depth,
+  CASE WHEN coalesce(n.n_rel, 0) = 0 THEN NULL
+       ELSE coalesce(m.n_rel_ret, 0)::DOUBLE / least(n.n_rel, {K})::DOUBLE
+  END AS recall
+FROM nrel n FULL OUTER JOIN m ON m.query_id = n.query_id"""
+        )
+
+    r["jass_eval_metrics"] = (_eval_fn, _eval_sql())
+
     # ---- training-data pipeline: dedup family ----
     r["dedup_exact"] = (
         lambda spark, sf: exact_duplicates(_docs(spark, sf)).select(

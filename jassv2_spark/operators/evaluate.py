@@ -1,0 +1,143 @@
+"""IR-effectiveness evaluation over runs + qrels, as DataFrame aggregates.
+
+Re-expresses the reference's `JASS_eval` metric set (`tools/JASS_eval.cpp`,
+`source/evaluate_*.cpp`) declaratively. Semantics pinned to the reference:
+
+- MAP (`source/evaluate_map.cpp:19-52`): Σ (found_and_relevant / rank) over
+  relevant hits within `depth`, divided by the TOTAL number of relevant
+  assessments; no relevant assessments → 1; empty results → 0.
+- MRR (`source/evaluate_mean_reciprocal_rank.cpp:19-37`): 1/rank of the
+  first relevant hit within depth, else 0.
+- RBP (`source/evaluate_rank_biased_precision.cpp:19-43`, Moffat et al.):
+  (1 - p) * Σ p^(rank-1) over relevant hits in ranks 1..depth; 0 if none.
+- Precision (`source/evaluate_precision.cpp:19-45`): Σ assessment score
+  over the first `depth` results / depth (binary qrels → count).
+- Recall (`source/evaluate_recall.cpp:20-41`): relevant found in top depth
+  / min(total relevant, depth); NULL when the query has no relevant
+  assessments (the C++ divides 0/0).
+
+Float determinism — why fixed-point: a cross-engine oracle comparison is
+bitwise, but double summation is order-sensitive and engines associate
+window/group sums differently. So the per-query accumulations are EXACT
+int64 sums: MAP terms are scaled by lcm(1..depth) (found/rank becomes the
+integer found·(lcm/rank)), RBP weights p^(rank-1) are precomputed in
+CPython and fixed-pointed at 2^48. Each metric then ends with the same
+fixed sequence of ≤2 IEEE divisions/multiplies on both engines. Values
+agree with the reference's sequential-double formula to < 2^-40 relative.
+
+Scale: run/qrels join keyed (query_id, doc_id) — skew-free; all window
+work is per-query over ≤ depth rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RBP_SCALE = 1 << 48
+
+
+def rbp_weights_fixed(depth: int, p: float) -> list[tuple[int, int]]:
+    """[(rank, round(p^(rank-1) · 2^48))] — driver-side, engine-neutral."""
+    return [(r, int(round((float(p) ** (r - 1)) * RBP_SCALE))) for r in range(1, depth + 1)]
+
+
+def evaluate_run(
+    run: DataFrame,
+    qrels: DataFrame,
+    depth: int = 10,
+    rbp_p: float = 0.95,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-query metrics for `run(query_id, doc_id, rank)` against
+    `qrels(query_id, doc_id)` (binary relevance).
+
+    Returns (query_id, n_rel, n_ret, map, mrr, rbp, p_at_depth, recall)."""
+    spark = run.sparkSession
+    ap_lcm = math.lcm(*range(1, depth + 1))
+    if ap_lcm * depth * depth >= 1 << 62:
+        raise ValueError(f"depth {depth} overflows the fixed-point MAP accumulator")
+
+    w_rows = [(r, w, ap_lcm // r) for r, (_, w) in zip(range(1, depth + 1), rbp_weights_fixed(depth, rbp_p))]
+    weights = F.broadcast(
+        spark.createDataFrame(w_rows, "rank long, rbp_wi long, ap_wi long")
+    )
+
+    rel = qrels.select("query_id", F.col(id_col).alias("doc_id")).distinct()
+    n_rel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+
+    rr = (
+        run.where(F.col("rank") <= F.lit(depth))
+        .select("query_id", F.col(id_col).alias("doc_id"), F.col("rank").cast("long").alias("rank"))
+        .join(rel.withColumn("is_rel", F.lit(1)), ["query_id", "doc_id"], "left")
+        .na.fill({"is_rel": 0})
+        .join(weights, "rank")
+    )
+
+    cum = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rr = rr.withColumn("found", F.sum("is_rel").over(cum))  # exact int cumsum
+
+    per_q = rr.groupBy("query_id").agg(
+        F.sum(F.when(F.col("is_rel") == 1, F.col("found") * F.col("ap_wi")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("ap_int"),
+        F.sum(F.when(F.col("is_rel") == 1, F.col("rbp_wi")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rbp_int"),
+        F.min(F.when(F.col("is_rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum("is_rel").cast("long").alias("n_rel_ret"),
+        F.count(F.lit(1)).cast("long").alias("n_ret"),
+    )
+
+    out = n_rel.join(per_q, "query_id", "full_outer")
+    n_rel_c = F.coalesce(F.col("n_rel"), F.lit(0)).cast("long")
+    n_ret_c = F.coalesce(F.col("n_ret"), F.lit(0)).cast("long")
+    n_rel_ret_c = F.coalesce(F.col("n_rel_ret"), F.lit(0)).cast("long")
+
+    map_c = (
+        F.when(n_rel_c == 0, F.lit(1.0))
+        .when(n_ret_c == 0, F.lit(0.0))
+        .otherwise(
+            (F.coalesce(F.col("ap_int"), F.lit(0)).cast("double") / F.lit(float(ap_lcm)))
+            / n_rel_c.cast("double")
+        )
+    )
+    mrr_c = F.when(
+        F.col("first_rel").isNotNull(), F.lit(1.0) / F.col("first_rel").cast("double")
+    ).otherwise(F.lit(0.0))
+    rbp_c = F.lit(1.0 - float(rbp_p)) * (
+        F.coalesce(F.col("rbp_int"), F.lit(0)).cast("double") / F.lit(float(RBP_SCALE))
+    )
+    prec_c = n_rel_ret_c.cast("double") / F.lit(float(depth))
+    recall_c = F.when(n_rel_c == 0, F.lit(None).cast("double")).otherwise(
+        n_rel_ret_c.cast("double") / F.least(n_rel_c, F.lit(depth)).cast("double")
+    )
+
+    return out.select(
+        "query_id",
+        n_rel_c.alias("n_rel"),
+        n_ret_c.alias("n_ret"),
+        map_c.alias("map"),
+        mrr_c.alias("mrr"),
+        rbp_c.alias("rbp"),
+        prec_c.alias("p_at_depth"),
+        recall_c.alias("recall"),
+    )
+
+
+def mean_metrics(per_query: DataFrame) -> DataFrame:
+    """Collection-level means (the JASS_eval summary block). Uses plain
+    avg(): cross-query order is not pinned, so these are reporting numbers,
+    not bitwise-reproducible artifacts."""
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg("map").alias("mean_map"),
+        F.avg("mrr").alias("mean_mrr"),
+        F.avg("rbp").alias("mean_rbp"),
+        F.avg("p_at_depth").alias("mean_p"),
+        F.avg("recall").alias("mean_recall"),
+    )
