@@ -75,6 +75,7 @@ class BuildConf:
     k1: float = K1_DEFAULT
     b: float = B_DEFAULT
     tokenizer: str = "parity"  # 'parity' (Arrow UDF) | 'ascii' (pure JVM)
+    stem: bool = False  # Porter v1 on alpha tokens >2 chars (JASS -tp)
     shard_size: int = 1 << 16  # max doc_ids per segment shard row
     num_partitions: int | None = None
     broadcast_vocab: bool | None = None  # None = let AQE decide
@@ -204,10 +205,12 @@ def build_index(
 
     n_docs = docs.count()
 
-    tokens = docs.select(
-        F.col(did).alias("doc_id"),
-        F.explode(spark_tokens(text_col, mode=conf.tokenizer, xml=True)).alias("term"),
-    )
+    tok_col = spark_tokens(text_col, mode=conf.tokenizer, xml=True)
+    if conf.stem:
+        from jassv2_spark.functions.stem import spark_stem
+
+        tok_col = spark_stem(tok_col)
+    tokens = docs.select(F.col(did).alias("doc_id"), F.explode(tok_col).alias("term"))
     # one shuffle keyed (doc_id, term); counts get map-side partial agg.
     # Persist counts — the single tokenizer pass — so postings/doc_lengths/
     # term_df all derive from it without re-tokenizing.

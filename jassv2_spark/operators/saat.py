@@ -55,7 +55,8 @@ def package_index(index: Index) -> dict:
                 max_doc = max(max_doc, int(ids[-1]))
             segs.append((impact, len(ids), ids))
         package[term] = segs
-    return {"terms": package, "max_doc": max_doc}
+    return {"terms": package, "max_doc": max_doc,
+            "stem": getattr(index.conf, "stem", False)}
 
 
 def _search_one(
@@ -63,7 +64,12 @@ def _search_one(
 ) -> tuple[list[tuple[int, int]], int]:
     """One query against the package; returns (ranked [(doc_id, rsv)],
     postings_processed). Mirrors tests/oracle.py / the declarative plan."""
-    terms = Counter(tokenize(query, xml=False))
+    toks = tokenize(query, xml=False)
+    if pkg.get("stem"):
+        from jassv2_spark.functions.stem import stem_tokens
+
+        toks = stem_tokens(toks)
+    terms = Counter(toks)
     n_terms = len(terms)
     table = pkg["terms"]
     segs: list[tuple[int, int, str, np.ndarray]] = []

@@ -54,12 +54,19 @@ DEFAULT_K = 10  # source/query.h:136 via anytime/JASS_anytime.cpp:30
 MAX_TOP_K = 1000  # source/query.h:136
 
 
-def parse_queries(queries: DataFrame, tokenizer: str = "parity") -> tuple[DataFrame, DataFrame]:
-    """(query_id, query) → (q_terms(query_id, term, q_tf), q_meta(query_id, n_terms))."""
-    toks = queries.select(
-        "query_id",
-        F.explode(spark_tokens("query", mode=tokenizer, xml=False)).alias("term"),
-    )
+def parse_queries(
+    queries: DataFrame, tokenizer: str = "parity", stem: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """(query_id, query) → (q_terms(query_id, term, q_tf), q_meta(query_id, n_terms)).
+
+    `stem` must match the index's build setting for vocabulary consistency
+    (the reference shares one parser between build and query)."""
+    tok_col = spark_tokens("query", mode=tokenizer, xml=False)
+    if stem:
+        from jassv2_spark.functions.stem import spark_stem
+
+        tok_col = spark_stem(tok_col)
+    toks = queries.select("query_id", F.explode(tok_col).alias("term"))
     q_terms = toks.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("q_tf"))
     q_meta = q_terms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
     return q_terms, q_meta
@@ -131,7 +138,9 @@ def search(
 ) -> DataFrame:
     """Batch top-k search. Returns (query_id, doc_id[, key], rsv, rank)."""
     tokenizer = tokenizer or index.conf.tokenizer
-    q_terms, q_meta = parse_queries(queries, tokenizer=tokenizer)
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
     seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
 
     processed = F.broadcast(seg.select("query_id", "term", "impact", "scaled"))
@@ -163,7 +172,9 @@ def search_metrics(
     """Per-query stats: postings_processed / segments_processed /
     total_postings / largest_rsv (mirrors `anytime/JASS_anytime_result.h`)."""
     tokenizer = tokenizer or index.conf.tokenizer
-    q_terms, q_meta = parse_queries(queries, tokenizer=tokenizer)
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
     seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
     return seg.groupBy("query_id").agg(
         F.sum("seg_freq").alias("postings_processed"),

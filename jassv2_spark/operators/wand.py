@@ -101,7 +101,9 @@ def search_wand(
     """Top-k search with block-max segment pruning; bitwise-identical output
     to operators.search.search() (enforced by tests/test_wand.py)."""
     tokenizer = tokenizer or index.conf.tokenizer
-    q_terms, q_meta = parse_queries(queries, tokenizer=tokenizer)
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
     seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
     kept = prune_segments(index, seg, k=k, prefix=prefix)
 
@@ -125,7 +127,9 @@ def pruning_stats(index: Index, queries: DataFrame, k: int = DEFAULT_K, prefix: 
     """Per-query (segments_total, segments_kept, postings_total,
     postings_kept) — the judge-facing evidence of what pruning saves."""
     tokenizer = tokenizer or index.conf.tokenizer
-    q_terms, q_meta = parse_queries(queries, tokenizer=tokenizer)
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
     seg = gather_segments(index, q_terms, q_meta, rho=rho)
     kept = prune_segments(index, seg, k=k, prefix=prefix)
     tot = seg.groupBy("query_id").agg(
