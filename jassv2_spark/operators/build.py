@@ -167,6 +167,70 @@ def _segment_packer(shard_size: int):
     return pack, out_schema
 
 
+def build_prequantized_index(
+    pre: DataFrame,
+    *,
+    key_col: str = "primary_key",
+    term_col: str = "term",
+    impact_col: str = "impact",
+    conf: BuildConf | None = None,
+    cache: bool = True,
+) -> Index:
+    """quantize_none path (`source/quantize_none.h`, selected at
+    `tools/JASS_index.cpp:351-357`): the input already carries per-(doc,
+    term) integer impacts (e.g. uniCOIL learned-sparse weights), so BM25
+    scoring and uniform quantization are skipped; impacts flow straight to
+    the impact-ordered segment layout. Search works unchanged."""
+    conf = conf or BuildConf()
+    spark = pre.sparkSession
+    nparts = conf.num_partitions or spark.sparkContext.defaultParallelism
+
+    pre = pre.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(term_col).alias("term"),
+        F.least(F.col(impact_col).cast("long"), F.lit(LARGEST_IMPACT)).alias("impact"),
+    )
+    keys = assign_doc_ids(pre.select("key").distinct(), key_col="key", out_col="doc_id",
+                          num_partitions=nparts)
+    doc_map = keys.select("doc_id", "key")
+    n_docs = doc_map.count()
+
+    impacts = pre.join(keys, "key").select("term", "doc_id", "impact")
+    doc_lengths = impacts.groupBy("doc_id").agg(F.sum("impact").alias("dl"))
+    postings = impacts.select("doc_id", "term", F.col("impact").alias("tf"))
+    scored = impacts.select("term", "doc_id", F.col("impact").cast("double").alias("score"))
+
+    pack, seg_schema = _segment_packer(conf.shard_size)
+    segments = (
+        impacts.repartitionByRange(nparts, "term", "doc_id")
+        .sortWithinPartitions("term", "impact", "doc_id")
+        .mapInPandas(pack, schema=seg_schema)
+    )
+    if cache:
+        segments = segments.persist()
+        doc_map = doc_map.persist()
+
+    seg_stats = segments.groupBy("term", "impact").agg(F.sum("part_freq").alias("seg_freq"))
+    term_stats = seg_stats.groupBy("term").agg(
+        F.sum("seg_freq").alias("df"),
+        F.max("impact").alias("max_impact"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    if cache:
+        seg_stats = seg_stats.persist()
+        term_stats = term_stats.persist()
+
+    mm = impacts.agg(F.min("impact"), F.max("impact")).collect()[0]
+    collection_length = doc_lengths.agg(F.sum("dl")).collect()[0][0] or 0
+    return Index(
+        spark=spark, doc_map=doc_map, doc_lengths=doc_lengths, postings=postings,
+        scored=scored, impacts=impacts, segments=segments, seg_stats=seg_stats,
+        term_stats=term_stats, n_docs=n_docs, collection_length=int(collection_length),
+        mean_doc_length=float(collection_length) / n_docs if n_docs else 0.0,
+        min_rsv=float(mm[0] or 0), max_rsv=float(mm[1] or 0), conf=conf,
+    )
+
+
 def build_index(
     docs: DataFrame,
     *,
