@@ -512,6 +512,41 @@ FROM nrel n FULL OUTER JOIN m ON m.query_id = n.query_id"""
             SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}""",
     )
 
+    r["dedup_embedding_cosine"] = (
+        lambda spark, sf: __import__(
+            "jassv2_spark.operators.ann", fromlist=["embedding_near_dups"]
+        ).embedding_near_dups(_emb(spark, sf), threshold=0.45),
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_dot_product(a.ve, b.ve)
+                         / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 4) AS cos
+                 FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           SELECT doc_a, doc_b, cos FROM p WHERE cos >= 0.45e0""",
+    )
+
+    # LSH-bucketed ANN: candidate set depends on driver-side random planes —
+    # deterministic under the fixed seed but not SQL-expressible (rows-only)
+    def _lsh(spark, sf):
+        from jassv2_spark.operators.ann import lsh_bucketed_topk
+
+        return lsh_bucketed_topk(_emb(spark, sf), ANN_QUERY_IDS, k=K)
+
+    r["ann_lsh_topk"] = (_lsh, None)
+
+    # ---- multimodal binary-column plumbing (pandas-UDF kernels; rows-only) ----
+    def _mm_hist(spark, sf):
+        from jassv2_spark.operators.multimodal import byte_histogram_features, synthesize_media
+
+        return byte_histogram_features(synthesize_media(_docs(spark, sf)), bins=64)
+
+    def _mm_frames(spark, sf):
+        from jassv2_spark.operators.multimodal import sample_frames, synthesize_media
+
+        return sample_frames(synthesize_media(_docs(spark, sf)), every_n=2)
+
+    r["multimodal_byte_histogram"] = (_mm_hist, None)
+    r["multimodal_frame_sample"] = (_mm_frames, None)
+
     # ---- relational sanity (TPC-H Q1 shape over lineitem) ----
     def _q1(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")

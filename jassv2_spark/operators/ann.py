@@ -117,3 +117,26 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= F.lit(k))
         .select("qid", "vec_id", "cos", "rank")
     )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (doc_a, doc_b, cos) with
+    cos ≥ threshold, doc_a < doc_b. Exact all-pairs formulation — the
+    correctness baseline; at 10^12 rows the LSH bucket join
+    (lsh_bucketed_topk's candidate stage) replaces the self-join and this
+    exact cosine re-checks only bucket-collision candidates."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("ve"))
+    a = e.select(F.col("vec_id").alias("doc_a"), F.col("ve").alias("va"))
+    b = e.select(F.col("vec_id").alias("doc_b"), F.col("ve").alias("vb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    cos = _dot("va", "vb") / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb")))
+    return (
+        pairs.select("doc_a", "doc_b", F.round(cos, round_dp).alias("cos"))
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )

@@ -1,0 +1,218 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+A 100 TB training-data pipeline carries media as `binary` payload columns
+with a typed metadata struct, processed by Arrow-batched pandas UDFs over
+`mapInPandas` — payloads never pass through Python row-at-a-time, and the
+big win at scale is that Spark only shuttles the (usually small) selected
+columns thanks to column pruning, while payloads stream per-batch.
+
+The actual codec work (JPEG decode, audio resample, video demux) needs
+libraries this container doesn't ship, so the decode kernels are STUBS:
+`decode_media` raises NotImplementedError unless `fake=True`, in which
+case a clearly-marked deterministic fake (header-derived) stands in. The
+Spark-side plumbing — schemas, UDF signatures, Arrow batch shapes,
+partitioning — is real and tested; swapping in PIL/ffmpeg later changes
+only the kernel body.
+
+Media table schema (the `media()` helper builds it):
+  media_id: long, kind: string ('image'|'audio'|'video'),
+  payload: binary,
+  meta: struct<width int, height int, channels int,
+               sample_rate int, n_frames int>
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+META_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("meta", META_SCHEMA, True),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic media table from any text table (for tests/benches):
+    payload = utf-8 bytes of the text, metadata derived from its length."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    n = F.octet_length(payload)
+    meta = F.struct(
+        (n % 640 + 1).cast("int").alias("width"),
+        (n % 480 + 1).cast("int").alias("height"),
+        F.lit(3).alias("channels"),
+        F.lit(16000).alias("sample_rate"),
+        (n % 24 + 1).cast("int").alias("n_frames"),
+    )
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode payloads to dense pixel/sample arrays.
+
+    REAL DECODE IS STUBBED (no PIL/libsndfile/ffmpeg in this container).
+    With fake=True a deterministic stand-in emits the first
+    width-or-sample_rate bytes as float values in [0, 1); the schema and
+    batch plumbing are exactly what a real decoder would use."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires image/audio libraries not present in this "
+            "container; pass fake=True for the deterministic test stand-in"
+        )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("n_values", IntegerType(), False),
+            StructField("values", ArrayType(DoubleType(), False), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if payload is None:
+                    continue
+                limit = int(meta["width"] if kind == "image" else meta["sample_rate"] or 64)
+                arr = np.frombuffer(payload[: max(1, min(limit, 64))], dtype=np.uint8)
+                vals = (arr.astype(np.float64) / 256.0).tolist()
+                rows.append((int(mid), kind, len(vals), vals))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "n_values", "values"])
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def byte_histogram_features(media: DataFrame, bins: int = 64) -> DataFrame:
+    """REAL feature extraction: per-payload byte histogram (L1-normalized),
+    a genuine content fingerprint usable for near-dup/clustering at scale.
+    Vectorized numpy over Arrow batches; one output row per media row."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_bytes", LongType(), False),
+            StructField("features", ArrayType(DoubleType(), False), False),
+        ]
+    )
+    width = 256 // bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr // width, minlength=bins).astype(np.float64)
+                total = hist.sum()
+                if total > 0:
+                    hist /= total
+                rows.append((int(mid), len(arr), hist.tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "features"])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+
+
+def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize image payloads. STUB: real resampling needs PIL; fake=True
+    truncates/pads the payload to width*height bytes (deterministic) to
+    exercise the full binary-in/binary-out pipeline shape."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv, absent here; use fake=True"
+        )
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("meta", META_SCHEMA, False),
+        ]
+    )
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if payload is None or kind != "image":
+                    continue
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                out = np.resize(buf, target)  # deterministic repeat/truncate
+                rows.append(
+                    (int(mid), out.tobytes(), {"width": width, "height": height,
+                                               "channels": 1, "sample_rate": None,
+                                               "n_frames": None})
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling for video payloads: REAL slicing plumbing — the
+    payload is split into meta.n_frames equal chunks and every n-th chunk
+    is emitted as its own row (media_id, frame_idx, frame: binary). A real
+    demuxer would replace the equal-chunk assumption only."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if payload is None or kind != "video":
+                    continue
+                n_frames = max(1, int(meta["n_frames"] or 1))
+                size = max(1, len(payload) // n_frames)
+                for idx in range(0, n_frames, every_n):
+                    rows.append((int(mid), idx, payload[idx * size : (idx + 1) * size]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return media.mapInPandas(run, schema=out_schema)
