@@ -139,3 +139,57 @@ def pruning_stats(index: Index, queries: DataFrame, k: int = DEFAULT_K, prefix: 
         F.count(F.lit(1)).alias("segments_kept"), F.sum("seg_freq").alias("postings_kept")
     )
     return tot.join(kp, "query_id", "left").na.fill(0)
+
+
+def search_with_rsv_oracle(
+    index: Index,
+    queries: DataFrame,
+    oracle: DataFrame,
+    k: int = DEFAULT_K,
+    rho: float = 1.0,
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """Oracle rsv@k mode (`source/top_k_limit.h:27-88`, applied at
+    `anytime/JASS_anytime_api.cpp:545`; heap lower bound pre-seeded at
+    `source/query_heap_clean.h:307-308`): `oracle(query_id, rsv_at_k)` is a
+    prior run's k-th score, used to skip work that cannot matter.
+
+    Spark-native translation: the oracle IS an externally-supplied θ for
+    block-max segment pruning — segments with ub(t,i) < θ are dropped
+    before the doc_ids explode. When θ ≤ the true k-th rsv the result is
+    rank-identical to exhaustive search (same argument as prune_segments);
+    when θ is too high, ranking over whatever survived refills the list —
+    the analogue of the reference's approximate `top_up()`
+    (`source/query_heap_clean.h:447-498`), which likewise rescans only
+    partially-accumulated scores."""
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    seg = gather_segments(index, q_terms, q_meta, rho=rho)
+
+    u = seg.groupBy("query_id", "term").agg(F.max("scaled").alias("u_t"))
+    utot = u.groupBy("query_id").agg(F.sum("u_t").alias("u_total"))
+    kept = (
+        seg.join(F.broadcast(u), ["query_id", "term"])
+        .join(F.broadcast(utot), "query_id")
+        .join(F.broadcast(oracle.select("query_id", "rsv_at_k")), "query_id", "left")
+        .where(
+            F.col("rsv_at_k").isNull()
+            | (F.col("scaled") + F.col("u_total") - F.col("u_t") >= F.col("rsv_at_k"))
+        )
+    )
+
+    processed = F.broadcast(kept.select("query_id", "term", "impact", "scaled"))
+    hits = (
+        processed.join(index.segments, ["term", "impact"])
+        .select("query_id", F.explode("doc_ids").alias("doc_id"), "scaled")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("scaled").alias("rsv"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("rsv").desc(), F.col("doc_id").desc())
+    return (
+        hits.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= F.lit(k))
+        .select("query_id", "doc_id", "rsv", "rank")
+    )

@@ -37,3 +37,23 @@ def test_wand_actually_prunes(spark, idx):
     assert all(r["segments_kept"] <= r["segments_total"] for r in st)
     # on a Zipf-ish corpus with small k, at least one query must shed work
     assert any(r["segments_kept"] < r["segments_total"] for r in st)
+
+
+def test_oracle_rsv_mode(spark, idx):
+    from pyspark.sql import functions as F
+
+    from jassv2_spark.operators.wand import search_with_rsv_oracle
+
+    queries = synthetic_queries(15)
+    qdf = spark.createDataFrame(queries, ["query_id", "query"])
+    exact = search(idx, qdf, k=10, with_keys=False)
+    # oracle = the true kth rsv per query (the reference's intended input)
+    kth = exact.where(F.col("rank") == 10).select(
+        "query_id", F.col("rsv").alias("rsv_at_k")
+    )
+    got = search_with_rsv_oracle(idx, qdf, kth, k=10)
+    assert _collect(got) == _collect(exact)
+    # null/absent oracle → exhaustive behavior
+    empty = spark.createDataFrame([], "query_id string, rsv_at_k long")
+    got2 = search_with_rsv_oracle(idx, qdf, empty, k=10)
+    assert _collect(got2) == _collect(exact)
