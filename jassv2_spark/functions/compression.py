@@ -135,3 +135,36 @@ def decompress_doc_ids(data: bytes, codec: str = "vbyte", n: int | None = None) 
     else:
         raise ValueError(f"unknown codec {codec!r}")
     return delta_decode(gaps)
+
+
+# -------- Spark column adapters (BinaryType segment storage) --------------
+
+def make_encode_udf(codec: str = "vbyte"):
+    """pandas UDF: ascending doc_ids array<long> → delta+codec bytes."""
+    import pandas
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    def enc(col: "pandas.Series") -> "pandas.Series":
+        return col.map(lambda ids: compress_doc_ids(np.asarray(ids, dtype=np.uint64), codec))
+
+    enc.__annotations__ = {"col": pandas.Series, "return": pandas.Series}
+    return F.pandas_udf(enc, BinaryType())
+
+
+def make_decode_udf(codec: str = "vbyte"):
+    """pandas UDF: (bytes, n) → array<long> ascending doc_ids."""
+    import pandas
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType
+
+    def dec(data: "pandas.Series", n: "pandas.Series") -> "pandas.Series":
+        return pandas.Series(
+            [
+                decompress_doc_ids(bytes(b), codec, int(k)).astype(np.int64).tolist()
+                for b, k in zip(data, n)
+            ]
+        )
+
+    dec.__annotations__ = {"data": pandas.Series, "n": pandas.Series, "return": pandas.Series}
+    return F.pandas_udf(dec, ArrayType(LongType()))

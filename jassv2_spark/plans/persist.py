@@ -289,14 +289,27 @@ def _scored_from_counts(
     )
 
 
-def save_index_tables(index: Index, out_dir: str) -> None:
+def save_index_tables(index: Index, out_dir: str, codec: str | None = None) -> None:
     """One-shot save of an in-memory Index (checkpoint markers included so
-    the result is loadable and further builds skip everything)."""
+    the result is loadable and further builds skip everything).
+
+    `codec`: None stores `doc_ids` as a raw array<long> (parquet's own
+    dictionary/RLE/zstd applies — the default); 'vbyte' or 'qmx' stores
+    delta+codec BinaryType, the JASS-v1-style layout
+    (`source/serialise_jass_v1.cpp:114-170` d1 + codec encode)."""
     os.makedirs(out_dir, exist_ok=True)
     doc_map_full = index.doc_map.withColumn("text", F.lit(None).cast("string"))
     _write_stage(doc_map_full, out_dir, "doc_map", lineage_key="doc_id")
     _write_stage(index.doc_lengths, out_dir, "doc_lengths", lineage_key="doc_id")
-    segments = index.segments.withColumn(
+    segments = index.segments
+    if codec is not None:
+        from jassv2_spark.functions.compression import make_encode_udf
+
+        segments = segments.select(
+            "term", "impact", "min_doc", "part_freq",
+            make_encode_udf(codec)(F.col("doc_ids")).alias("doc_ids_enc"),
+        )
+    segments = segments.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
     )
     _write_stage(segments, out_dir, "segments", partition_by=["term_bucket"], lineage_key="term")
@@ -312,6 +325,9 @@ def save_index_tables(index: Index, out_dir: str) -> None:
                 "max_rsv": index.max_rsv,
                 "k1": index.conf.k1,
                 "b": index.conf.b,
+                "tokenizer": index.conf.tokenizer,
+                "stem": index.conf.stem,
+                "codec": codec,
             },
             f,
         )
@@ -320,7 +336,22 @@ def save_index_tables(index: Index, out_dir: str) -> None:
 def load_index_tables(spark: SparkSession, out_dir: str, conf: BuildConf | None = None) -> Index:
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
-    conf = conf or BuildConf(k1=stats.get("k1", 0.9), b=stats.get("b", 0.4))
+    conf = conf or BuildConf(
+        k1=stats.get("k1", 0.9),
+        b=stats.get("b", 0.4),
+        tokenizer=stats.get("tokenizer", "parity"),
+        stem=stats.get("stem", False),
+    )
+    segments = spark.read.parquet(os.path.join(out_dir, "segments"))
+    codec = stats.get("codec")
+    if codec is not None and "doc_ids_enc" in segments.columns:
+        from jassv2_spark.functions.compression import make_decode_udf
+
+        segments = segments.select(
+            "term", "impact", "min_doc", "part_freq",
+            make_decode_udf(codec)(F.col("doc_ids_enc"), F.col("part_freq")).alias("doc_ids"),
+            "term_bucket",
+        )
     return Index(
         spark=spark,
         doc_map=spark.read.parquet(os.path.join(out_dir, "doc_map")).select("doc_id", "key"),
@@ -328,7 +359,7 @@ def load_index_tables(spark: SparkSession, out_dir: str, conf: BuildConf | None 
         postings=None,
         scored=None,
         impacts=None,
-        segments=spark.read.parquet(os.path.join(out_dir, "segments")),
+        segments=segments,
         seg_stats=spark.read.parquet(os.path.join(out_dir, "seg_stats")),
         term_stats=spark.read.parquet(os.path.join(out_dir, "term_stats")),
         n_docs=stats["n_docs"],

@@ -90,3 +90,27 @@ def test_load_index_tables_roundtrip(spark, docs, tmp_path):
     assert _results(idx, spark, queries) == _results(idx_m, spark, queries)
     # term-bucket partition pruning is available on disk
     assert "term_bucket" in idx.segments.columns
+
+
+def test_compressed_segment_store_roundtrip(spark, tmp_path):
+    import pytest
+
+    from jassv2_spark.fixtures import synthetic_corpus, synthetic_queries
+    from jassv2_spark.operators.build import build_index
+    from jassv2_spark.operators.search import search
+    from jassv2_spark.plans.persist import load_index_tables, save_index_tables
+
+    rows = synthetic_corpus(120)
+    docs = spark.createDataFrame([(r["url"], r["html"].decode()) for r in rows], ["url", "html"])
+    idx = build_index(docs, text_col="html", key_col="url")
+    qdf = spark.createDataFrame(synthetic_queries(10), ["query_id", "query"])
+    want = sorted(map(tuple, search(idx, qdf, k=10, with_keys=False).collect()))
+
+    for codec in ("vbyte", "qmx"):
+        out = str(tmp_path / f"ix_{codec}")
+        save_index_tables(idx, out, codec=codec)
+        loaded = load_index_tables(spark, out)
+        assert "doc_ids" in loaded.segments.columns
+        got = sorted(map(tuple, search(loaded, qdf, k=10, with_keys=False).collect()))
+        assert got == want, codec
+    idx.unpersist()
