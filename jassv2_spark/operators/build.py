@@ -129,6 +129,8 @@ def _segment_packer(shard_size: int):
         ]
     )
 
+    import numpy as np
+
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pend_term, pend_impact, pend_ids = None, None, []
 
@@ -144,18 +146,24 @@ def _segment_packer(shard_size: int):
             terms = pdf["term"].to_numpy()
             impacts = pdf["impact"].to_numpy()
             docs = pdf["doc_id"].to_numpy()
-            start = 0
-            for i in range(1, len(pdf) + 1):
-                if i == len(pdf) or terms[i] != terms[start] or impacts[i] != impacts[start]:
-                    ids = docs[start:i]
-                    if pend_term == terms[start] and pend_impact == impacts[start]:
-                        pend_ids.extend(ids.tolist())
-                    else:
-                        if pend_term is not None:
-                            flush_rows(rows, pend_term, pend_impact, pend_ids)
-                        pend_term, pend_impact = terms[start], impacts[start]
-                        pend_ids = ids.tolist()
-                    start = i
+            # vectorized run boundaries: O(rows) in numpy, python loop only
+            # over the (far fewer) distinct (term, impact) runs
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (impacts[1:] != impacts[:-1])
+            )
+            bounds = np.empty(len(change) + 2, dtype=np.int64)
+            bounds[0] = 0
+            bounds[1:-1] = change + 1
+            bounds[-1] = len(pdf)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                ids = docs[s:e]
+                if pend_term == terms[s] and pend_impact == impacts[s]:
+                    pend_ids.extend(ids.tolist())
+                else:
+                    if pend_term is not None:
+                        flush_rows(rows, pend_term, pend_impact, pend_ids)
+                    pend_term, pend_impact = terms[s], impacts[s]
+                    pend_ids = ids.tolist()
             # emit all but the trailing run (it may continue in next batch)
             if rows:
                 yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
@@ -231,6 +239,56 @@ def build_prequantized_index(
     )
 
 
+def _count_tokens_udf(tokenizer_mode: str, stem: bool, text_col: str, did: str):
+    """mapInPandas kernel: documents → (doc_id, term, cnt, dl) rows.
+
+    This is the reference's doc-at-a-time accumulation
+    (`source/index_postings.h:114-148`) done map-side: per-(doc, term)
+    frequencies AND the document length are computed inside the tokenizer
+    pass, so the engine never shuffles raw token occurrences — at 10^12
+    docs that eliminates the (doc_id, term) exchange entirely (only the
+    much smaller per-doc-unique rows flow on)."""
+    from collections import Counter
+
+    from jassv2_spark.functions.tokenizer import tokenize
+
+    if stem:
+        from jassv2_spark.functions.stem import stem_tokens
+    else:
+        stem_tokens = None
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("term", StringType(), False),
+            StructField("cnt", LongType(), False),
+            StructField("dl", LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list = []
+            terms: list = []
+            cnts: list = []
+            dls: list = []
+            for doc_id, text in zip(pdf[did], pdf[text_col]):
+                toks = tokenize(text, xml=True)
+                if stem_tokens is not None:
+                    toks = stem_tokens(toks)
+                c = Counter(toks)
+                dl = len(toks)  # alpha+numeric token count (JASS_index.cpp:302-331)
+                doc_ids.extend([doc_id] * len(c))
+                terms.extend(c.keys())
+                cnts.extend(c.values())
+                dls.extend([dl] * len(c))
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "term": terms, "cnt": cnts, "dl": dls}
+            )
+
+    return run, schema
+
+
 def build_index(
     docs: DataFrame,
     *,
@@ -246,6 +304,12 @@ def build_index(
     (tie-breaks follow it); otherwise dense 1-based ids are assigned by
     ``key_col`` order (reference ingest-order semantics,
     `source/index_manager.h:219-222`).
+
+    Physical plan (shuffle-minimal): one map-only pass fuses tokenize +
+    per-doc tf + doc length (no token-occurrence shuffle); df aggregation
+    is a partial-agg count; BM25 needs only the term-df join (doc length
+    rides inline); the single big exchange is the range partition feeding
+    the segment packer.
     """
     conf = conf or BuildConf()
     spark = docs.sparkSession
@@ -269,28 +333,32 @@ def build_index(
 
     n_docs = docs.count()
 
-    tok_col = spark_tokens(text_col, mode=conf.tokenizer, xml=True)
-    if conf.stem:
-        from jassv2_spark.functions.stem import spark_stem
+    if conf.tokenizer == "ascii":
+        # pure-JVM path: explode + aggregate (no Python when stem is off)
+        from pyspark.sql import Window as _W
 
-        tok_col = spark_stem(tok_col)
-    tokens = docs.select(F.col(did).alias("doc_id"), F.explode(tok_col).alias("term"))
-    # one shuffle keyed (doc_id, term); counts get map-side partial agg.
-    # Persist counts — the single tokenizer pass — so postings/doc_lengths/
-    # term_df all derive from it without re-tokenizing.
-    counts = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+        tok_col = spark_tokens(text_col, mode="ascii", xml=True)
+        if conf.stem:
+            from jassv2_spark.functions.stem import spark_stem
+
+            tok_col = spark_stem(tok_col)
+        tokens = docs.select(F.col(did).alias("doc_id"), F.explode(tok_col).alias("term"))
+        counts = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+        counts = counts.withColumn("dl", F.sum("cnt").over(_W.partitionBy("doc_id")))
+    else:
+        run, cnt_schema = _count_tokens_udf(conf.tokenizer, conf.stem, text_col, did)
+        counts = docs.select(F.col(did).cast("long").alias(did), text_col).mapInPandas(
+            run, schema=cnt_schema
+        )
     if cache:
         counts = counts.persist()
     postings = counts.select(
         "doc_id", "term", F.least(F.col("cnt"), F.lit(MAX_TF)).cast("long").alias("tf")
     )
-    doc_lengths = counts.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    doc_lengths = counts.select("doc_id", "dl").groupBy("doc_id").agg(F.max("dl").alias("dl"))
     term_df = counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    if cache:
-        doc_lengths = doc_lengths.persist()
-
-    collection_length = doc_lengths.agg(F.sum("dl")).collect()[0][0] or 0
+    collection_length = counts.agg(F.sum("cnt")).collect()[0][0] or 0
     # mean = Σlen / (slots-1); slot 0 is the unused doc 0 ⇒ Σlen / N
     # (source/ranking_function_atire_bm25.h:65-69)
     mean_dl = float(collection_length) / float(n_docs) if n_docs else 0.0
@@ -315,8 +383,13 @@ def build_index(
     length_correction = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(mean_dl))
     score = F.col("idf") * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + length_correction))
 
+    # dl rides inline from the counting pass — no doc_id join; the only
+    # join is term → df (AQE broadcasts it when the vocabulary is small).
     scored = (
-        postings.join(doc_lengths, "doc_id")
+        counts.select(
+            "doc_id", "term",
+            F.least(F.col("cnt"), F.lit(MAX_TF)).cast("long").alias("tf"), "dl",
+        )
         .join(vocab, "term")
         .join(idf_map, "df")
         .withColumn("score", score)
