@@ -133,9 +133,14 @@ def mean_metrics(per_query: DataFrame) -> DataFrame:
     """Collection-level means (the JASS_eval summary block). Uses plain
     avg(): cross-query order is not pinned, so these are reporting numbers,
     not bitwise-reproducible artifacts."""
+    # GMAP follows the reference exactly (`tools/JASS_eval.cpp:295,365`):
+    # per-query term is ln(ap) with ap==0 contributing 0 (not -inf), the
+    # terms are averaged over ALL queries, then exponentiated.
+    gmap_term = F.when(F.col("map") == 0.0, F.lit(0.0)).otherwise(F.log(F.col("map")))
     return per_query.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.avg("map").alias("mean_map"),
+        F.exp(F.avg(gmap_term)).alias("gmap"),
         F.avg("mrr").alias("mean_mrr"),
         F.avg("rbp").alias("mean_rbp"),
         F.avg("p_at_depth").alias("mean_p"),

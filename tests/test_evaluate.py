@@ -1,0 +1,60 @@
+"""IR-eval metric goldens, hand-computed per the reference formulas
+(`tools/JASS_eval.cpp`, `source/evaluate_*.cpp`)."""
+
+import math
+
+import pytest
+
+from jassv2_spark.operators.evaluate import evaluate_run, mean_metrics
+
+
+@pytest.fixture(scope="module")
+def run_and_qrels(spark):
+    # q1: ranks 1..4 = [rel, non, rel, non]; 3 relevant total (one unfound)
+    # q2: no relevant assessments at all (MAP convention → 1, recall NULL)
+    # q3: relevant exist but none retrieved (MAP 0)
+    run = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3), ("q1", 13, 4),
+         ("q2", 20, 1), ("q2", 21, 2),
+         ("q3", 30, 1)],
+        ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 10), ("q1", 12), ("q1", 99),
+         ("q3", 31)],
+        ["query_id", "doc_id"],
+    )
+    return run, qrels
+
+
+def test_per_query_goldens(spark, run_and_qrels):
+    run, qrels = run_and_qrels
+    rows = {r["query_id"]: r for r in evaluate_run(run, qrels, depth=10).collect()}
+
+    # q1: AP = (1/1 + 2/3) / 3  (divide by TOTAL relevant, evaluate_map.cpp)
+    assert rows["q1"]["map"] == pytest.approx((1 + 2 / 3) / 3, abs=1e-12)
+    assert rows["q1"]["mrr"] == pytest.approx(1.0)
+    assert rows["q1"]["p_at_depth"] == pytest.approx(2 / 10)
+    assert rows["q1"]["recall"] == pytest.approx(2 / 3)
+    # RBP(p=.95) = .05 * (p^0 + p^2)
+    assert rows["q1"]["rbp"] == pytest.approx(0.05 * (1 + 0.95 ** 2), abs=1e-9)
+
+    assert rows["q2"]["map"] == 1.0  # no relevant assessments → 1
+    assert rows["q2"]["recall"] is None
+    assert rows["q3"]["map"] == 0.0
+    assert rows["q3"]["mrr"] == 0.0
+
+
+def test_gmap_reference_semantics(spark, run_and_qrels):
+    """GMAP = exp(mean over ALL queries of (ap==0 ? 0 : ln ap))
+    (`tools/JASS_eval.cpp:295,365`): zero-AP queries contribute log-term 0
+    yet still count in the denominator."""
+    run, qrels = run_and_qrels
+    per_q = evaluate_run(run, qrels, depth=10)
+    m = mean_metrics(per_q).collect()[0]
+
+    ap_q1 = (1 + 2 / 3) / 3
+    expected = math.exp((math.log(ap_q1) + math.log(1.0) + 0.0) / 3)
+    assert m["gmap"] == pytest.approx(expected, abs=1e-12)
+    assert m["n_queries"] == 3
+    assert m["mean_map"] == pytest.approx((ap_q1 + 1.0 + 0.0) / 3, abs=1e-12)
