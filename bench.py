@@ -73,8 +73,12 @@ def amplified_docs(spark, sf_dir: str, factor: int):
     if factor <= 1:
         return docs
     n = docs.count()
+    # widen BEFORE the crossJoin: a single parquet file scans as 1-2 splits,
+    # which would make the amplified input's generation (and the shuffle
+    # write feeding the tokenizer) a serial Amdahl term at every level
+    par = spark.sparkContext.defaultParallelism
     reps = spark.range(factor).select(F.col("id").alias("rep"))
-    return docs.crossJoin(reps).select(
+    return docs.repartition(par).crossJoin(reps).select(
         (F.col("doc_id") + F.col("rep") * F.lit(n)).alias("doc_id"),
         "text", "lang", "source", "n_chars",
     )

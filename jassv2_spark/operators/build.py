@@ -100,79 +100,60 @@ class Index:
     min_rsv: float = 0.0
     max_rsv: float = 0.0
     conf: BuildConf = field(default_factory=BuildConf)
+    profile: DataFrame | None = None  # (term, tf, n_pairs, sum_cnt, dl_lo, dl_hi)
 
     def unpersist(self) -> None:
-        for df in (self.segments, self.seg_stats, self.term_stats, self.doc_map):
+        for df in (self.segments, self.seg_stats, self.term_stats, self.doc_map,
+                   self.profile):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
                 pass
 
 
-def _segment_packer(shard_size: int):
-    """mapInPandas packer: sorted (term, impact, doc_id) runs → shard rows.
+def build_segments(
+    impacts: DataFrame, n_docs: int, shard_size: int = 1 << 16
+) -> DataFrame:
+    """(term, doc_id, impact, df) → impact-ordered segment shard rows
+    (term, impact, min_doc, part_freq, doc_ids ascending) — entirely
+    JVM-side (`sort_array(collect_list)` inside whole-stage codegen; no
+    Python, no Arrow transfer of raw postings — measured ~4× faster than a
+    mapInPandas packer, whose per-posting JVM→Python transfer dominated).
 
-    Input partitions are range-partitioned on (term, doc_id) and sorted by
-    (term, impact, doc_id); consecutive equal (term, impact) rows form one
-    segment, emitted as shards of ≤ shard_size ascending doc_ids. A segment
-    spanning partitions simply yields shards in both (disjoint, ordered
-    doc_id ranges) — the serve side unions shards, so this is transparent.
+    Skew / scale design: the reference's per-term counting sort
+    (`source/index_postings.h:254-369`) becomes a shuffle keyed
+    (term, impact, shard). ``shard`` is a df-ADAPTIVE doc_id range bucket:
+    width = max(shard_size, n_docs·shard_size/df), so a Zipf-head term
+    (df → n_docs) is split into ranges of exactly ``shard_size`` docids
+    (each shard ≤ shard_size postings — no giant group ever reaches one
+    task), while a tail term stays in one group (no segment-row inflation).
+    Expected shard fill is ~shard_size postings under a roughly stationary
+    term-to-docid distribution (true of ingest-ordered web corpora; a
+    pathologically bursty term can exceed it, bounded by
+    min(df, n_docs·shard_size/df)).
+
+    Shard boundaries depend only on (doc_id, df, n_docs) — NOT on the
+    partitioning — so the segment table is bitwise-identical at any
+    parallelism level (build-determinism guarantee).
     """
-
-    out_schema = StructType(
-        [
-            StructField("term", StringType(), False),
-            StructField("impact", IntegerType(), False),
-            StructField("min_doc", LongType(), False),
-            StructField("part_freq", IntegerType(), False),
-            StructField("doc_ids", ArrayType(LongType(), False), False),
-        ]
+    width = F.greatest(
+        F.lit(int(shard_size)),
+        (F.lit(float(n_docs) * float(shard_size)) / F.col("df")).cast("long"),
     )
-
-    import numpy as np
-
-    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pend_term, pend_impact, pend_ids = None, None, []
-
-        def flush_rows(rows, term, impact, ids):
-            for s in range(0, len(ids), shard_size):
-                chunk = ids[s : s + shard_size]
-                rows.append((term, impact, int(chunk[0]), len(chunk), list(chunk)))
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            rows: list = []
-            terms = pdf["term"].to_numpy()
-            impacts = pdf["impact"].to_numpy()
-            docs = pdf["doc_id"].to_numpy()
-            # vectorized run boundaries: O(rows) in numpy, python loop only
-            # over the (far fewer) distinct (term, impact) runs
-            change = np.flatnonzero(
-                (terms[1:] != terms[:-1]) | (impacts[1:] != impacts[:-1])
-            )
-            bounds = np.empty(len(change) + 2, dtype=np.int64)
-            bounds[0] = 0
-            bounds[1:-1] = change + 1
-            bounds[-1] = len(pdf)
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                ids = docs[s:e]
-                if pend_term == terms[s] and pend_impact == impacts[s]:
-                    pend_ids.extend(ids.tolist())
-                else:
-                    if pend_term is not None:
-                        flush_rows(rows, pend_term, pend_impact, pend_ids)
-                    pend_term, pend_impact = terms[s], impacts[s]
-                    pend_ids = ids.tolist()
-            # emit all but the trailing run (it may continue in next batch)
-            if rows:
-                yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
-        if pend_term is not None:
-            rows = []
-            flush_rows(rows, pend_term, pend_impact, pend_ids)
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
-
-    return pack, out_schema
+    return (
+        impacts.withColumn("shard", (F.col("doc_id") / width).cast("long"))
+        .groupBy("term", "impact", "shard")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .select(
+            "term",
+            F.col("impact").cast("int").alias("impact"),
+            F.element_at("doc_ids", 1).cast("long").alias("min_doc"),
+            F.size("doc_ids").alias("part_freq"),
+            F.col("doc_ids").cast(ArrayType(LongType(), False)).alias("doc_ids"),
+        )
+    )
 
 
 def build_prequantized_index(
@@ -208,11 +189,9 @@ def build_prequantized_index(
     postings = impacts.select("doc_id", "term", F.col("impact").alias("tf"))
     scored = impacts.select("term", "doc_id", F.col("impact").cast("double").alias("score"))
 
-    pack, seg_schema = _segment_packer(conf.shard_size)
-    segments = (
-        impacts.repartitionByRange(nparts, "term", "doc_id")
-        .sortWithinPartitions("term", "impact", "doc_id")
-        .mapInPandas(pack, schema=seg_schema)
+    pre_df = impacts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    segments = build_segments(
+        impacts.join(pre_df, "term"), n_docs, conf.shard_size
     )
     if cache:
         segments = segments.persist()
@@ -266,24 +245,35 @@ def _count_tokens_udf(tokenizer_mode: str, stem: bool, text_col: str, did: str):
         ]
     )
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            doc_ids: list = []
+            ids = pdf[did].to_numpy()
             terms: list = []
             cnts: list = []
+            sizes: list = []
             dls: list = []
-            for doc_id, text in zip(pdf[did], pdf[text_col]):
+            for text in pdf[text_col]:
                 toks = tokenize(text, xml=True)
                 if stem_tokens is not None:
                     toks = stem_tokens(toks)
                 c = Counter(toks)
-                dl = len(toks)  # alpha+numeric token count (JASS_index.cpp:302-331)
-                doc_ids.extend([doc_id] * len(c))
                 terms.extend(c.keys())
                 cnts.extend(c.values())
-                dls.extend([dl] * len(c))
+                sizes.append(len(c))
+                # alpha+numeric token count (JASS_index.cpp:302-331)
+                dls.append(len(toks))
+            sz = np.asarray(sizes, dtype=np.int64)
             yield pd.DataFrame(
-                {"doc_id": doc_ids, "term": terms, "cnt": cnts, "dl": dls}
+                {
+                    "doc_id": np.repeat(ids, sz),
+                    # dictionary-encoded over Arrow: terms repeat heavily,
+                    # so the JVM transfer carries each string once per batch
+                    "term": pd.Categorical(terms),
+                    "cnt": np.asarray(cnts, dtype=np.int64),
+                    "dl": np.repeat(np.asarray(dls, dtype=np.int64), sz),
+                }
             )
 
     return run, schema
@@ -317,8 +307,11 @@ def build_index(
 
     # The tokenizer stage parallelism is bounded by the input's partition
     # count (a single parquet file = 1-2 splits in this sandbox; a real
-    # 100 TB scan has thousands). Widen narrow inputs so the per-document
-    # stages use the whole cluster.
+    # 100 TB scan has thousands). Widen narrow inputs to one task per core:
+    # A/B-measured against 4 tasks/core, which is ~35% SLOWER here — the
+    # tokenizer's per-task Arrow stream setup outweighs straggler smoothing
+    # (per-doc cost is uniform; contrast saat_search, where per-QUERY cost
+    # varies wildly and finer slices win).
     if docs.rdd.getNumPartitions() < nparts:
         docs = docs.repartition(nparts)
 
@@ -356,12 +349,30 @@ def build_index(
         "doc_id", "term", F.least(F.col("cnt"), F.lit(MAX_TF)).cast("long").alias("tf")
     )
     doc_lengths = counts.select("doc_id", "dl").groupBy("doc_id").agg(F.max("dl").alias("dl"))
-    term_df = counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    collection_length = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    # ONE full aggregation pass over the postings produces the per-(term,
+    # saturated-tf) profile; every collection statistic below — collection
+    # length, per-term df, the distinct-df set, and the quantization
+    # min/max — derives from this TINY table (bounded by vocab ×
+    # distinct-tf) without rescanning the postings. Partial-agg (map-side
+    # combine) absorbs the Zipf head.
+    profile = counts.groupBy(
+        "term", F.least(F.col("cnt"), F.lit(MAX_TF)).cast("long").alias("tf")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("cnt").alias("sum_cnt"),  # unsaturated — collection length
+        F.min("dl").alias("dl_lo"),
+        F.max("dl").alias("dl_hi"),
+    )
+    if cache:
+        profile = profile.persist()
+
+    collection_length = profile.agg(F.sum("sum_cnt")).collect()[0][0] or 0
     # mean = Σlen / (slots-1); slot 0 is the unused doc 0 ⇒ Σlen / N
     # (source/ranking_function_atire_bm25.h:65-69)
     mean_dl = float(collection_length) / float(n_docs) if n_docs else 0.0
+
+    term_df = profile.groupBy("term").agg(F.sum("n_pairs").alias("df"))
 
     # idf = ln(N/df), computed on the DRIVER per distinct df value and
     # broadcast-joined. Rationale: the JVM's Math.log differs from
@@ -379,9 +390,13 @@ def build_index(
     vocab = F.broadcast(term_df) if conf.broadcast_vocab else term_df
     k1, b = float(conf.k1), float(conf.b)
     tf_d = F.col("tf").cast("double")
-    # exact reference grouping: idf * (top_row / (tf + k1*(1-b + b*len/mean)))
-    length_correction = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(mean_dl))
-    score = F.col("idf") * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + length_correction))
+
+    def _score_expr(dl_col: str):
+        # exact reference grouping: idf * (top_row / (tf + k1*(1-b + b*len/mean)))
+        lc = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col(dl_col).cast("double") / F.lit(mean_dl)
+        )
+        return F.col("idf") * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + lc))
 
     # dl rides inline from the counting pass — no doc_id join; the only
     # join is term → df (AQE broadcasts it when the vocabulary is small).
@@ -392,12 +407,25 @@ def build_index(
         )
         .join(vocab, "term")
         .join(idf_map, "df")
-        .withColumn("score", score)
+        .withColumn("score", _score_expr("dl"))
     )
-    if cache:
-        scored = scored.persist()
 
-    mm = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi")).collect()[0]
+    # Quantization pass 1 (global rsv min/max, `source/quantize.h:108-136`)
+    # WITHOUT scanning all (term, doc) scores: for a fixed (term, tf), BM25
+    # is monotone non-increasing in dl (idf ≥ 0, the denominator grows with
+    # dl), so the global max lives at some (term, tf, min dl) and the
+    # global min at some (term, tf, max dl) — both already in `profile`.
+    # The candidate scores use the SAME column expression on the same
+    # values, so the result is bitwise-identical to the full scan.
+    mm = (
+        profile.join(vocab, "term")
+        .join(idf_map, "df")
+        .agg(
+            F.min(_score_expr("dl_hi")).alias("lo"),
+            F.max(_score_expr("dl_lo")).alias("hi"),
+        )
+        .collect()[0]
+    )
     min_rsv, max_rsv = float(mm["lo"] or 0.0), float(mm["hi"] or 0.0)
 
     if max_rsv > min_rsv:
@@ -414,11 +442,10 @@ def build_index(
 
     impacts = scored.select("term", "doc_id", impact_col.alias("impact"))
 
-    pack, seg_schema = _segment_packer(conf.shard_size)
-    segments = (
-        impacts.repartitionByRange(nparts, "term", "doc_id")
-        .sortWithinPartitions("term", "impact", "doc_id")
-        .mapInPandas(pack, schema=seg_schema)
+    segments = build_segments(
+        scored.select("term", "doc_id", "df", impact_col.alias("impact")),
+        n_docs,
+        conf.shard_size,
     )
     if cache:
         segments = segments.persist()
@@ -450,4 +477,5 @@ def build_index(
         min_rsv=min_rsv,
         max_rsv=max_rsv,
         conf=conf,
+        profile=profile,
     )

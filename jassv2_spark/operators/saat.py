@@ -84,6 +84,11 @@ def package_index(index: Index, path: str | None = None) -> dict:
         directory[term] = segs
     all_ids = np.concatenate(chunks) if chunks else np.array([], dtype=np.int64)
     max_doc = int(all_ids.max()) if len(all_ids) else 0
+    if max_doc < (1 << 31):
+        # the reference's own docid width (`source/query.h:132` uint32);
+        # halves the per-query memory traffic of every segment read.
+        # Collections beyond 2^31 docs keep int64 automatically.
+        all_ids = all_ids.astype(np.int32)
 
     if path is None:
         fd, path = tempfile.mkstemp(suffix=".npy", prefix="jass_pkg_")
@@ -179,11 +184,13 @@ def _search_one(
         # dense path: reused buffer, scatter-add per segment (docids are
         # unique within a segment so fancy-index += is exact), reset only
         # the touched entries afterwards (≅ accumulator_2d dirty pages).
-        # int32: every rsv ≤ MAX_RSV (the uint8 rescale guarantees sums fit
-        # 255, source/query.h:131) — halves accumulator memory traffic.
+        # int16: every final rsv ≤ MAX_RSV (the uint8 rescale guarantees
+        # sums fit 255, source/query.h:131), so even with the q_tf scaling
+        # of the unscaled path values stay ≪ 2^15; a 2-byte accumulator
+        # keeps 8 workers' dense arrays resident in shared LLC.
         if not _ACC_BUF or len(_ACC_BUF[0]) <= max_doc:
             _ACC_BUF.clear()
-            _ACC_BUF.append(np.zeros(max_doc + 1, dtype=np.int32))
+            _ACC_BUF.append(np.zeros(max_doc + 1, dtype=np.int16))
         acc = _ACC_BUF[0]
         for impact, start, end in plan:
             acc[all_ids[start:end]] += impact
@@ -223,6 +230,14 @@ def saat_search(
     spark = queries.sparkSession
     pkg = package if package is not None else package_index(index)
     bpkg = spark.sparkContext.broadcast(pkg)
+
+    # 4 tasks per core: query cost varies wildly (1-term vs 5-term, hot vs
+    # cold terms), so exactly-one-task-per-core loses cores to stragglers;
+    # finer slices let the scheduler rebalance — the Spark analogue of the
+    # reference's per-query work-stealing (`anytime/JASS_anytime_query.h:88-103`).
+    target = 4 * spark.sparkContext.defaultParallelism
+    if queries.rdd.getNumPartitions() < target:
+        queries = queries.repartition(target)
 
     schema = StructType(
         [

@@ -40,7 +40,7 @@ from jassv2_spark.operators.build import (
     SMALLEST_IMPACT,
     BuildConf,
     Index,
-    _segment_packer,
+    build_segments,
 )
 from jassv2_spark.functions.tokenizer import spark_tokens
 from jassv2_spark.sources.docids import assign_doc_ids
@@ -228,14 +228,11 @@ def build_index_persisted(
 
     # -- stage: segments (term-bucket-partitioned) ------------------------
     if not stage_done(out_dir, "segments"):
-        pack, seg_schema = _segment_packer(conf.shard_size)
-        segments = (
-            impacts.repartitionByRange(nparts, "term", "doc_id")
-            .sortWithinPartitions("term", "impact", "doc_id")
-            .mapInPandas(pack, schema=seg_schema)
-            .withColumn(
-                "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
-            )
+        seg_df = impacts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        segments = build_segments(
+            impacts.join(seg_df, "term"), int(stats["n_docs"]), conf.shard_size
+        ).withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
         )
         _write_stage(
             segments, out_dir, "segments", partition_by=["term_bucket"], lineage_key="term"
