@@ -105,3 +105,14 @@ def test_build_deterministic_across_parallelism(spark):
     b = sorted((r["term"], r["impact"], r["doc_id"]) for r in i4.impacts.collect())
     assert a == b
     assert (i1.min_rsv, i1.max_rsv) == (i4.min_rsv, i4.max_rsv)
+    # the SEGMENT LAYOUT is also identical row-for-row: shard boundaries
+    # depend only on (doc_id, df, n_docs), never on the partitioning
+    s1 = sorted(
+        (r["term"], r["impact"], r["min_doc"], r["part_freq"], tuple(r["doc_ids"]))
+        for r in i1.segments.collect()
+    )
+    s4 = sorted(
+        (r["term"], r["impact"], r["min_doc"], r["part_freq"], tuple(r["doc_ids"]))
+        for r in i4.segments.collect()
+    )
+    assert s1 == s4
