@@ -143,9 +143,27 @@ def search(
     )
     seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
 
+    segments = index.segments
+    if "term_bucket" in segments.columns:
+        # static partition pruning for the term-bucketed on-disk layout
+        # (plans/persist.py): a query touches only the buckets its terms
+        # hash to — the Spark replacement for the reference's vocabulary
+        # binary search (`source/deserialised_jass_v1.h:311-334`). The
+        # bucket set is computed with the same JVM xxhash64 expression the
+        # writer used, via a tiny job over the (already tiny) query terms.
+        from jassv2_spark.plans.persist import N_TERM_BUCKETS
+
+        buckets = [
+            r[0]
+            for r in q_terms.select(
+                F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int").alias("b")
+            ).distinct().collect()
+        ]
+        segments = segments.where(F.col("term_bucket").isin(buckets))
+
     processed = F.broadcast(seg.select("query_id", "term", "impact", "scaled"))
     hits = (
-        processed.join(index.segments, ["term", "impact"])
+        processed.join(segments, ["term", "impact"])
         .select("query_id", F.explode("doc_ids").alias("doc_id"), "scaled")
         .groupBy("query_id", "doc_id")
         .agg(F.sum("scaled").alias("rsv"))

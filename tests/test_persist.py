@@ -91,6 +91,17 @@ def test_load_index_tables_roundtrip(spark, docs, tmp_path):
     # term-bucket partition pruning is available on disk
     assert "term_bucket" in idx.segments.columns
 
+    # ...and the serve plan actually uses it: the segment FileScan carries a
+    # term_bucket partition filter, so a query reads only its terms' buckets
+    # (the Spark replacement for the reference's CIvocab binary search,
+    # `source/deserialised_jass_v1.h:311-334`)
+    qdf = spark.createDataFrame(queries, ["query_id", "query"])
+    plan = search(idx, qdf, k=3, with_keys=False)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("term_bucket" in f and "IN" in f for f in filters), filters
+
 
 def test_compressed_segment_store_roundtrip(spark, tmp_path):
     import pytest
