@@ -392,11 +392,113 @@ SELECT coalesce(n.query_id, m.query_id) AS query_id,
   coalesce(m.n_rel_ret, 0)::DOUBLE / {_flit(K)} AS p_at_depth,
   CASE WHEN coalesce(n.n_rel, 0) = 0 THEN NULL
        ELSE coalesce(m.n_rel_ret, 0)::DOUBLE / least(n.n_rel, {K})::DOUBLE
-  END AS recall
+  END AS recall,
+  CASE WHEN m.first_rel IS NOT NULL THEN (m.first_rel - 1)::DOUBLE
+       ELSE {_flit(K)} END AS esl,
+  CASE WHEN coalesce(n.n_rel, 0) = 0 THEN NULL
+       WHEN (coalesce(m.n_rel_ret, 0)::DOUBLE / {_flit(K)}
+             + coalesce(m.n_rel_ret, 0)::DOUBLE / least(n.n_rel, {K})::DOUBLE) = 0 THEN 0.0
+       ELSE 2.0 * (((coalesce(m.n_rel_ret, 0)::DOUBLE / {_flit(K)})
+                    * (coalesce(m.n_rel_ret, 0)::DOUBLE / least(n.n_rel, {K})::DOUBLE))
+                   / (coalesce(m.n_rel_ret, 0)::DOUBLE / {_flit(K)}
+                      + coalesce(m.n_rel_ret, 0)::DOUBLE / least(n.n_rel, {K})::DOUBLE))
+  END AS f1
 FROM nrel n FULL OUTER JOIN m ON m.query_id = n.query_id"""
         )
 
     r["jass_eval_metrics"] = (_eval_fn, _eval_sql())
+
+    # ---- eCommerce eval (JASS_eval -p price mode) ----
+    def _ecom_fn(spark, sf):
+        from jassv2_spark.operators.evaluate import evaluate_run_priced
+        from jassv2_spark.operators.search import parse_queries
+
+        idx = get_index(spark, sf)
+        run = search(idx, _queries_df(spark), k=K, rho=1.0, with_keys=False)
+        q_terms, _ = parse_queries(_queries_df(spark))
+        # qrels: docs matching >= 2 distinct query terms, so the run holds
+        # a mix of relevant and non-relevant results (single-term queries
+        # get no relevant docs and exercise the perfect-score branches)
+        qrels = (
+            q_terms.join(idx.postings.select("term", "doc_id"), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count_distinct("term").alias("c"))
+            .where(F.col("c") >= 2)
+            .select("query_id", "doc_id")
+        )
+        prices = idx.doc_lengths.select(
+            "doc_id", ((F.col("doc_id") * 37 % 97) + 3).cast("double").alias("price")
+        )
+        return evaluate_run_priced(run, qrels, prices, depth=K)
+
+    _ecom_sql = (
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES)
+        + f""",
+rel AS (SELECT query_id, doc_id FROM (
+          SELECT qt.query_id, t.doc_id, count(DISTINCT qt.term) AS c
+          FROM qt JOIN tfx t ON t.term = qt.term GROUP BY qt.query_id, t.doc_id)
+        WHERE c >= 2),
+pr AS (SELECT doc_id, ((doc_id * 37) % 97 + 3)::DOUBLE AS price FROM dlx),
+relp AS (SELECT r.query_id, r.doc_id, pr.price FROM rel r JOIN pr USING (doc_id)),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel, min(price) AS min_rel_price
+         FROM relp GROUP BY query_id),
+res AS (SELECT rk.query_id, rk.doc_id, rk.rank, pr.price,
+               CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
+        FROM ranked rk LEFT JOIN pr ON pr.doc_id = rk.doc_id
+             LEFT JOIN rel r ON r.query_id = rk.query_id AND r.doc_id = rk.doc_id
+        WHERE rk.rank <= {K}),
+nret AS (SELECT query_id, count(*)::BIGINT AS n_ret FROM res GROUP BY query_id),
+bpq AS (SELECT query_id, cum_price AS spend_at_first_rel FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rn
+          FROM (SELECT *, sum(price) OVER (PARTITION BY query_id ORDER BY rank
+                                           ROWS UNBOUNDED PRECEDING) AS cum_price
+                FROM res WHERE rank <= {K})
+          WHERE is_rel = 1)
+        WHERE rn = 1),
+cheap AS (SELECT query_id, price AS cheap_price,
+                 row_number() OVER (PARTITION BY query_id ORDER BY price, doc_id) AS i
+          FROM relp),
+sphits AS (SELECT h.query_id, {" + ".join(f"coalesce(max(CASE WHEN h.i = {j} THEN c.cheap_price / h.price END), 0.0)" for j in range(1, K + 1))} AS sp_sum FROM (
+             SELECT res.query_id, res.price,
+                    row_number() OVER (PARTITION BY res.query_id ORDER BY rank) AS i
+             FROM res JOIN nrel USING (query_id)
+             WHERE rank <= least(n_rel, {K}) AND is_rel = 1) h
+           JOIN cheap c ON c.query_id = h.query_id AND c.i = h.i
+           GROUP BY h.query_id),
+sliced AS (SELECT relp.*, least({K}, nret.n_ret)::BIGINT AS sp0,
+                  row_number() OVER (PARTITION BY relp.query_id
+                                     ORDER BY CAST(relp.doc_id AS VARCHAR)) AS j
+           FROM relp JOIN nret USING (query_id)),
+bnd AS (SELECT query_id, price AS boundary_price FROM sliced WHERE j = sp0 + 1),
+keptslice AS (SELECT query_id, doc_id FROM (
+    SELECT s.*, sum(CASE WHEN s.j > s.sp0 AND s.price != coalesce(b.boundary_price, 'nan'::DOUBLE)
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY s.query_id ORDER BY CAST(s.doc_id AS VARCHAR)
+                        ROWS UNBOUNDED PRECEDING) AS breaks
+    FROM sliced s LEFT JOIN bnd b USING (query_id))
+  WHERE j <= sp0 OR breaks = 0),
+cpq AS (SELECT res.query_id,
+               sum(CASE WHEN ks.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS cheap_found
+        FROM res LEFT JOIN keptslice ks ON ks.query_id = res.query_id AND ks.doc_id = res.doc_id
+        WHERE rank <= {K} GROUP BY res.query_id)
+SELECT coalesce(n.query_id, t.query_id) AS query_id,
+  coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+  coalesce(t.n_ret, 0)::BIGINT AS n_ret,
+  CASE WHEN coalesce(t.n_ret, 0) = 0 THEN 0.0
+       WHEN coalesce(n.n_rel, 0) = 0 THEN 1.0
+       ELSE coalesce(c.cheap_found, 0)::DOUBLE / {_flit(K)} END AS cheapest_precision,
+  CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 1.0
+       WHEN b.spend_at_first_rel IS NULL THEN 0.0
+       ELSE n.min_rel_price / b.spend_at_first_rel END AS buying_power,
+  CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 1.0
+       ELSE coalesce(s.sp_sum, 0.0) / least(coalesce(n.n_rel, 0), {K})::DOUBLE
+  END AS selling_power
+FROM nrel n FULL OUTER JOIN nret t ON t.query_id = n.query_id
+     LEFT JOIN bpq b ON b.query_id = coalesce(n.query_id, t.query_id)
+     LEFT JOIN sphits s ON s.query_id = coalesce(n.query_id, t.query_id)
+     LEFT JOIN cpq c ON c.query_id = coalesce(n.query_id, t.query_id)"""
+    )
+    r["jass_eval_ecommerce"] = (_ecom_fn, _ecom_sql)
 
     # ---- training-data pipeline: dedup family ----
     r["dedup_exact"] = (

@@ -54,7 +54,8 @@ def evaluate_run(
     """Per-query metrics for `run(query_id, doc_id, rank)` against
     `qrels(query_id, doc_id)` (binary relevance).
 
-    Returns (query_id, n_rel, n_ret, map, mrr, rbp, p_at_depth, recall)."""
+    Returns (query_id, n_rel, n_ret, map, mrr, rbp, p_at_depth, recall,
+    esl, f1)."""
     spark = run.sparkSession
     ap_lcm = math.lcm(*range(1, depth + 1))
     if ap_lcm * depth * depth >= 1 << 62:
@@ -116,6 +117,19 @@ def evaluate_run(
     recall_c = F.when(n_rel_c == 0, F.lit(None).cast("double")).otherwise(
         n_rel_ret_c.cast("double") / F.least(n_rel_c, F.lit(depth)).cast("double")
     )
+    # ESL (`source/evaluate_expected_search_length.cpp:21-39`): non-relevant
+    # results seen before the first relevant one; `depth` when none found.
+    esl_c = F.when(
+        F.col("first_rel").isNotNull(), (F.col("first_rel") - F.lit(1)).cast("double")
+    ).otherwise(F.lit(float(depth)))
+    # F1 (`source/evaluate_f.cpp:20-29`): harmonic of P@depth and recall,
+    # 0 when both 0; NULL when recall is undefined (no relevant
+    # assessments — the C++ divides 0/0 there).
+    f_c = (
+        F.when(n_rel_c == 0, F.lit(None).cast("double"))
+        .when(prec_c + recall_c == F.lit(0.0), F.lit(0.0))
+        .otherwise(F.lit(2.0) * ((prec_c * recall_c) / (prec_c + recall_c)))
+    )
 
     return out.select(
         "query_id",
@@ -126,6 +140,160 @@ def evaluate_run(
         rbp_c.alias("rbp"),
         prec_c.alias("p_at_depth"),
         recall_c.alias("recall"),
+        esl_c.alias("esl"),
+        f_c.alias("f1"),
+    )
+
+
+def evaluate_run_priced(
+    run: DataFrame,
+    qrels: DataFrame,
+    prices: DataFrame,
+    depth: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-query eCommerce metrics (the JASS_eval `-p` price mode,
+    `tools/JASS_eval.cpp` metrics 112-117): `prices(doc_id, price)` must
+    cover every doc appearing in `run` or `qrels`.
+
+    - cheapest_precision (`source/evaluate_cheapest_precision.cpp:21-99`):
+      the relevant set is sliced to the first min(depth, |results|) entries
+      **in (query_id, doc_id-as-string) order — the reference sorts the
+      judgement vector with judgement::operator<, which compares document
+      ids lexicographically, not prices** (`source/evaluate.h:91-112`); the
+      slice extends over the consecutive run of equal-priced entries at the
+      boundary; score = |top-depth results ∩ slice| / depth. No results →
+      0; no relevant assessments → 1.
+    - buying_power (`source/evaluate_buying_power.cpp:21-84`): cheapest
+      relevant price / Σ prices of results up to and including the first
+      relevant one; 1 with no relevant assessments, 0 when relevant exist
+      but none retrieved within depth.
+    - selling_power (`source/evaluate_selling_power.cpp:21-91`): over the
+      first query_depth = min(n_rel, depth) results, each relevant hit i
+      (in rank order) contributes (i-th cheapest relevant price / hit
+      price); sum / query_depth; 1 with no relevant assessments.
+
+    Scale: every join is keyed (query_id, doc_id) or a broadcast of the
+    per-query relevant sets — skew-free; windows run over ≤ depth rows.
+    """
+    rel = qrels.select("query_id", F.col(id_col).alias("doc_id")).distinct()
+    rel_p = rel.join(prices.select(F.col(id_col).alias("doc_id"), "price"), "doc_id")
+    n_rel = rel_p.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel"), F.min("price").alias("min_rel_price")
+    )
+
+    res = (
+        run.select("query_id", F.col(id_col).alias("doc_id"), F.col("rank").cast("long").alias("rank"))
+        .join(prices.select(F.col(id_col).alias("doc_id"), "price"), "doc_id", "left")
+        .join(rel.withColumn("is_rel", F.lit(1)), ["query_id", "doc_id"], "left")
+        .na.fill({"is_rel": 0})
+    )
+    n_ret = res.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
+
+    w = Window.partitionBy("query_id").orderBy("rank")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    # --- buying power ----------------------------------------------------
+    bp_rows = res.where(F.col("rank") <= F.lit(depth)).withColumn(
+        "cum_price", F.sum("price").over(cum)
+    )
+    bp_q = (
+        bp_rows.where(F.col("is_rel") == 1)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("cum_price").alias("spend_at_first_rel"))
+    )
+
+    # --- selling power ---------------------------------------------------
+    # i-th relevant hit by rank (within the first query_depth results)
+    # pairs with the i-th cheapest relevant price
+    wp = Window.partitionBy("query_id").orderBy("price", "doc_id")
+    cheap = rel_p.withColumn("i", F.row_number().over(wp)).select(
+        "query_id", "i", F.col("price").alias("cheap_price")
+    )
+    # the ratio sum is floating point, so the association order must be
+    # pinned for cross-engine bitwise parity: pivot the ≤ depth ratios into
+    # slots and chain-add them left to right (same expression in the SQL
+    # oracle) instead of relying on an engine's aggregate order.
+    slot = [
+        F.max(F.when(F.col("i") == j, F.col("cheap_price") / F.col("price")))
+        for j in range(1, depth + 1)
+    ]
+    sp_sum = F.coalesce(slot[0], F.lit(0.0))
+    for s in slot[1:]:
+        sp_sum = sp_sum + F.coalesce(s, F.lit(0.0))
+    sp_hits = (
+        res.join(n_rel.select("query_id", "n_rel"), "query_id")
+        .where(F.col("rank") <= F.least(F.col("n_rel"), F.lit(depth)))
+        .where(F.col("is_rel") == 1)
+        .withColumn("i", F.row_number().over(w))
+        .join(cheap, ["query_id", "i"])
+        .groupBy("query_id")
+        .agg(sp_sum.alias("sp_sum"))
+    )
+
+    # --- cheapest precision ----------------------------------------------
+    # judgement-order slice (doc_id STRING compare — the reference quirk)
+    wj = Window.partitionBy("query_id").orderBy(F.col("doc_id").cast("string"))
+    sliced = (
+        rel_p.withColumn("j", F.row_number().over(wj))
+        .join(n_ret, "query_id")
+        .withColumn("sp0", F.least(F.lit(depth), F.col("n_ret")))
+    )
+    boundary = sliced.where(F.col("j") == F.col("sp0") + 1).select(
+        "query_id", F.col("price").alias("boundary_price")
+    )
+    # beyond sp0, keep only the consecutive run of boundary-priced entries
+    tail_breaks = F.sum(
+        F.when(
+            (F.col("j") > F.col("sp0"))
+            & (F.col("price") != F.coalesce(F.col("boundary_price"), F.lit(float("nan")))),
+            1,
+        ).otherwise(0)
+    ).over(wj.rowsBetween(Window.unboundedPreceding, 0))
+    kept = (
+        sliced.join(boundary, "query_id", "left")
+        .withColumn("breaks", tail_breaks)
+        .where((F.col("j") <= F.col("sp0")) | (F.col("breaks") == 0))
+        .select("query_id", "doc_id")
+    )
+    cp_q = (
+        res.where(F.col("rank") <= F.lit(depth))
+        .join(kept.withColumn("in_slice", F.lit(1)), ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("in_slice"), F.lit(0))).alias("cheap_found"))
+    )
+
+    out = (
+        n_rel.join(n_ret, "query_id", "full_outer")
+        .join(bp_q, "query_id", "left")
+        .join(sp_hits, "query_id", "left")
+        .join(cp_q, "query_id", "left")
+    )
+    n_rel_c = F.coalesce(F.col("n_rel"), F.lit(0))
+    n_ret_c = F.coalesce(F.col("n_ret"), F.lit(0))
+
+    cp = (
+        F.when(n_ret_c == 0, F.lit(0.0))
+        .when(n_rel_c == 0, F.lit(1.0))
+        .otherwise(F.coalesce(F.col("cheap_found"), F.lit(0)).cast("double") / F.lit(float(depth)))
+    )
+    bp = (
+        F.when(n_rel_c == 0, F.lit(1.0))
+        .when(F.col("spend_at_first_rel").isNull(), F.lit(0.0))
+        .otherwise(F.col("min_rel_price") / F.col("spend_at_first_rel"))
+    )
+    sp = F.when(n_rel_c == 0, F.lit(1.0)).otherwise(
+        F.coalesce(F.col("sp_sum"), F.lit(0.0))
+        / F.least(n_rel_c, F.lit(depth)).cast("double")
+    )
+    return out.select(
+        "query_id",
+        n_rel_c.cast("long").alias("n_rel"),
+        n_ret_c.cast("long").alias("n_ret"),
+        cp.alias("cheapest_precision"),
+        bp.alias("buying_power"),
+        sp.alias("selling_power"),
     )
 
 
@@ -145,4 +313,6 @@ def mean_metrics(per_query: DataFrame) -> DataFrame:
         F.avg("rbp").alias("mean_rbp"),
         F.avg("p_at_depth").alias("mean_p"),
         F.avg("recall").alias("mean_recall"),
+        F.avg("esl").alias("mean_esl"),
+        F.avg("f1").alias("mean_f1"),  # over queries where F is defined
     )

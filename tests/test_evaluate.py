@@ -5,7 +5,11 @@ import math
 
 import pytest
 
-from jassv2_spark.operators.evaluate import evaluate_run, mean_metrics
+from jassv2_spark.operators.evaluate import (
+    evaluate_run,
+    evaluate_run_priced,
+    mean_metrics,
+)
 
 
 @pytest.fixture(scope="module")
@@ -43,6 +47,53 @@ def test_per_query_goldens(spark, run_and_qrels):
     assert rows["q2"]["recall"] is None
     assert rows["q3"]["map"] == 0.0
     assert rows["q3"]["mrr"] == 0.0
+
+
+def test_esl_and_f1(spark, run_and_qrels):
+    """ESL (`evaluate_expected_search_length.cpp:21-39`): non-relevant seen
+    before the first relevant, depth when none. F1 (`evaluate_f.cpp:20-29`)."""
+    run, qrels = run_and_qrels
+    rows = {r["query_id"]: r for r in evaluate_run(run, qrels, depth=10).collect()}
+    assert rows["q1"]["esl"] == 0.0  # first result is relevant
+    assert rows["q2"]["esl"] == 10.0  # no relevant → depth
+    assert rows["q3"]["esl"] == 10.0
+    p, r = 0.2, 2 / 3
+    assert rows["q1"]["f1"] == pytest.approx(2 * ((p * r) / (p + r)), abs=1e-12)
+    assert rows["q2"]["f1"] is None  # recall undefined
+    assert rows["q3"]["f1"] == 0.0
+
+
+def test_ecommerce_metrics_goldens(spark, run_and_qrels):
+    """Hand-computed CP/BP/SP per `evaluate_cheapest_precision.cpp`,
+    `evaluate_buying_power.cpp`, `evaluate_selling_power.cpp`."""
+    run, qrels = run_and_qrels
+    prices = spark.createDataFrame(
+        [(10, 5.0), (11, 7.0), (12, 3.0), (13, 9.0), (99, 2.0),
+         (20, 4.0), (21, 6.0), (30, 8.0), (31, 1.0)],
+        ["doc_id", "price"],
+    )
+    rows = {
+        r["query_id"]: r
+        for r in evaluate_run_priced(run, qrels, prices, depth=10).collect()
+    }
+    # q1: rel {10:5, 12:3, 99:2}; results [10,11,12,13]
+    # BP: cheapest rel price 2; spend through first relevant (rank 1) = 5
+    assert rows["q1"]["buying_power"] == pytest.approx(2 / 5, abs=1e-15)
+    # SP: query_depth=3; rel hits at ranks 1 (price 5) and 3 (price 3);
+    # cheapest rel prices in order: [2, 3, 5] → (2/5 + 3/3) / 3
+    assert rows["q1"]["selling_power"] == pytest.approx((2 / 5 + 1.0) / 3, abs=1e-15)
+    # CP: slice keeps all 3 relevant (sp0=4 ≥ 3); found 10, 12 → 2/10
+    assert rows["q1"]["cheapest_precision"] == pytest.approx(0.2, abs=1e-15)
+
+    # q2: no relevant assessments → all perfect scores
+    assert rows["q2"]["buying_power"] == 1.0
+    assert rows["q2"]["selling_power"] == 1.0
+    assert rows["q2"]["cheapest_precision"] == 1.0
+
+    # q3: relevant {31} never retrieved
+    assert rows["q3"]["buying_power"] == 0.0
+    assert rows["q3"]["selling_power"] == 0.0
+    assert rows["q3"]["cheapest_precision"] == 0.0
 
 
 def test_gmap_reference_semantics(spark, run_and_qrels):
