@@ -376,6 +376,7 @@ c1 AS (SELECT *, sum(is_rel) OVER (PARTITION BY query_id ORDER BY rank
                                    ROWS UNBOUNDED PRECEDING) AS found FROM rr),
 m AS (SELECT query_id,
         sum(CASE WHEN is_rel = 1 THEN found * ap_wi ELSE 0 END)::BIGINT AS ap_int,
+        sum(CASE WHEN is_rel = 1 AND found <= {K} THEN ap_wi ELSE 0 END)::BIGINT AS rr4k_int,
         sum(CASE WHEN is_rel = 1 THEN rbp_wi ELSE 0 END)::BIGINT AS rbp_int,
         min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel,
         sum(is_rel)::BIGINT AS n_rel_ret, count(*)::BIGINT AS n_ret
@@ -402,7 +403,10 @@ SELECT coalesce(n.query_id, m.query_id) AS query_id,
                     * (coalesce(m.n_rel_ret, 0)::DOUBLE / least(n.n_rel, {K})::DOUBLE))
                    / (coalesce(m.n_rel_ret, 0)::DOUBLE / {_flit(K)}
                       + coalesce(m.n_rel_ret, 0)::DOUBLE / least(n.n_rel, {K})::DOUBLE))
-  END AS f1
+  END AS f1,
+  CASE WHEN coalesce(m.n_rel_ret, 0) >= {K}
+       THEN (coalesce(m.rr4k_int, 0)::DOUBLE / {_flit(ap_lcm)}) / {_flit(K)}
+       ELSE 0.0 END AS mrr4k
 FROM nrel n FULL OUTER JOIN m ON m.query_id = n.query_id"""
         )
 
@@ -448,16 +452,19 @@ res AS (SELECT rk.query_id, rk.doc_id, rk.rank, pr.price,
              LEFT JOIN rel r ON r.query_id = rk.query_id AND r.doc_id = rk.doc_id
         WHERE rk.rank <= {K}),
 nret AS (SELECT query_id, count(*)::BIGINT AS n_ret FROM res GROUP BY query_id),
-bpq AS (SELECT query_id, cum_price AS spend_at_first_rel FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rn
-          FROM (SELECT *, sum(price) OVER (PARTITION BY query_id ORDER BY rank
-                                           ROWS UNBOUNDED PRECEDING) AS cum_price
-                FROM res WHERE rank <= {K})
-          WHERE is_rel = 1)
-        WHERE rn = 1),
+bpmarks AS (SELECT query_id, cum_price,
+                   row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rn FROM (
+              SELECT *, sum(price) OVER (PARTITION BY query_id ORDER BY rank
+                                         ROWS UNBOUNDED PRECEDING) AS cum_price
+              FROM res WHERE rank <= {K})
+            WHERE is_rel = 1),
+bpq AS (SELECT query_id, cum_price AS spend_at_first_rel FROM bpmarks WHERE rn = 1),
+bp4q AS (SELECT query_id, cum_price AS spend_at_k4_rel FROM bpmarks WHERE rn = {K}),
 cheap AS (SELECT query_id, price AS cheap_price,
                  row_number() OVER (PARTITION BY query_id ORDER BY price, doc_id) AS i
           FROM relp),
+mincost AS (SELECT query_id, {" + ".join(f"coalesce(max(CASE WHEN i = {j} THEN cheap_price END), 0.0)" for j in range(1, K + 1))} AS min_cost
+            FROM cheap GROUP BY query_id),
 sphits AS (SELECT h.query_id, {" + ".join(f"coalesce(max(CASE WHEN h.i = {j} THEN c.cheap_price / h.price END), 0.0)" for j in range(1, K + 1))} AS sp_sum FROM (
              SELECT res.query_id, res.price,
                     row_number() OVER (PARTITION BY res.query_id ORDER BY rank) AS i
@@ -492,9 +499,14 @@ SELECT coalesce(n.query_id, t.query_id) AS query_id,
        ELSE n.min_rel_price / b.spend_at_first_rel END AS buying_power,
   CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 1.0
        ELSE coalesce(s.sp_sum, 0.0) / least(coalesce(n.n_rel, 0), {K})::DOUBLE
-  END AS selling_power
+  END AS selling_power,
+  CASE WHEN coalesce(n.n_rel, 0) < {K} THEN 0.0
+       WHEN b4.spend_at_k4_rel IS NULL THEN 0.0
+       ELSE mc.min_cost / b4.spend_at_k4_rel END AS buying_power4k
 FROM nrel n FULL OUTER JOIN nret t ON t.query_id = n.query_id
      LEFT JOIN bpq b ON b.query_id = coalesce(n.query_id, t.query_id)
+     LEFT JOIN bp4q b4 ON b4.query_id = coalesce(n.query_id, t.query_id)
+     LEFT JOIN mincost mc ON mc.query_id = coalesce(n.query_id, t.query_id)
      LEFT JOIN sphits s ON s.query_id = coalesce(n.query_id, t.query_id)
      LEFT JOIN cpq c ON c.query_id = coalesce(n.query_id, t.query_id)"""
     )

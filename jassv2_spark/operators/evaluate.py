@@ -50,12 +50,15 @@ def evaluate_run(
     depth: int = 10,
     rbp_p: float = 0.95,
     id_col: str = "doc_id",
+    k4: int | None = None,
 ) -> DataFrame:
     """Per-query metrics for `run(query_id, doc_id, rank)` against
-    `qrels(query_id, doc_id)` (binary relevance).
+    `qrels(query_id, doc_id)` (binary relevance). `k4` is the K of the
+    parametric metrics (JASS_eval `-k`, default = depth).
 
     Returns (query_id, n_rel, n_ret, map, mrr, rbp, p_at_depth, recall,
-    esl, f1)."""
+    esl, f1, mrr4k)."""
+    k4 = depth if k4 is None else k4
     spark = run.sparkSession
     ap_lcm = math.lcm(*range(1, depth + 1))
     if ap_lcm * depth * depth >= 1 << 62:
@@ -86,6 +89,16 @@ def evaluate_run(
         F.sum(F.when(F.col("is_rel") == 1, F.col("found") * F.col("ap_wi")).otherwise(F.lit(0)))
         .cast("long")
         .alias("ap_int"),
+        # MRR4K numerator (`evaluate_mean_reciprocal_rank4k.cpp:19-44`):
+        # Σ 1/rank over the first k4 relevant hits, as the exact integer
+        # Σ lcm/rank (one rounding at the end, engine-neutral)
+        F.sum(
+            F.when(
+                (F.col("is_rel") == 1) & (F.col("found") <= F.lit(k4)), F.col("ap_wi")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("rr4k_int"),
         F.sum(F.when(F.col("is_rel") == 1, F.col("rbp_wi")).otherwise(F.lit(0)))
         .cast("long")
         .alias("rbp_int"),
@@ -130,6 +143,13 @@ def evaluate_run(
         .when(prec_c + recall_c == F.lit(0.0), F.lit(0.0))
         .otherwise(F.lit(2.0) * ((prec_c * recall_c) / (prec_c + recall_c)))
     )
+    # MRR4K: defined (and nonzero) only when at least k4 relevant hits were
+    # retrieved within depth; else 0 (the reference falls through to 0).
+    mrr4k_c = F.when(
+        n_rel_ret_c >= F.lit(k4),
+        (F.coalesce(F.col("rr4k_int"), F.lit(0)).cast("double") / F.lit(float(ap_lcm)))
+        / F.lit(float(k4)),
+    ).otherwise(F.lit(0.0))
 
     return out.select(
         "query_id",
@@ -142,6 +162,7 @@ def evaluate_run(
         recall_c.alias("recall"),
         esl_c.alias("esl"),
         f_c.alias("f1"),
+        mrr4k_c.alias("mrr4k"),
     )
 
 
@@ -151,6 +172,7 @@ def evaluate_run_priced(
     prices: DataFrame,
     depth: int = 10,
     id_col: str = "doc_id",
+    k4: int | None = None,
 ) -> DataFrame:
     """Per-query eCommerce metrics (the JASS_eval `-p` price mode,
     `tools/JASS_eval.cpp` metrics 112-117): `prices(doc_id, price)` must
@@ -172,10 +194,15 @@ def evaluate_run_priced(
       first query_depth = min(n_rel, depth) results, each relevant hit i
       (in rank order) contributes (i-th cheapest relevant price / hit
       price); sum / query_depth; 1 with no relevant assessments.
+    - buying_power4k (`source/evaluate_buying_power4k.cpp:21-95`, JASS_eval
+      `-k`, default = depth): Σ of the k4 cheapest relevant prices / Σ
+      prices of results up to and including the k4-th relevant one; 0 when
+      fewer than k4 relevant exist or fewer than k4 are retrieved in depth.
 
     Scale: every join is keyed (query_id, doc_id) or a broadcast of the
     per-query relevant sets — skew-free; windows run over ≤ depth rows.
     """
+    k4 = depth if k4 is None else k4
     rel = qrels.select("query_id", F.col(id_col).alias("doc_id")).distinct()
     rel_p = rel.join(prices.select(F.col(id_col).alias("doc_id"), "price"), "doc_id")
     n_rel = rel_p.groupBy("query_id").agg(
@@ -197,11 +224,14 @@ def evaluate_run_priced(
     bp_rows = res.where(F.col("rank") <= F.lit(depth)).withColumn(
         "cum_price", F.sum("price").over(cum)
     )
-    bp_q = (
-        bp_rows.where(F.col("is_rel") == 1)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("query_id", F.col("cum_price").alias("spend_at_first_rel"))
+    bp_marks = bp_rows.where(F.col("is_rel") == 1).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    bp_q = bp_marks.where(F.col("rn") == 1).select(
+        "query_id", F.col("cum_price").alias("spend_at_first_rel")
+    )
+    bp4_q = bp_marks.where(F.col("rn") == F.lit(k4)).select(
+        "query_id", F.col("cum_price").alias("spend_at_k4_rel")
     )
 
     # --- selling power ---------------------------------------------------
@@ -211,6 +241,15 @@ def evaluate_run_priced(
     cheap = rel_p.withColumn("i", F.row_number().over(wp)).select(
         "query_id", "i", F.col("price").alias("cheap_price")
     )
+    # BP4K minimum basket: Σ of the k4 cheapest relevant prices, pinned
+    # ascending association order (pivot + chain-add, engine-neutral)
+    mc_slots = [
+        F.max(F.when(F.col("i") == j, F.col("cheap_price"))) for j in range(1, k4 + 1)
+    ]
+    mc_sum = F.coalesce(mc_slots[0], F.lit(0.0))
+    for s in mc_slots[1:]:
+        mc_sum = mc_sum + F.coalesce(s, F.lit(0.0))
+    min_cost_q = cheap.groupBy("query_id").agg(mc_sum.alias("min_cost"))
     # the ratio sum is floating point, so the association order must be
     # pinned for cross-engine bitwise parity: pivot the ≤ depth ratios into
     # slots and chain-add them left to right (same expression in the SQL
@@ -267,6 +306,8 @@ def evaluate_run_priced(
     out = (
         n_rel.join(n_ret, "query_id", "full_outer")
         .join(bp_q, "query_id", "left")
+        .join(bp4_q, "query_id", "left")
+        .join(min_cost_q, "query_id", "left")
         .join(sp_hits, "query_id", "left")
         .join(cp_q, "query_id", "left")
     )
@@ -287,6 +328,11 @@ def evaluate_run_priced(
         F.coalesce(F.col("sp_sum"), F.lit(0.0))
         / F.least(n_rel_c, F.lit(depth)).cast("double")
     )
+    bp4 = (
+        F.when(n_rel_c < F.lit(k4), F.lit(0.0))
+        .when(F.col("spend_at_k4_rel").isNull(), F.lit(0.0))
+        .otherwise(F.col("min_cost") / F.col("spend_at_k4_rel"))
+    )
     return out.select(
         "query_id",
         n_rel_c.cast("long").alias("n_rel"),
@@ -294,6 +340,7 @@ def evaluate_run_priced(
         cp.alias("cheapest_precision"),
         bp.alias("buying_power"),
         sp.alias("selling_power"),
+        bp4.alias("buying_power4k"),
     )
 
 

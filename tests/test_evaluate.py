@@ -96,6 +96,32 @@ def test_ecommerce_metrics_goldens(spark, run_and_qrels):
     assert rows["q3"]["cheapest_precision"] == 0.0
 
 
+def test_4k_metrics(spark, run_and_qrels):
+    """MRR4K (`evaluate_mean_reciprocal_rank4k.cpp:19-44`) and BP4K
+    (`evaluate_buying_power4k.cpp:21-95`) at k4=2."""
+    run, qrels = run_and_qrels
+    rows = {r["query_id"]: r for r in evaluate_run(run, qrels, depth=10, k4=2).collect()}
+    # q1: relevant at ranks 1 and 3 → (1/1 + 1/3) / 2
+    assert rows["q1"]["mrr4k"] == pytest.approx((1 + 1 / 3) / 2, abs=1e-12)
+    assert rows["q2"]["mrr4k"] == 0.0  # no relevant
+    assert rows["q3"]["mrr4k"] == 0.0  # fewer than k4 relevant retrieved
+
+    prices = spark.createDataFrame(
+        [(10, 5.0), (11, 7.0), (12, 3.0), (13, 9.0), (99, 2.0),
+         (20, 4.0), (21, 6.0), (30, 8.0), (31, 1.0)],
+        ["doc_id", "price"],
+    )
+    prow = {
+        r["query_id"]: r
+        for r in evaluate_run_priced(run, qrels, prices, depth=10, k4=2).collect()
+    }
+    # q1: 2 cheapest relevant = 2+3 = 5; spend through 2nd relevant hit
+    # (ranks 1..3: 5+7+3 = 15) → 5/15
+    assert prow["q1"]["buying_power4k"] == pytest.approx(5 / 15, abs=1e-15)
+    assert prow["q2"]["buying_power4k"] == 0.0  # n_rel < k4
+    assert prow["q3"]["buying_power4k"] == 0.0
+
+
 def test_gmap_reference_semantics(spark, run_and_qrels):
     """GMAP = exp(mean over ALL queries of (ap==0 ? 0 : ln ap))
     (`tools/JASS_eval.cpp:295,365`): zero-AP queries contribute log-term 0
