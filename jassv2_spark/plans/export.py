@@ -1,0 +1,72 @@
+"""Debug/interop export sinks mirroring the reference's minor serializers.
+
+- `forward_index`: re-emit documents as a `<DOC><DOCNO>…</DOCID>…</DOC>`
+  line per document, reconstructed from the inverted postings
+  (`source/serialise_forward_index.cpp:32-59` — including the reference's
+  mismatched `</DOCID>` closing tag, which we reproduce verbatim). The
+  reference emits terms in its hash-table iteration order, which is not
+  meaningful outside that process; we pin sorted term order instead (each
+  term repeated tf times), making the export deterministic.
+- `integer_segments`: the raw `<length><docid>*` uint32 dump of impact
+  segments, highest-impact-first with 0-based docids
+  (`source/serialise_integers.cpp:21-55`), as a DataFrame row per segment
+  ready for `write.parquet` — the Spark-native form of the debug sink.
+
+Scale: both are one shuffle keyed doc_id / (term, impact) over the
+existing postings tables; no Python in either path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jassv2_spark.operators.build import Index
+
+
+def forward_index(index: Index) -> DataFrame:
+    """One `line` per non-empty document:
+    `<DOC><DOCNO>{doc_id}</DOCID>{term × tf ...}</DOC>`."""
+    per_doc = (
+        index.postings.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("term", "tf"))
+                        ),
+                        lambda s: F.array_repeat(s["term"], s["tf"].cast("int")),
+                    )
+                ),
+            ).alias("body")
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.concat(
+            F.lit("<DOC><DOCNO>"),
+            F.col("doc_id").cast("string"),
+            F.lit("</DOCID>"),
+            F.col("body"),
+            F.lit("</DOC>"),
+        ).alias("line"),
+    )
+
+
+def integer_segments(index: Index) -> DataFrame:
+    """Per (term, impact) segment: `length` and ascending 0-based
+    `doc_ids`, ordered impact DESC within term (the reference's reversed
+    emit order is an ORDER BY here)."""
+    merged = (
+        index.segments.select("term", "impact", F.explode("doc_ids").alias("doc_id"))
+        .groupBy("term", "impact")
+        .agg(F.sort_array(F.collect_list(F.col("doc_id") - F.lit(1))).alias("doc_ids"))
+    )
+    return merged.select(
+        "term",
+        F.col("impact").cast("int").alias("impact"),
+        F.size("doc_ids").alias("length"),
+        "doc_ids",
+    ).orderBy("term", F.col("impact").desc())

@@ -1,0 +1,53 @@
+"""Export sinks: forward index + raw integer segments
+(`source/serialise_forward_index.cpp`, `source/serialise_integers.cpp`)."""
+
+import pytest
+
+from jassv2_spark.fixtures import ten_documents
+from jassv2_spark.operators.build import build_index
+from jassv2_spark.plans.export import forward_index, integer_segments
+
+
+@pytest.fixture(scope="module")
+def ten_index(spark):
+    rows = [(r["url"], r["html"].decode()) for r in ten_documents()]
+    docs = spark.createDataFrame(rows, ["url", "html"])
+    return build_index(docs, text_col="html", key_col="url", cache=False)
+
+
+def test_forward_index_format(spark, ten_index):
+    lines = {r["doc_id"]: r["line"] for r in forward_index(ten_index).collect()}
+    assert len(lines) == 10
+    # reference quirk preserved: <DOCNO> opened, </DOCID> closed
+    # (serialise_forward_index.cpp:52-55)
+    for did, line in lines.items():
+        assert line.startswith(f"<DOC><DOCNO>{did}</DOCID>")
+        assert line.endswith("</DOC>")
+
+    # doc 1 of the 10-doc fixture holds tokens {"1" (DOCNO text — tag
+    # contents are indexed), "ten"}; sorted term order
+    assert lines[1] == "<DOC><DOCNO>1</DOCID>1 ten</DOC>"
+    body = lines[10].split("</DOCID>")[1].removesuffix("</DOC>").split(" ")
+    assert body == sorted(body)
+    assert body.count("ten") == 1 and body.count("one") == 1 and "10" in body
+
+
+def test_integer_segments_dump(spark, ten_index):
+    rows = integer_segments(ten_index).collect()
+    # docids are 0-based (serialise_integers.cpp:48-50) and ascending
+    for r in rows:
+        assert r["length"] == len(r["doc_ids"])
+        assert all(d >= 0 for d in r["doc_ids"])
+        assert r["doc_ids"] == sorted(r["doc_ids"])
+    # per-term order is impact DESC
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r["impact"])
+    for impacts in by_term.values():
+        assert impacts == sorted(impacts, reverse=True)
+    # union over a term's segments = its full postings, 0-based
+    one = sorted(d for r in rows if r["term"] == "one" for d in r["doc_ids"])
+    expect = sorted(
+        r["doc_id"] - 1 for r in ten_index.postings.where("term = 'one'").collect()
+    )
+    assert one == expect
