@@ -435,6 +435,25 @@ FROM nrel n FULL OUTER JOIN m ON m.query_id = n.query_id"""
         )
         return evaluate_run_priced(run, qrels, prices, depth=K)
 
+    _bin_cis = [
+        (1.0 - math.exp(i)) / (1.0 - math.exp(5)) for i in range(5)
+    ]
+    _logs = [math.log2(i + 2) for i in range(K)]
+
+    def _bin_gain_sql(p: str) -> str:
+        hits = " + ".join(
+            f"CASE WHEN n.min_rel_price + (n.max_rel_price - n.min_rel_price) * {_flit(ci)}"
+            f" <= {p} THEN 1 ELSE 0 END"
+            for ci in _bin_cis
+        )
+        return f"(6 - ({hits}))::DOUBLE"
+
+    def _dcg_chain_sql(pos: str, term: str) -> str:
+        return " + ".join(
+            f"coalesce(max(CASE WHEN {pos} = {j} THEN {term.replace('{L}', _flit(_logs[j - 1]))} END), 0.0)"
+            for j in range(1, K + 1)
+        )
+
     _ecom_sql = (
         _sql(_BASE, _query_ctes(1.0), _TOPK_CTES)
         + f""",
@@ -444,7 +463,8 @@ rel AS (SELECT query_id, doc_id FROM (
         WHERE c >= 2),
 pr AS (SELECT doc_id, ((doc_id * 37) % 97 + 3)::DOUBLE AS price FROM dlx),
 relp AS (SELECT r.query_id, r.doc_id, pr.price FROM rel r JOIN pr USING (doc_id)),
-nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel, min(price) AS min_rel_price
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel, min(price) AS min_rel_price,
+                max(price) AS max_rel_price
          FROM relp GROUP BY query_id),
 res AS (SELECT rk.query_id, rk.doc_id, rk.rank, pr.price,
                CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
@@ -465,6 +485,15 @@ cheap AS (SELECT query_id, price AS cheap_price,
           FROM relp),
 mincost AS (SELECT query_id, {" + ".join(f"coalesce(max(CASE WHEN i = {j} THEN cheap_price END), 0.0)" for j in range(1, K + 1))} AS min_cost
             FROM cheap GROUP BY query_id),
+idealq AS (SELECT c.query_id,
+             {_dcg_chain_sql("c.i", _bin_gain_sql("c.cheap_price") + " / {L}")} AS pb_ideal,
+             {_dcg_chain_sql("c.i", "(n.min_rel_price / c.cheap_price) / {L}")} AS bp_ideal
+           FROM cheap c JOIN nrel n USING (query_id) GROUP BY c.query_id),
+dcgq AS (SELECT res.query_id,
+           {_dcg_chain_sql("res.rank", _bin_gain_sql("res.price") + " / {L}")} AS pb_dcg,
+           {_dcg_chain_sql("res.rank", "(n.min_rel_price / res.price) / {L}")} AS bp_dcg
+         FROM res JOIN nrel n USING (query_id)
+         WHERE res.rank <= {K} AND res.is_rel = 1 GROUP BY res.query_id),
 sphits AS (SELECT h.query_id, {" + ".join(f"coalesce(max(CASE WHEN h.i = {j} THEN c.cheap_price / h.price END), 0.0)" for j in range(1, K + 1))} AS sp_sum FROM (
              SELECT res.query_id, res.price,
                     row_number() OVER (PARTITION BY res.query_id ORDER BY rank) AS i
@@ -502,11 +531,17 @@ SELECT coalesce(n.query_id, t.query_id) AS query_id,
   END AS selling_power,
   CASE WHEN coalesce(n.n_rel, 0) < {K} THEN 0.0
        WHEN b4.spend_at_k4_rel IS NULL THEN 0.0
-       ELSE mc.min_cost / b4.spend_at_k4_rel END AS buying_power4k
+       ELSE mc.min_cost / b4.spend_at_k4_rel END AS buying_power4k,
+  CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 1.0
+       ELSE coalesce(d.pb_dcg, 0.0) / i.pb_ideal END AS pb_ndcg,
+  CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 1.0
+       ELSE coalesce(d.bp_dcg, 0.0) / i.bp_ideal END AS bp_ndcg
 FROM nrel n FULL OUTER JOIN nret t ON t.query_id = n.query_id
      LEFT JOIN bpq b ON b.query_id = coalesce(n.query_id, t.query_id)
      LEFT JOIN bp4q b4 ON b4.query_id = coalesce(n.query_id, t.query_id)
      LEFT JOIN mincost mc ON mc.query_id = coalesce(n.query_id, t.query_id)
+     LEFT JOIN idealq i ON i.query_id = coalesce(n.query_id, t.query_id)
+     LEFT JOIN dcgq d ON d.query_id = coalesce(n.query_id, t.query_id)
      LEFT JOIN sphits s ON s.query_id = coalesce(n.query_id, t.query_id)
      LEFT JOIN cpq c ON c.query_id = coalesce(n.query_id, t.query_id)"""
     )

@@ -198,16 +198,53 @@ def evaluate_run_priced(
       `-k`, default = depth): Σ of the k4 cheapest relevant prices / Σ
       prices of results up to and including the k4-th relevant one; 0 when
       fewer than k4 relevant exist or fewer than k4 are retrieved in depth.
+    - pb_ndcg (`evaluate_price_based_normalized_discounted_cumulative_gain
+      .cpp:21-138`): nDCG whose gains come from 5 exponential price bins
+      over the relevant price range (cheaper → higher gain 1..5); the
+      ideal ranking is cheapest-first; discounts 1/log2(pos+2) count ALL
+      result positions. 1 with no relevant assessments.
+    - bp_ndcg (`evaluate_buying_power_normalized_discounted_cumulative_gain
+      .cpp:20-116`): same structure with gain = cheapest_rel_price / price.
+
+    Float determinism: the bin coefficients (1-e^i)/(1-e^5) and the
+    log2(pos+2) discounts are Python-computed literals shared with the SQL
+    oracle, and every DCG sum is pivot-chained in position order, so both
+    engines execute the identical IEEE expression tree.
 
     Scale: every join is keyed (query_id, doc_id) or a broadcast of the
     per-query relevant sets — skew-free; windows run over ≤ depth rows.
     """
     k4 = depth if k4 is None else k4
+    n_bins = 5
+    bin_cis = [(1.0 - math.exp(i)) / (1.0 - math.exp(n_bins)) for i in range(n_bins)]
+    logs = [math.log2(i + 2) for i in range(depth)]
     rel = qrels.select("query_id", F.col(id_col).alias("doc_id")).distinct()
     rel_p = rel.join(prices.select(F.col(id_col).alias("doc_id"), "price"), "doc_id")
     n_rel = rel_p.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_rel"), F.min("price").alias("min_rel_price")
+        F.count(F.lit(1)).alias("n_rel"),
+        F.min("price").alias("min_rel_price"),
+        F.max("price").alias("max_rel_price"),
     )
+
+    def _bin_gain(price_col):
+        """6 - bin_no with bin boundaries lo + (hi-lo)·c_i (c_i literal);
+        bin_no counts boundaries ≤ price, exactly the reference's loop."""
+        bin_no = None
+        for ci in bin_cis:
+            hit = F.when(
+                F.col("min_rel_price")
+                + (F.col("max_rel_price") - F.col("min_rel_price")) * F.lit(ci)
+                <= price_col,
+                1,
+            ).otherwise(0)
+            bin_no = hit if bin_no is None else bin_no + hit
+        return (F.lit(n_bins + 1) - bin_no).cast("double")
+
+    def _chain(slots):
+        total = F.coalesce(slots[0], F.lit(0.0))
+        for s in slots[1:]:
+            total = total + F.coalesce(s, F.lit(0.0))
+        return total
 
     res = (
         run.select("query_id", F.col(id_col).alias("doc_id"), F.col("rank").cast("long").alias("rank"))
@@ -250,6 +287,66 @@ def evaluate_run_priced(
     for s in mc_slots[1:]:
         mc_sum = mc_sum + F.coalesce(s, F.lit(0.0))
     min_cost_q = cheap.groupBy("query_id").agg(mc_sum.alias("min_cost"))
+
+    # nDCG ideal vectors: cheapest-first positions 1..depth
+    cheap_nd = cheap.join(
+        n_rel.select("query_id", "min_rel_price", "max_rel_price"), "query_id"
+    )
+    ideal_q = cheap_nd.groupBy("query_id").agg(
+        _chain(
+            [
+                F.max(
+                    F.when(
+                        F.col("i") == j,
+                        _bin_gain(F.col("cheap_price")) / F.lit(logs[j - 1]),
+                    )
+                )
+                for j in range(1, depth + 1)
+            ]
+        ).alias("pb_ideal"),
+        _chain(
+            [
+                F.max(
+                    F.when(
+                        F.col("i") == j,
+                        (F.col("min_rel_price") / F.col("cheap_price"))
+                        / F.lit(logs[j - 1]),
+                    )
+                )
+                for j in range(1, depth + 1)
+            ]
+        ).alias("bp_ideal"),
+    )
+
+    # nDCG of the run: discounts use the ABSOLUTE result position (rank),
+    # relevant rows contribute, non-relevant still consume positions
+    res_nd = res.where(F.col("rank") <= F.lit(depth)).where(F.col("is_rel") == 1).join(
+        n_rel.select("query_id", "min_rel_price", "max_rel_price"), "query_id"
+    )
+    dcg_q = res_nd.groupBy("query_id").agg(
+        _chain(
+            [
+                F.max(
+                    F.when(
+                        F.col("rank") == j,
+                        _bin_gain(F.col("price")) / F.lit(logs[j - 1]),
+                    )
+                )
+                for j in range(1, depth + 1)
+            ]
+        ).alias("pb_dcg"),
+        _chain(
+            [
+                F.max(
+                    F.when(
+                        F.col("rank") == j,
+                        (F.col("min_rel_price") / F.col("price")) / F.lit(logs[j - 1]),
+                    )
+                )
+                for j in range(1, depth + 1)
+            ]
+        ).alias("bp_dcg"),
+    )
     # the ratio sum is floating point, so the association order must be
     # pinned for cross-engine bitwise parity: pivot the ≤ depth ratios into
     # slots and chain-add them left to right (same expression in the SQL
@@ -308,6 +405,8 @@ def evaluate_run_priced(
         .join(bp_q, "query_id", "left")
         .join(bp4_q, "query_id", "left")
         .join(min_cost_q, "query_id", "left")
+        .join(ideal_q, "query_id", "left")
+        .join(dcg_q, "query_id", "left")
         .join(sp_hits, "query_id", "left")
         .join(cp_q, "query_id", "left")
     )
@@ -333,6 +432,12 @@ def evaluate_run_priced(
         .when(F.col("spend_at_k4_rel").isNull(), F.lit(0.0))
         .otherwise(F.col("min_cost") / F.col("spend_at_k4_rel"))
     )
+    pbndcg = F.when(n_rel_c == 0, F.lit(1.0)).otherwise(
+        F.coalesce(F.col("pb_dcg"), F.lit(0.0)) / F.col("pb_ideal")
+    )
+    bpndcg = F.when(n_rel_c == 0, F.lit(1.0)).otherwise(
+        F.coalesce(F.col("bp_dcg"), F.lit(0.0)) / F.col("bp_ideal")
+    )
     return out.select(
         "query_id",
         n_rel_c.cast("long").alias("n_rel"),
@@ -341,6 +446,8 @@ def evaluate_run_priced(
         bp.alias("buying_power"),
         sp.alias("selling_power"),
         bp4.alias("buying_power4k"),
+        pbndcg.alias("pb_ndcg"),
+        bpndcg.alias("bp_ndcg"),
     )
 
 

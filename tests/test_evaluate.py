@@ -122,6 +122,44 @@ def test_4k_metrics(spark, run_and_qrels):
     assert prow["q3"]["buying_power4k"] == 0.0
 
 
+def test_price_ndcg_goldens(spark, run_and_qrels):
+    """PBnDCG / BPnDCG per the reference formulas
+    (`evaluate_price_based_normalized_discounted_cumulative_gain.cpp`,
+    `evaluate_buying_power_normalized_discounted_cumulative_gain.cpp`),
+    recomputed independently here."""
+    run, qrels = run_and_qrels
+    prices = spark.createDataFrame(
+        [(10, 5.0), (11, 7.0), (12, 3.0), (13, 9.0), (99, 2.0),
+         (20, 4.0), (21, 6.0), (30, 8.0), (31, 1.0)],
+        ["doc_id", "price"],
+    )
+    rows = {
+        r["query_id"]: r
+        for r in evaluate_run_priced(run, qrels, prices, depth=10).collect()
+    }
+
+    # q1: relevant prices {5, 3, 2}; results [(1, price 5, rel), (2, 7, non),
+    # (3, 3, rel), (4, 9, non)]
+    lo, hi = 2.0, 5.0
+    bins = [lo + (hi - lo) * (1 - math.exp(i)) / (1 - math.exp(5)) for i in range(5)]
+
+    def gain(p):
+        return 6 - sum(1 for b in bins if b <= p)
+
+    ideal_prices = [2.0, 3.0, 5.0]
+    pb_ideal = sum(gain(p) / math.log2(i + 2) for i, p in enumerate(ideal_prices))
+    bp_ideal = sum((lo / p) / math.log2(i + 2) for i, p in enumerate(ideal_prices))
+    pb_dcg = gain(5.0) / math.log2(0 + 2) + gain(3.0) / math.log2(2 + 2)
+    bp_dcg = (lo / 5.0) / math.log2(0 + 2) + (lo / 3.0) / math.log2(2 + 2)
+    assert rows["q1"]["pb_ndcg"] == pytest.approx(pb_dcg / pb_ideal, abs=1e-12)
+    assert rows["q1"]["bp_ndcg"] == pytest.approx(bp_dcg / bp_ideal, abs=1e-12)
+
+    assert rows["q2"]["pb_ndcg"] == 1.0  # no relevant assessments
+    assert rows["q2"]["bp_ndcg"] == 1.0
+    assert rows["q3"]["pb_ndcg"] == 0.0  # relevant exists, none retrieved
+    assert rows["q3"]["bp_ndcg"] == 0.0
+
+
 def test_gmap_reference_semantics(spark, run_and_qrels):
     """GMAP = exp(mean over ALL queries of (ap==0 ? 0 : ln ap))
     (`tools/JASS_eval.cpp:295,365`): zero-AP queries contribute log-term 0
