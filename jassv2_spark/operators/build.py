@@ -343,6 +343,30 @@ def build_index(
         counts = docs.select(F.col(did).cast("long").alias(did), text_col).mapInPandas(
             run, schema=cnt_schema
         )
+    return build_index_from_counts(
+        counts, doc_map, n_docs, conf=conf, cache=cache
+    )
+
+
+def build_index_from_counts(
+    counts: DataFrame,
+    doc_map: DataFrame,
+    n_docs: int,
+    *,
+    collection_length: int | None = None,
+    conf: BuildConf | None = None,
+    cache: bool = True,
+) -> Index:
+    """Scoring/quantization/segment pipeline from a precomputed
+    ``counts(doc_id, term, cnt, dl)`` table — the post-tokenize half of
+    ``build_index``, shared by the CIFF import path (where counts and doc
+    lengths come from the interchange file rather than a tokenizer pass,
+    `tools/ciff_to_JASS.cpp:180-260`). ``collection_length`` overrides the
+    Σcnt-derived value when the source carries authoritative doc lengths
+    that may differ from Σtf (e.g. a CIFF built with stopping).
+    """
+    conf = conf or BuildConf()
+    spark = counts.sparkSession
     if cache:
         counts = counts.persist()
     postings = counts.select(
@@ -367,7 +391,8 @@ def build_index(
     if cache:
         profile = profile.persist()
 
-    collection_length = profile.agg(F.sum("sum_cnt")).collect()[0][0] or 0
+    if collection_length is None:
+        collection_length = profile.agg(F.sum("sum_cnt")).collect()[0][0] or 0
     # mean = Σlen / (slots-1); slot 0 is the unused doc 0 ⇒ Σlen / N
     # (source/ranking_function_atire_bm25.h:65-69)
     mean_dl = float(collection_length) / float(n_docs) if n_docs else 0.0
