@@ -41,11 +41,19 @@ K1, B = 0.9, 0.4
 K = 10
 RHO_PARTIAL = 0.35
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+EMB_DIM = 64  # driver testdata embeddings dimensionality (TESTDATA.md)
 
 # float literals emitted via repr() → both engines parse to the same double
 _K1R, _BR = repr(K1), repr(B)
 _K1P1 = repr(K1 + 1.0)
 _OMB = repr(1.0 - B)
+
+
+def _flit(x: float) -> str:
+    """DuckDB float literal: plain decimals parse as DECIMAL (value-changing
+    for long mantissas); an exponent forces the DOUBLE/strtod path."""
+    s = repr(float(x))
+    return s if "e" in s or "inf" in s or "nan" in s else s + "e0"
 
 # Reference query set over the synthetic web-corpus vocabulary (FIXTURES.md):
 # multi-term, single-term, duplicated-term (q_tf), OOV, long queries.
@@ -347,12 +355,6 @@ def registry() -> dict[str, tuple]:
         )
         return evaluate_run(run, qrels, depth=K, rbp_p=0.95)
 
-    def _flit(x: float) -> str:
-        # DuckDB parses plain decimal literals as DECIMAL (value-changing
-        # for long mantissas); an exponent forces the DOUBLE/strtod path.
-        s = repr(float(x))
-        return s if "e" in s or "inf" in s or "nan" in s else s + "e0"
-
     def _eval_sql() -> str:
         from jassv2_spark.operators.evaluate import RBP_SCALE, rbp_weights_fixed
 
@@ -555,8 +557,10 @@ FROM nrel n FULL OUTER JOIN nret t ON t.query_id = n.query_id
         "SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups, min(doc_id)::BIGINT AS keep_id "
         "FROM documents GROUP BY md5(text)",
     )
+    # max_shingle_df exercises the hot-shingle cap path; 100000 ≥ any test
+    # corpus df, so output is bit-identical to the uncapped oracle.
     r["dedup_ngram_jaccard"] = (
-        lambda spark, sf: ngram_jaccard_pairs(_docs(spark, sf), n=3).select(
+        lambda spark, sf: ngram_jaccard_pairs(_docs(spark, sf), n=3, max_shingle_df=100000).select(
             "doc_a", "doc_b", "inter", "uni", "jaccard"
         ),
         _sql(_SHINGLE3)
@@ -596,10 +600,39 @@ FROM nrel n FULL OUTER JOIN nret t ON t.query_id = n.query_id
         ),
         _minhash_sql(),
     )
-    # SimHash: bit-level pandas UDF — no portable SQL oracle (rows-only check)
+    # SimHash oracle: DuckDB rebuilds the fingerprint bit-exactly — per-term
+    # hash h = first 8 bytes of md5 (hex-cast to UBIGINT == big-endian),
+    # per-bit weighted votes, bit set iff vote > 0, signed-64 reinterpret.
+    _simhash_ctes = f"""
+stoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+          FROM documents),
+scnt AS (SELECT doc_id, term, count(*)::BIGINT AS w FROM stoks GROUP BY 1, 2),
+shs AS (SELECT doc_id, CAST('0x' || substr(md5(term), 1, 16) AS UBIGINT) AS h, w FROM scnt),
+sbits AS (SELECT doc_id, h, w, unnest(range(64)) AS bit FROM shs),
+sacc AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN w ELSE -w END) AS a
+         FROM sbits GROUP BY 1, 2),
+sval AS (SELECT doc_id, sum(CASE WHEN a > 0 THEN (1::UBIGINT << bit)::HUGEINT
+                                 ELSE 0::HUGEINT END) AS uv
+         FROM sacc GROUP BY 1),
+sfp AS (SELECT d.doc_id,
+               (CASE WHEN coalesce(uv, 0) >= 9223372036854775808::HUGEINT
+                     THEN coalesce(uv, 0) - 18446744073709551616::HUGEINT
+                     ELSE coalesce(uv, 0) END)::BIGINT AS simhash
+        FROM documents d LEFT JOIN sval ON sval.doc_id = d.doc_id)
+"""
     r["dedup_simhash"] = (
         lambda spark, sf: simhash_fingerprints(_docs(spark, sf)),
-        None,
+        _sql(_simhash_ctes) + " SELECT doc_id, simhash FROM sfp",
+    )
+    r["dedup_simhash_pairs"] = (
+        lambda spark, sf: __import__(
+            "jassv2_spark.operators.dedup", fromlist=["simhash_hamming_pairs"]
+        ).simhash_hamming_pairs(_docs(spark, sf), max_distance=3),
+        _sql(_simhash_ctes)
+        + """ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+              FROM sfp a JOIN sfp b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     )
 
     # ---- training-data pipeline: text analysis ----
@@ -661,10 +694,13 @@ FROM nrel n FULL OUTER JOIN nret t ON t.query_id = n.query_id
             SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}""",
     )
 
+    # Spark plan: LSH-bucket equi-join candidates + exact re-check (the
+    # scale path); oracle: exact all-pairs (the truth). Green ⇔ the
+    # bucketed plan achieved recall 1 on this corpus (seed-deterministic).
     r["dedup_embedding_cosine"] = (
         lambda spark, sf: __import__(
             "jassv2_spark.operators.ann", fromlist=["embedding_near_dups"]
-        ).embedding_near_dups(_emb(spark, sf), threshold=0.45),
+        ).embedding_near_dups(_emb(spark, sf), threshold=0.45, dim=EMB_DIM),
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
            p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    round(list_dot_product(a.ve, b.ve)
@@ -673,28 +709,98 @@ FROM nrel n FULL OUTER JOIN nret t ON t.query_id = n.query_id
            SELECT doc_a, doc_b, cos FROM p WHERE cos >= 0.45e0""",
     )
 
-    # LSH-bucketed ANN: candidate set depends on driver-side random planes —
-    # deterministic under the fixed seed but not SQL-expressible (rows-only)
+    # LSH-bucketed ANN: the oracle reproduces the exact bucket assignment by
+    # emitting the same seed-derived hyperplane doubles (ann.lsh_planes) as
+    # SQL literals — candidate sets match by construction, then the exact
+    # re-rank mirrors ann_cosine_topk's (already-verified) cosine SQL.
     def _lsh(spark, sf):
         from jassv2_spark.operators.ann import lsh_bucketed_topk
 
-        return lsh_bucketed_topk(_emb(spark, sf), ANN_QUERY_IDS, k=K)
+        return lsh_bucketed_topk(_emb(spark, sf), ANN_QUERY_IDS, k=K, dim=EMB_DIM)
 
-    r["ann_lsh_topk"] = (_lsh, None)
+    def _lsh_sql(n_planes: int = 12, n_tables: int = 4, seed: int = 42) -> str:
+        from jassv2_spark.operators.ann import lsh_planes
 
-    # ---- multimodal binary-column plumbing (pandas-UDF kernels; rows-only) ----
+        planes = lsh_planes(EMB_DIM, n_planes, n_tables, seed)
+        tabs = []
+        for t in range(n_tables):
+            bits = []
+            for p in range(n_planes):
+                arr = "[" + ", ".join(_flit(x) for x in planes[t, p]) + "]"
+                bits.append(
+                    f"CASE WHEN list_dot_product(ve, {arr}) >= 0 THEN '1' ELSE '0' END"
+                )
+            tabs.append(
+                f"SELECT vec_id, {t} AS table_idx, concat({', '.join(bits)}) AS bucket FROM e"
+            )
+        qid_list = ", ".join(map(str, ANN_QUERY_IDS))
+        return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+sig AS ({" UNION ALL ".join(tabs)}),
+qsig AS (SELECT vec_id AS qid, table_idx, bucket FROM sig WHERE vec_id IN ({qid_list})),
+cand AS (SELECT DISTINCT q.qid, s.vec_id
+         FROM sig s JOIN qsig q ON q.table_idx = s.table_idx AND q.bucket = s.bucket),
+scored AS (SELECT c.qid, c.vec_id,
+             round(list_dot_product(qe.ve, e.ve)
+                   / (sqrt(list_dot_product(qe.ve, qe.ve)) * sqrt(list_dot_product(e.ve, e.ve))), 4) AS cos
+           FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN e qe ON qe.vec_id = c.qid),
+r AS (SELECT qid, vec_id, cos,
+             (row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC))::BIGINT AS rank
+      FROM scored)
+SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
+
+    r["ann_lsh_topk"] = (_lsh, _lsh_sql())
+
+    # ---- multimodal binary-column plumbing (pandas-UDF kernels) ----
+    # Oracles reconstruct the synthesized payload (utf-8 bytes of `text`,
+    # multimodal.synthesize_media) in DuckDB via encode()/hex(): byte values
+    # come from a 256-row hex-pair lookup (DuckDB has no blob indexing),
+    # frames are compared as hex strings (blob substring isn't portable).
     def _mm_hist(spark, sf):
-        from jassv2_spark.operators.multimodal import byte_histogram_features, synthesize_media
+        from jassv2_spark.operators.multimodal import byte_histogram_counts, synthesize_media
 
-        return byte_histogram_features(synthesize_media(_docs(spark, sf)), bins=64)
+        return byte_histogram_counts(synthesize_media(_docs(spark, sf)), bins=64)
 
     def _mm_frames(spark, sf):
         from jassv2_spark.operators.multimodal import sample_frames, synthesize_media
 
-        return sample_frames(synthesize_media(_docs(spark, sf)), every_n=2)
+        return sample_frames(synthesize_media(_docs(spark, sf)), every_n=2).select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.hex("frame").alias("frame_hex"),
+        )
 
-    r["multimodal_byte_histogram"] = (_mm_hist, None)
-    r["multimodal_frame_sample"] = (_mm_frames, None)
+    r["multimodal_byte_histogram"] = (
+        _mm_hist,
+        """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                             octet_length(encode(text))::BIGINT AS n FROM documents),
+           lut AS (SELECT i::INT AS val, printf('%02X', i) AS hx FROM range(256) t(i)),
+           b AS (SELECT media_id, h, unnest(range(n)) AS j FROM m),
+           vals AS (SELECT b.media_id, lut.val
+                    FROM b JOIN lut ON lut.hx = substr(b.h, (2*b.j+1)::INT, 2)),
+           binc AS (SELECT media_id, val // 4 AS bin, count(*)::BIGINT AS c
+                    FROM vals GROUP BY 1, 2),
+           slots AS (SELECT media_id, unnest(range(64)) AS bin FROM m),
+           hist AS (SELECT s.media_id, s.bin, coalesce(binc.c, 0) AS c
+                    FROM slots s LEFT JOIN binc ON binc.media_id = s.media_id
+                                                AND binc.bin = s.bin)
+           SELECT h.media_id, any_value(m.n) AS n_bytes,
+                  string_agg(c::VARCHAR, ',' ORDER BY bin) AS hist_csv
+           FROM hist h JOIN m ON m.media_id = h.media_id GROUP BY h.media_id""",
+    )
+    r["multimodal_frame_sample"] = (
+        _mm_frames,
+        """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                             octet_length(encode(text))::BIGINT AS n
+                      FROM documents WHERE doc_id % 3 = 2),
+           p AS (SELECT media_id, h, (n % 24 + 1)::BIGINT AS n_frames,
+                        greatest(n // (n % 24 + 1), 1)::BIGINT AS fsize FROM m),
+           f AS (SELECT media_id, fsize, h,
+                        unnest(range(0, n_frames, 2)) AS frame_idx FROM p)
+           SELECT media_id, frame_idx::BIGINT AS frame_idx,
+                  substr(h, (frame_idx*fsize*2 + 1)::INT, (fsize*2)::INT) AS frame_hex
+           FROM f""",
+    )
 
     # ---- relational sanity (TPC-H Q1 shape over lineitem) ----
     def _q1(spark, sf):

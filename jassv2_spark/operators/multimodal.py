@@ -153,6 +153,36 @@ def byte_histogram_features(media: DataFrame, bins: int = 64) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
 
 
+def byte_histogram_counts(media: DataFrame, bins: int = 64) -> DataFrame:
+    """Byte histogram as RAW COUNTS in a sortable CSV string:
+    (media_id, n_bytes, hist_csv) with hist_csv = comma-joined `bins` integer
+    counts. The driver-facing variant of :func:`byte_histogram_features` —
+    scalar columns only, so result canonicalization (sort/hash) works, and
+    integer counts compare exactly across engines (the L1-normalized array
+    form divides by n_bytes, which any consumer can do from these columns)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_bytes", LongType(), False),
+            StructField("hist_csv", StringType(), False),
+        ]
+    )
+    width = 256 // bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr // width, minlength=bins)
+                rows.append((int(mid), len(arr), ",".join(str(int(c)) for c in hist)))
+            yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "hist_csv"])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+
+
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize image payloads. STUB: real resampling needs PIL; fake=True
     truncates/pads the payload to width*height bytes (deterministic) to

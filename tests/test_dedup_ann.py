@@ -1,0 +1,85 @@
+"""Dedup + ANN scale-path tests: hot-shingle cap, SimHash Hamming pairing
+(pigeonhole recall), LSH-bucketed embedding near-dups (plan shape + recall
+vs the exact all-pairs oracle)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jassv2_spark.operators.ann import embedding_near_dups
+from jassv2_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_hamming_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").limit(120).cache()
+
+
+def test_ngram_cap_above_max_df_is_exact(spark, docs):
+    base = ngram_jaccard_pairs(docs, n=3).collect()
+    capped = ngram_jaccard_pairs(docs, n=3, max_shingle_df=10**6).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, capped))
+
+
+def test_ngram_cap_bounds_hot_shingle_bucket(spark):
+    # 40 docs all sharing one Zipf-head shingle; only docs 0/1 truly overlap
+    hot = "of the and"
+    rows = [(i, f"{hot} unique{i} word{i} token{i}") for i in range(40)]
+    rows[1] = (1, f"{hot} unique0 word0 token0")  # near-dup of doc 0
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs(docs, n=3)
+    capped = ngram_jaccard_pairs(docs, n=3, max_shingle_df=5)
+    # uncapped: hot shingle makes all C(40,2)=780 pairs candidates
+    assert uncapped.count() == 780
+    # capped: the hot shingle (df=40 > 5) is dropped from candidate
+    # generation -> only the genuine near-dup pair survives
+    got = capped.collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(0, 1)]
+    # sizes still count all shingles: doc0/doc1 share their low-df shingles
+    # but 'inter' excludes the dropped hot one
+    assert got[0].uni > got[0].inter
+
+
+def test_simhash_pairs_match_bruteforce(spark, docs):
+    fp = simhash_fingerprints(docs)
+    vals = {r.doc_id: r.simhash for r in fp.collect()}
+    ids = sorted(vals)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                brute.add((a, b, h))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_hamming_pairs(docs, max_distance=3).collect()
+    }
+    assert got == brute  # pigeonhole blocks guarantee recall; popcount exact
+
+
+def test_near_dups_bucketed_plan_and_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    nd = embedding_near_dups(emb, threshold=0.45, dim=64)
+    plan = nd._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    got = {(r.doc_a, r.doc_b, r.cos) for r in nd.collect()}
+    # exact all-pairs oracle in numpy
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = np.round(Vn @ Vn.T, 4)
+    want = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if C[i, j] >= 0.45:
+                a, b = int(ids[i]), int(ids[j])
+                want.add((min(a, b), max(a, b), float(C[i, j])))
+    assert got == want
