@@ -101,6 +101,11 @@ class Index:
     max_rsv: float = 0.0
     conf: BuildConf = field(default_factory=BuildConf)
     profile: DataFrame | None = None  # (term, tf, n_pairs, sum_cnt, dl_lo, dl_hi)
+    # bucket count of the on-disk term-bucketed segment layout (persist.py);
+    # None for in-memory indexes. Query-side pruning MUST use this stored
+    # value, not the current code constant — a constant bump would otherwise
+    # silently prune away matching segments of older saved indexes.
+    n_term_buckets: int | None = None
 
     def unpersist(self) -> None:
         for df in (self.segments, self.seg_stats, self.term_stats, self.doc_map,

@@ -24,6 +24,10 @@ integer found·(lcm/rank)), RBP weights p^(rank-1) are precomputed in
 CPython and fixed-pointed at 2^48. Each metric then ends with the same
 fixed sequence of ≤2 IEEE divisions/multiplies on both engines. Values
 agree with the reference's sequential-double formula to < 2^-40 relative.
+The lcm fixed-point fits int64 only up to depth ≈ 42; at the reference's
+deeper reporting depths (100/200/500/1000, JASS_eval `-d`) the 1/rank sums
+fall back to plain float accumulation — same values to float precision,
+only the cross-engine bitwise guarantee is forfeited.
 
 Scale: run/qrels join keyed (query_id, doc_id) — skew-free; all window
 work is per-query over ≤ depth rows.
@@ -60,13 +64,27 @@ def evaluate_run(
     esl, f1, mrr4k)."""
     k4 = depth if k4 is None else k4
     spark = run.sparkSession
+    # The 1/rank sums (MAP, MRR4K) accumulate as exact integers Σ lcm/rank
+    # when lcm(1..depth) fits the fixed-point guard — cross-engine bitwise.
+    # Beyond depth ≈ 42 the lcm overflows int64, so fall back to plain
+    # float accumulation (the reference's own math, JASS_eval reports
+    # depths 100/200/500/1000): only the cross-engine bitwise guarantee is
+    # forfeited, values differ at most by float association order.
     ap_lcm = math.lcm(*range(1, depth + 1))
-    if ap_lcm * depth * depth >= 1 << 62:
-        raise ValueError(f"depth {depth} overflows the fixed-point MAP accumulator")
+    fixed_point = ap_lcm * depth * depth < 1 << 62
+    if fixed_point:
+        ap_ws: list = [ap_lcm // r for r in range(1, depth + 1)]
+        ap_type, ap_scale = "long", float(ap_lcm)
+    else:
+        ap_ws = [1.0 / r for r in range(1, depth + 1)]
+        ap_type, ap_scale = "double", 1.0
 
-    w_rows = [(r, w, ap_lcm // r) for r, (_, w) in zip(range(1, depth + 1), rbp_weights_fixed(depth, rbp_p))]
+    w_rows = [
+        (r, w, ap_ws[r - 1])
+        for r, (_, w) in zip(range(1, depth + 1), rbp_weights_fixed(depth, rbp_p))
+    ]
     weights = F.broadcast(
-        spark.createDataFrame(w_rows, "rank long, rbp_wi long, ap_wi long")
+        spark.createDataFrame(w_rows, f"rank long, rbp_wi long, ap_wi {ap_type}")
     )
 
     rel = qrels.select("query_id", F.col(id_col).alias("doc_id")).distinct()
@@ -87,7 +105,7 @@ def evaluate_run(
 
     per_q = rr.groupBy("query_id").agg(
         F.sum(F.when(F.col("is_rel") == 1, F.col("found") * F.col("ap_wi")).otherwise(F.lit(0)))
-        .cast("long")
+        .cast(ap_type)
         .alias("ap_int"),
         # MRR4K numerator (`evaluate_mean_reciprocal_rank4k.cpp:19-44`):
         # Σ 1/rank over the first k4 relevant hits, as the exact integer
@@ -97,7 +115,7 @@ def evaluate_run(
                 (F.col("is_rel") == 1) & (F.col("found") <= F.lit(k4)), F.col("ap_wi")
             ).otherwise(F.lit(0))
         )
-        .cast("long")
+        .cast(ap_type)
         .alias("rr4k_int"),
         F.sum(F.when(F.col("is_rel") == 1, F.col("rbp_wi")).otherwise(F.lit(0)))
         .cast("long")
@@ -116,7 +134,7 @@ def evaluate_run(
         F.when(n_rel_c == 0, F.lit(1.0))
         .when(n_ret_c == 0, F.lit(0.0))
         .otherwise(
-            (F.coalesce(F.col("ap_int"), F.lit(0)).cast("double") / F.lit(float(ap_lcm)))
+            (F.coalesce(F.col("ap_int"), F.lit(0)).cast("double") / F.lit(ap_scale))
             / n_rel_c.cast("double")
         )
     )
@@ -147,7 +165,7 @@ def evaluate_run(
     # retrieved within depth; else 0 (the reference falls through to 0).
     mrr4k_c = F.when(
         n_rel_ret_c >= F.lit(k4),
-        (F.coalesce(F.col("rr4k_int"), F.lit(0)).cast("double") / F.lit(float(ap_lcm)))
+        (F.coalesce(F.col("rr4k_int"), F.lit(0)).cast("double") / F.lit(ap_scale))
         / F.lit(float(k4)),
     ).otherwise(F.lit(0.0))
 

@@ -7,13 +7,19 @@ scheduling query partitions), per-query accumulation
 (`source/accumulator_2d.h`), and a top-k select.
 
 Scale design:
-- The packaged index is ONE flat int64 docid array on disk (`.npy`),
-  distributed via ``SparkContext.addFile`` (executor-local copy on a real
-  cluster; same file in local mode) and **memory-mapped** by every Python
-  worker — the OS page cache shares the bytes across all workers on a
-  host, so worker count does not multiply deserialization cost the way a
-  pickled broadcast would. Only the small per-term segment directory
-  (impact, seg_freq, start, end) is pickled.
+- Packaging is DISTRIBUTED: the segment table is repartitioned by term
+  hash and each task writes ONE flat docid shard (`.npy`) directly from
+  the executor, returning only per-segment directory metadata (term,
+  impact, seg_freq, shard, start, end) to the driver — the postings
+  themselves never pass through the driver, so the package step scales
+  with the cluster instead of OOM-ing the driver at 10^12 postings. The
+  shard directory must be shared storage on a real cluster (any
+  Spark-visible mount: NFS/object-store fuse); in local mode /tmp is it.
+- Shards are distributed via ``SparkContext.addFile`` (executor-local
+  copy on a real cluster; same file in local mode) and **memory-mapped**
+  by every Python worker — the OS page cache shares the bytes across all
+  workers on a host, and a query's worker touches ONLY the shards its
+  terms live in. Only the small per-term segment directory is pickled.
 - Accumulation is HYBRID: a dense int64 accumulator (reused across
   queries, touched-entries-only reset — the vectorized analogue of the
   reference's dirty-page lazy zeroing) when the docid space fits
@@ -33,6 +39,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 from collections import Counter
 from typing import Iterator
 
@@ -53,72 +60,132 @@ DENSE_LIMIT = 1 << 26  # ≈67M docids ≈ 0.5 GB int64 per worker
 _ACC_BUF: list[np.ndarray] = []
 
 
-def package_index(index: Index, path: str | None = None) -> dict:
-    """Collect the segment table into the serving package:
-    - one flat ascending-docid int64 array persisted to `path` (.npy),
-    - a directory: term → [(impact, seg_freq, start, end)] impact-ascending.
+_META_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("impact", LongType(), False),
+        StructField("seg_freq", LongType(), False),
+        StructField("shard", LongType(), False),
+        StructField("start", LongType(), False),
+        StructField("end", LongType(), False),
+        StructField("max_doc", LongType(), False),
+    ]
+)
+
+
+def package_index(index: Index, path: str | None = None, n_shards: int | None = None) -> dict:
+    """Build the serving package WITHOUT collecting postings to the driver:
+    the segment table is repartitioned by term hash into ``n_shards`` tasks;
+    each task writes one flat ascending-docid `.npy` shard (int32 when its
+    docids fit, the reference's own width, `source/query.h:132`) to the
+    package directory and emits only per-segment metadata rows. The driver
+    assembles the (vocab-sized) directory: term → [(impact, seg_freq,
+    shard, start, end)] impact-ascending.
 
     The analogue of the reference's serial index load
-    (`anytime/JASS_anytime_api.cpp:89-134`): done once, amortized over the
-    query stream. Arrow-backed toPandas keeps the transfer columnar."""
-    pdf = index.segments.select("term", "impact", "doc_ids").toPandas()
-    by_term: dict[str, dict[int, list[np.ndarray]]] = {}
-    for term, impact, ids in zip(pdf["term"], pdf["impact"], pdf["doc_ids"]):
-        by_term.setdefault(term, {}).setdefault(int(impact), []).append(
-            np.asarray(ids, dtype=np.int64)
-        )
-    chunks: list[np.ndarray] = []
-    directory: dict[str, list[tuple[int, int, int, int]]] = {}
-    offset = 0
-    for term, imps in by_term.items():
-        segs = []
-        for impact, shards in sorted(imps.items()):
-            if len(shards) > 1:
-                ids = np.concatenate(shards)
-                ids.sort()
-            else:
-                ids = shards[0]  # ascending by packer construction
-            chunks.append(ids)
-            segs.append((impact, len(ids), offset, offset + len(ids)))
-            offset += len(ids)
-        directory[term] = segs
-    all_ids = np.concatenate(chunks) if chunks else np.array([], dtype=np.int64)
-    max_doc = int(all_ids.max()) if len(all_ids) else 0
-    if max_doc < (1 << 31):
-        # the reference's own docid width (`source/query.h:132` uint32);
-        # halves the per-query memory traffic of every segment read.
-        # Collections beyond 2^31 docs keep int64 automatically.
-        all_ids = all_ids.astype(np.int32)
-
+    (`anytime/JASS_anytime_api.cpp:89-134`) — but distributed, because at
+    10^12 postings the package IS all postings and must never transit one
+    machine. ``path`` is a DIRECTORY (created if absent; a fresh tempdir by
+    default); on a real cluster it must be storage every executor can read.
+    """
+    spark = index.spark
     if path is None:
-        fd, path = tempfile.mkstemp(suffix=".npy", prefix="jass_pkg_")
-        os.close(fd)
-    np.save(path, all_ids, allow_pickle=False)
+        path = tempfile.mkdtemp(prefix="jass_pkg_")
+    else:
+        path = path[: -len(".npy")] if path.endswith(".npy") else path
+        os.makedirs(path, exist_ok=True)
+    if n_shards is None:
+        n_shards = max(1, spark.sparkContext.defaultParallelism)
+    # addFile's registry is keyed by BASENAME: shard names must be unique
+    # across packages living in one SparkContext
+    token = uuid.uuid4().hex[:10]
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        by_term: dict[str, dict[int, list[np.ndarray]]] = {}
+        for pdf in batches:
+            for term, impact, ids in zip(pdf["term"], pdf["impact"], pdf["doc_ids"]):
+                by_term.setdefault(term, {}).setdefault(int(impact), []).append(
+                    np.asarray(ids, dtype=np.int64)
+                )
+        chunks: list[np.ndarray] = []
+        meta: list[tuple] = []
+        offset = 0
+        for term, imps in by_term.items():
+            for impact, shards in sorted(imps.items()):
+                if len(shards) > 1:
+                    ids = np.concatenate(shards)
+                    ids.sort()
+                else:
+                    ids = shards[0]  # ascending by packer construction
+                chunks.append(ids)
+                meta.append(
+                    (term, impact, len(ids), pid, offset, offset + len(ids), int(ids[-1]))
+                )
+                offset += len(ids)
+        if chunks:
+            all_ids = np.concatenate(chunks)
+            if int(all_ids.max()) < (1 << 31):
+                all_ids = all_ids.astype(np.int32)
+            # write-then-rename: idempotent under task retry (content is
+            # deterministic, so a double write is harmless either way)
+            final = os.path.join(path, f"shard_{token}_{pid:05d}.npy")
+            tmp = final + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:  # handle, not path: np.save would
+                np.save(f, all_ids, allow_pickle=False)  # append '.npy'
+            os.replace(tmp, final)
+        yield pd.DataFrame(
+            meta,
+            columns=["term", "impact", "seg_freq", "shard", "start", "end", "max_doc"],
+        )
+
+    meta_pdf = (
+        index.segments.select("term", "impact", "doc_ids")
+        .repartition(n_shards, "term")  # a term's segments co-reside in one shard
+        .mapInPandas(write, schema=_META_SCHEMA)
+        .toPandas()  # directory metadata only: O(vocab × impacts), not postings
+    )
+    directory: dict[str, list[tuple[int, int, int, int, int]]] = {}
+    for term, impact, seg_freq, shard, start, end in zip(
+        meta_pdf["term"], meta_pdf["impact"], meta_pdf["seg_freq"],
+        meta_pdf["shard"], meta_pdf["start"], meta_pdf["end"],
+    ):
+        directory.setdefault(term, []).append(
+            (int(impact), int(seg_freq), int(shard), int(start), int(end))
+        )
+    for segs in directory.values():
+        segs.sort()  # impact-ascending within a term
     try:  # executor-local distribution on a real cluster; no-op locally
-        index.spark.sparkContext.addFile(path)
+        for fname in sorted(os.listdir(path)):
+            if fname.startswith(f"shard_{token}_") and fname.endswith(".npy"):
+                index.spark.sparkContext.addFile(os.path.join(path, fname))
     except Exception:
         pass
     return {
         "terms": directory,
-        "ids_path": path,
-        "n_postings": int(offset),
-        "max_doc": max_doc,
+        "dir": path,
+        "token": token,
+        "n_postings": int(meta_pdf["seg_freq"].sum()) if len(meta_pdf) else 0,
+        "max_doc": int(meta_pdf["max_doc"].max()) if len(meta_pdf) else 0,
         "stem": getattr(index.conf, "stem", False),
     }
 
 
-def _load_ids(pkg: dict) -> np.ndarray:
-    path = pkg["ids_path"]
+def _load_shard(pkg: dict, shard: int) -> np.ndarray:
+    path = os.path.join(pkg["dir"], f"shard_{pkg['token']}_{shard:05d}.npy")
     arr = _MMAP_CACHE.get(path)
     if arr is None:
         resolved = path
         if not os.path.exists(resolved):
-            try:
-                from pyspark import SparkFiles
+            from pyspark import SparkFiles
 
-                resolved = SparkFiles.get(os.path.basename(path))
-            except Exception:
-                pass
+            resolved = SparkFiles.get(os.path.basename(path))
+            if not os.path.exists(resolved):
+                raise FileNotFoundError(
+                    f"package shard {path} not found locally or via SparkFiles"
+                )
         arr = np.load(resolved, mmap_mode="r", allow_pickle=False)
         _MMAP_CACHE[path] = arr
     return arr
@@ -126,7 +193,6 @@ def _load_ids(pkg: dict) -> np.ndarray:
 
 def _search_one(
     pkg: dict,
-    all_ids: np.ndarray,
     query: str,
     k: int,
     rho: float,
@@ -142,7 +208,7 @@ def _search_one(
     terms = Counter(toks)
     n_terms = len(terms)
     table = pkg["terms"]
-    segs: list[tuple[int, int, str, int, int]] = []
+    segs: list[tuple[int, int, str, int, int, int]] = []
     largest = 0
     total_postings = 0
     for term, q_tf in terms.items():
@@ -150,9 +216,9 @@ def _search_one(
         if tsegs is None:
             continue
         term_max = 0
-        for impact, seg_freq, start, end in tsegs:
+        for impact, seg_freq, shard, start, end in tsegs:
             simpact = impact * q_tf
-            segs.append((simpact, seg_freq, term, start, end))
+            segs.append((simpact, seg_freq, term, shard, start, end))
             term_max = max(term_max, simpact)
             total_postings += seg_freq
         largest += term_max
@@ -168,14 +234,14 @@ def _search_one(
     else:
         budget = None
 
-    plan: list[tuple[int, int, int]] = []  # (scaled_impact, start, end)
+    plan: list[tuple[int, int, int, int]] = []  # (scaled_impact, shard, start, end)
     processed = 0
-    for simpact, seg_freq, _term, start, end in segs:
+    for simpact, seg_freq, _term, shard, start, end in segs:
         impact = int(simpact / largest * (MAX_RSV - n_terms) + 1) if scale else simpact
         if budget is not None and processed + seg_freq > budget:
             break  # stop-before-overflow (JASS_anytime_api.cpp:590-592)
         processed += seg_freq
-        plan.append((impact, start, end))
+        plan.append((impact, shard, start, end))
     if not plan:
         return [], processed
 
@@ -192,16 +258,16 @@ def _search_one(
             _ACC_BUF.clear()
             _ACC_BUF.append(np.zeros(max_doc + 1, dtype=np.int16))
         acc = _ACC_BUF[0]
-        for impact, start, end in plan:
-            acc[all_ids[start:end]] += impact
+        for impact, shard, start, end in plan:
+            acc[_load_shard(pkg, shard)[start:end]] += impact
         hit_ids = np.nonzero(acc[: max_doc + 1])[0]
         vals = acc[hit_ids].astype(np.int64)
-        for _impact, start, end in plan:
-            acc[all_ids[start:end]] = 0
+        for _impact, shard, start, end in plan:
+            acc[_load_shard(pkg, shard)[start:end]] = 0
     else:
-        ids = np.concatenate([all_ids[s:e] for _i, s, e in plan])
+        ids = np.concatenate([_load_shard(pkg, sh)[s:e] for _i, sh, s, e in plan])
         wts = np.concatenate(
-            [np.full(e - s, i, dtype=np.int64) for i, s, e in plan]
+            [np.full(e - s, i, dtype=np.int64) for i, _sh, s, e in plan]
         )
         hit_ids, inverse = np.unique(ids, return_inverse=True)
         vals = np.bincount(inverse, weights=wts).astype(np.int64)  # exact (≪ 2^53)
@@ -231,14 +297,6 @@ def saat_search(
     pkg = package if package is not None else package_index(index)
     bpkg = spark.sparkContext.broadcast(pkg)
 
-    # 4 tasks per core: query cost varies wildly (1-term vs 5-term, hot vs
-    # cold terms), so exactly-one-task-per-core loses cores to stragglers;
-    # finer slices let the scheduler rebalance — the Spark analogue of the
-    # reference's per-query work-stealing (`anytime/JASS_anytime_query.h:88-103`).
-    target = 4 * spark.sparkContext.defaultParallelism
-    if queries.rdd.getNumPartitions() < target:
-        queries = queries.repartition(target)
-
     schema = StructType(
         [
             StructField("query_id", StringType(), False),
@@ -250,17 +308,21 @@ def saat_search(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         p = bpkg.value
-        all_ids = _load_ids(p)
         for pdf in batches:
             out = []
             for qid, qtext in zip(pdf["query_id"], pdf["query"]):
-                ranked, _ = _search_one(p, all_ids, qtext, k, rho, postings_budget)
+                ranked, _ = _search_one(p, qtext, k, rho, postings_budget)
                 for rank, (doc, rsv) in enumerate(ranked, start=1):
                     out.append((qid, doc, rsv, rank))
             yield pd.DataFrame(out, columns=["query_id", "doc_id", "rsv", "rank"])
 
+    # 4 tasks per core: query cost varies wildly (1-term vs 5-term, hot vs
+    # cold terms), so exactly-one-task-per-core loses cores to stragglers;
+    # finer slices let the scheduler rebalance — the Spark analogue of the
+    # reference's per-query work-stealing (`anytime/JASS_anytime_query.h:88-103`).
+    # Capped at the query count so tiny batches don't schedule empty tasks.
     nparts = min(
-        max(1, queries.sparkSession.sparkContext.defaultParallelism),
+        4 * max(1, spark.sparkContext.defaultParallelism),
         max(1, queries.count()),
     )
     return queries.repartition(nparts).mapInPandas(run, schema=schema)

@@ -151,12 +151,17 @@ def search(
         # binary search (`source/deserialised_jass_v1.h:311-334`). The
         # bucket set is computed with the same JVM xxhash64 expression the
         # writer used, via a tiny job over the (already tiny) query terms.
+        # The bucket COUNT comes from the index's own stats.json (it is part
+        # of the on-disk format); falling back to the code constant only for
+        # in-memory/legacy indexes — otherwise a constant bump would silently
+        # prune away matching segments of older saves.
         from jassv2_spark.plans.persist import N_TERM_BUCKETS
 
+        n_buckets = getattr(index, "n_term_buckets", None) or N_TERM_BUCKETS
         buckets = [
             r[0]
             for r in q_terms.select(
-                F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int").alias("b")
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
             ).distinct().collect()
         ]
         segments = segments.where(F.col("term_bucket").isin(buckets))

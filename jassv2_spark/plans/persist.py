@@ -191,6 +191,9 @@ def build_index_persisted(
             "mean_doc_length": float(clen) / float(n_docs) if n_docs else 0.0,
             "k1": conf.k1,
             "b": conf.b,
+            "tokenizer": conf.tokenizer,
+            "stem": conf.stem,
+            "n_term_buckets": N_TERM_BUCKETS,
         }
         with open(stats_path, "w") as f:
             json.dump(stats, f)
@@ -325,6 +328,9 @@ def save_index_tables(index: Index, out_dir: str, codec: str | None = None) -> N
                 "tokenizer": index.conf.tokenizer,
                 "stem": index.conf.stem,
                 "codec": codec,
+                # the layout's bucket count is part of the on-disk format:
+                # readers must hash query terms with THIS value (ADVICE r1)
+                "n_term_buckets": N_TERM_BUCKETS,
             },
             f,
         )
@@ -365,4 +371,7 @@ def load_index_tables(spark: SparkSession, out_dir: str, conf: BuildConf | None 
         min_rsv=stats.get("min_rsv", 0.0),
         max_rsv=stats.get("max_rsv", 0.0),
         conf=conf,
+        # old saves predate the field; they were written with the then-
+        # current constant, which has never changed, so fall back to it
+        n_term_buckets=int(stats.get("n_term_buckets", N_TERM_BUCKETS)),
     )

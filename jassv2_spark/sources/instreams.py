@@ -75,9 +75,20 @@ def _parse_warc(text: str) -> list[tuple[str | None, str]]:
     starts.append(len(text))
     for s, e in zip(starts, starts[1:]):
         record = text[s:e]
-        head, sep, body = record.partition("\n\n")
-        if not sep:
-            head, sep, body = record.partition("\r\n\r\n")
+        # Split at the EARLIEST blank line of either convention. Standard
+        # WARC headers end with CRLF-CRLF, but an LF-LF sequence inside a
+        # CRLF record's payload (common in HTML bodies) occurs later —
+        # trying LF-LF first would land the split inside the body and parse
+        # payload lines as WARC headers (instream_document_warc.cpp:60-75
+        # scans header lines up to the first blank line only).
+        i_crlf = record.find("\r\n\r\n")
+        i_lf = record.find("\n\n")
+        if i_crlf != -1 and (i_lf == -1 or i_crlf <= i_lf):
+            head, body = record[:i_crlf], record[i_crlf + 4 :]
+        elif i_lf != -1:
+            head, body = record[:i_lf], record[i_lf + 2 :]
+        else:
+            head, body = record, ""
         headers = {}
         for line in head.splitlines()[1:]:
             k, _, v = line.partition(":")

@@ -173,3 +173,18 @@ def test_gmap_reference_semantics(spark, run_and_qrels):
     assert m["gmap"] == pytest.approx(expected, abs=1e-12)
     assert m["n_queries"] == 3
     assert m["mean_map"] == pytest.approx((ap_q1 + 1.0 + 0.0) / 3, abs=1e-12)
+
+
+def test_deep_depth_float_fallback(spark, run_and_qrels):
+    """depth > ~42 overflows the lcm fixed-point; the float fallback must
+    return the same metric values (JASS_eval reports depths 100/200/...)."""
+    run, qrels = run_and_qrels
+    rows = {r["query_id"]: r for r in evaluate_run(run, qrels, depth=100).collect()}
+    assert rows["q1"]["map"] == pytest.approx((1 + 2 / 3) / 3, abs=1e-12)
+    assert rows["q1"]["mrr"] == pytest.approx(1.0)
+    assert rows["q1"]["p_at_depth"] == pytest.approx(2 / 100)
+    assert rows["q2"]["map"] == 1.0
+    assert rows["q3"]["map"] == 0.0
+    # shallow (fixed-point) and deep (float) agree on rank-limited metrics
+    shallow = {r["query_id"]: r for r in evaluate_run(run, qrels, depth=10).collect()}
+    assert rows["q1"]["map"] == pytest.approx(shallow["q1"]["map"], abs=1e-12)

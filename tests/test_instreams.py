@@ -112,3 +112,24 @@ def test_unicoil_ingest_and_search(spark):
     # d2: apple 20
     assert ranked == [(1, "d1", 235), (2, "d2", 20)]
     idx.unpersist()
+
+
+def test_warc_crlf_with_lf_lf_body(spark):
+    """Standard CRLF WARC whose payload contains an LF-LF sequence: the
+    header/body split must land at the CRLF-CRLF blank line, not inside the
+    body (ADVICE r1) — otherwise payload lines parse as WARC headers and an
+    embedded HTTP Content-Length truncates the contents."""
+    body = "<html>\nContent-Length: 3\n\n<p>hello body</p>\n</html>\n"
+    blob = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-TREC-ID: clueweb09-crlf-0001\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+        + body
+    )
+    df = spark.createDataFrame([(blob,)], ["blob"])
+    rows = split_warc_documents(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["primary_key"] == "clueweb09-crlf-0001"
+    assert rows[0]["contents"] == body

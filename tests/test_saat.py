@@ -42,3 +42,29 @@ def test_saat_ten_docs_budget(spark):
         b = _collect(saat_search(idx, qdf, k=10, postings_budget=budget))
         assert a == b, budget
     idx.unpersist()
+
+
+def test_package_is_distributed_and_path_normalized(spark, syn, tmp_path):
+    """Packaging must write executor-side shards (no single driver-collected
+    postings file), and a caller path carrying a stray .npy suffix is
+    normalized to the package directory (ADVICE r1)."""
+    import os
+
+    idx, pkg = syn
+    # default package: sharded layout on disk, directory metadata only
+    shards = [f for f in os.listdir(pkg["dir"]) if f.endswith(".npy")]
+    assert shards, "no shard files written"
+    assert all(f.startswith(f"shard_{pkg['token']}_") for f in shards)
+    # every directory entry points at an existing shard id
+    shard_ids = {int(f.rsplit("_", 1)[1][:-4]) for f in shards}
+    assert {e[2] for segs in pkg["terms"].values() for e in segs} <= shard_ids
+
+    # caller-supplied path with .npy suffix → normalized directory
+    p = str(tmp_path / "pkg.npy")
+    pkg2 = package_index(idx, path=p)
+    assert pkg2["dir"] == str(tmp_path / "pkg")
+    assert os.path.isdir(pkg2["dir"])
+    qdf = spark.createDataFrame(TEN_DOC_QUERIES, ["query_id", "query"])
+    assert _collect(saat_search(idx, qdf, k=10, package=pkg2)) == _collect(
+        saat_search(idx, qdf, k=10, package=pkg)
+    )
