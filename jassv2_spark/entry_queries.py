@@ -27,6 +27,7 @@ from jassv2_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
+from jassv2_spark.functions.tokenizer import RAW_TOKEN_PATTERN
 from jassv2_spark.operators.search import search, search_metrics, trec_run
 from jassv2_spark.operators.textstats import (
     STOPWORDS,
@@ -68,6 +69,16 @@ ENTRY_QUERIES = [
     ("q08", "a the batch slow"),
     ("q09", "customer filter column row line"),
     ("q10", "vector stream big key order"),
+]
+
+# Raw-mode (`-a`) query set: mixed case, embedded punctuation, duplicate
+# raw tokens, tab/multi-space separators (the mode's observable semantics).
+RAW_QUERIES = [
+    ("r01", " . ; A "),
+    ("r02", "Example Query"),
+    ("r03", "hash-table JOIN  12a"),
+    ("r04", "merge merge SORT"),
+    ("r05", "spark	join"),
 ]
 
 # ---------------------------------------------------------------- SQL CTEs
@@ -271,6 +282,28 @@ def registry() -> dict[str, tuple]:
         _qparse,
         _sql(_QPARSE_CTES.format(values=_values_clause()))
         + " SELECT query_id, term, q_tf FROM qt",
+    )
+
+    # `-a` raw query mode (`source/parser_query.cpp:112-143`): whitespace
+    # split of pre-normalized queries — no casefold, punctuation kept.
+    # Same regex token language on both engines (java.util.regex / RE2).
+    def _qparse_raw(spark, sf):
+        from jassv2_spark.operators.search import parse_queries
+
+        q_terms, _ = parse_queries(
+            spark.createDataFrame(RAW_QUERIES, ["query_id", "query"]), tokenizer="raw"
+        )
+        return q_terms.select("query_id", "term", F.col("q_tf").cast("long").alias("q_tf"))
+
+    _raw_values = ", ".join(f"('{qid}', '{q}')" for qid, q in RAW_QUERIES)
+    r["jass_query_parse_raw"] = (
+        _qparse_raw,
+        f"""WITH q(query_id, query) AS (VALUES {_raw_values}),
+            qtok AS (SELECT query_id,
+                            unnest(regexp_extract_all(query, '{RAW_TOKEN_PATTERN}')) AS term
+                     FROM q)
+            SELECT query_id, term, count(*)::BIGINT AS q_tf
+            FROM qtok GROUP BY query_id, term""",
     )
 
     def _topk_fn(rho):
@@ -800,6 +833,49 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
            SELECT media_id, frame_idx::BIGINT AS frame_idx,
                   substr(h, (frame_idx*fsize*2 + 1)::INT, (fsize*2)::INT) AS frame_hex
            FROM f""",
+    )
+
+    # ---- input-contract web pages: (url, warc_ts, html, text, lang) ----
+    # The north-rule input shape. Spark side synthesizes the contract table
+    # from `documents` (TREC-framed html bytes, zero-padded urls), then runs
+    # the REAL extraction/build over the raw bytes; the oracle emits the
+    # invariant's expected value — hash-green ⇔ byte-identical extraction
+    # per url, and (for topk) the whole html→extract→tokenize→index→search
+    # chain matches the text-column build.
+    def _web_extract(spark, sf):
+        from jassv2_spark.sources.webpages import extracted_text, synthesize_webpages
+
+        return extracted_text(synthesize_webpages(_docs(spark, sf)))
+
+    r["web_extract_text"] = (
+        _web_extract,
+        """SELECT 'https://example.org/web/' || lpad(doc_id::VARCHAR, 8, '0') AS url,
+                  text AS extracted
+           FROM documents""",
+    )
+
+    def _web_topk(spark, sf):
+        from jassv2_spark.sources.webpages import build_web_index, synthesize_webpages
+
+        idx = build_web_index(
+            synthesize_webpages(_docs(spark, sf)),
+            conf=BuildConf(k1=K1, b=B, tokenizer="parity"),
+        )
+        out = search(idx, _queries_df(spark), k=K, rho=1.0, with_keys=True).select(
+            "query_id",
+            F.col("key").alias("url"),
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        return out
+
+    r["web_topk_from_html"] = (
+        _web_topk,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES)
+        + f""" SELECT query_id,
+                      'https://example.org/web/' || lpad(doc_id::VARCHAR, 8, '0') AS url,
+                      rsv, rank
+               FROM ranked WHERE rank <= {K}""",
     )
 
     # ---- relational sanity (TPC-H Q1 shape over lineitem) ----

@@ -241,6 +241,23 @@ def tokenize(text: str | None, xml: bool = True) -> list[str]:
     return out
 
 
+# JASS_anytime's `-a` ("ascii parser") raw query mode
+# (`source/parser_query.cpp:112-143` get_next_token_raw): tokens are maximal
+# runs of non-whitespace bytes, NO normalization/casefold — the queries are
+# assumed pre-normalized. Whitespace = C isspace = ASCII {space \t \n \v \f \r}
+# (`source/ascii.h` table); NOT Unicode whitespace.
+_RAW_TOKEN_RE = re.compile(r"[^ \t\n\x0b\f\r]+")
+# Same token language for the JVM (java.util.regex) and DuckDB (RE2) sides;
+# \x0B spelled explicitly because RE2's \s omits vertical tab.
+RAW_TOKEN_PATTERN = "[^ \\t\\n\\x0B\\f\\r]+"
+
+
+def tokenize_raw(text: str | None) -> list[str]:
+    """Raw whitespace-split query tokens, reference `-a` semantics: no
+    casefold, no markup, punctuation stays inside tokens."""
+    return [] if text is None else _RAW_TOKEN_RE.findall(text)
+
+
 def extract_text(html: bytes | str | None) -> str:
     """Extract the body from a ``<DOC><DOCNO>..</DOCNO>body</DOC>`` blob.
 
@@ -282,7 +299,10 @@ def spark_ascii_tokens(col: Column) -> Column:
 
 
 def spark_tokens(text_col: str, mode: str = "parity", xml: bool = True) -> Column:
-    """Tokenizer as a Column. mode: 'parity' (pandas UDF) | 'ascii' (JVM)."""
+    """Tokenizer as a Column. mode: 'parity' (pandas UDF) | 'ascii' (JVM) |
+    'raw' (JVM; the query-side `-a` whitespace mode, never for documents)."""
     if mode == "ascii":
         return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(ASCII_TOKEN_PATTERN), 0)
+    if mode == "raw":
+        return F.regexp_extract_all(F.col(text_col), F.lit(RAW_TOKEN_PATTERN), 0)
     return make_tokenize_udf(xml=xml)(F.col(text_col))

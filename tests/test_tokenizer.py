@@ -108,3 +108,31 @@ def test_spark_udf_matches_python(spark):
     a = simple.select(spark_tokens("text", mode="ascii").alias("t")).first()["t"]
     b = simple.select(spark_tokens("text", mode="parity").alias("t")).first()["t"]
     assert a == b == ["the", "quick", "brown", "fox", "99"]
+
+
+def test_raw_query_tokenizer_goldens():
+    """`-a` raw query mode (`source/parser_query.cpp:112-143`), golden from
+    the reference unittest (`parser_query.cpp:225-231`): " . ; A " keeps
+    punctuation and case, splits only on ASCII whitespace."""
+    from jassv2_spark.functions.tokenizer import tokenize_raw
+
+    assert tokenize_raw(" . ; A ") == [".", ";", "A"]
+    assert tokenize_raw("Example") == ["Example"]
+    assert tokenize_raw("  hash-table\tJOIN\n12a ") == ["hash-table", "JOIN", "12a"]
+    assert tokenize_raw("a\x0bb\x0cc") == ["a", "b", "c"]  # \v \f are separators
+    assert tokenize_raw("café naïve x") == ["café", "naïve x"]  # NBSP is NOT ASCII ws
+    assert tokenize_raw(None) == []
+    assert tokenize_raw("   ") == []
+
+
+def test_raw_mode_spark_parity(spark):
+    """spark_tokens(mode='raw') (pure JVM) must agree with tokenize_raw."""
+    from pyspark.sql import functions as F
+
+    from jassv2_spark.functions.tokenizer import spark_tokens, tokenize_raw
+
+    texts = [" . ; A ", "Example Query", "a\x0bb\x0cc", "café naïve x",
+             "  hash-table\tJOIN\n12a ", "", "   "]
+    df = spark.createDataFrame([(t,) for t in texts], ["query"])
+    got = [r["toks"] for r in df.select(spark_tokens("query", mode="raw", xml=False).alias("toks")).collect()]
+    assert got == [tokenize_raw(t) for t in texts]
