@@ -11,6 +11,10 @@ Re-implements the *formats' ideas*, not the reference code:
 - QMX-style: fixed 128-int blocks, each packed to the block's max bit
   width, one selector byte per block (`source/compress_integer_qmx_improved.h`
   describes the original; ours is a simplified same-shape scheme).
+- Elias gamma: the classic bit-level code behind the reference's default
+  serializer codec ("Group Elias Gamma SIMD",
+  `source/serialise_jass_v1.h:189`) — unary length prefix + MSB-first
+  binary, implemented bitplane-vectorized in numpy.
 
 These exist for the storage-fidelity deliverable: segments can be persisted
 as BinaryType instead of array<long>. Parquet's own dictionary/RLE/zstd is
@@ -115,6 +119,61 @@ def qmx_decode(data: bytes) -> np.ndarray:
     return np.concatenate(out) if out else np.array([], dtype=np.uint64)
 
 
+# Elias gamma — the reference's DEFAULT serializer codec family: JASS v1
+# indexes ship with Group Elias Gamma SIMD unless told otherwise
+# (`source/serialise_jass_v1.h:189` default compressor name "Group Elias
+# Gamma SIMD", `source/compress_integer_elias_gamma_simd.h`). That format
+# is a 512-bit-register grouping of the same underlying code; this is the
+# classic bit-level gamma (Elias 1975): value v ≥ 1 is floor(log2 v)
+# zeros, then the (floor(log2 v)+1)-bit binary of v MSB-first. We store
+# v+1 so a 0 gap (first absolute docid may be 0) stays encodable.
+
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+
+def gamma_encode(values: np.ndarray) -> bytes:
+    """Bitplane-vectorized Elias gamma of values+1, MSB-first bitstream."""
+    a = np.asarray(values, dtype=np.uint64) + np.uint64(1)
+    if a.size == 0:
+        return b""
+    nb = np.searchsorted(_POW2, a, side="right").astype(np.int64)  # bit_length
+    lens = 2 * nb - 1
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1] + (nb - 1)
+    bits = np.zeros(int(lens.sum()), dtype=np.uint8)
+    for j in range(int(nb.max())):  # j-th bit from the MSB (j=0 is the 1 marker)
+        sel = nb > j
+        shift = (nb[sel] - 1 - j).astype(np.uint64)
+        bits[starts[sel] + j] = ((a[sel] >> shift) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits, bitorder="big").tobytes()
+
+
+def gamma_decode(data: bytes, n: int | None = None) -> np.ndarray:
+    """Decode `n` gammas (or until the tail is pure padding zeros)."""
+    if not data:
+        return np.array([], dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="big")
+    ones = np.flatnonzero(bits)
+    out = []
+    p = 0
+    k = 0
+    while k < len(ones) and (n is None or len(out) < n):
+        k = int(np.searchsorted(ones, p))
+        if k >= len(ones):
+            break  # byte-padding zeros
+        q = int(ones[k])
+        z = q - p
+        val_bits = bits[q : q + z + 1]
+        if len(val_bits) < z + 1:
+            raise ValueError("truncated gamma stream")
+        v = int(val_bits @ (1 << np.arange(z, -1, -1, dtype=np.uint64)))
+        out.append(v - 1)
+        p = q + z + 1
+        k += 1
+    if n is not None:
+        assert len(out) == n, f"expected {n} ints, got {len(out)}"
+    return np.asarray(out, dtype=np.uint64)
+
+
 def compress_doc_ids(doc_ids, codec: str = "vbyte") -> bytes:
     """Ascending docids → delta → codec bytes."""
     gaps = delta_encode(np.asarray(doc_ids, dtype=np.uint64))
@@ -122,6 +181,8 @@ def compress_doc_ids(doc_ids, codec: str = "vbyte") -> bytes:
         return vbyte_encode(gaps)
     if codec == "qmx":
         return qmx_encode(gaps)
+    if codec == "gamma":
+        return gamma_encode(gaps)
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -132,6 +193,8 @@ def decompress_doc_ids(data: bytes, codec: str = "vbyte", n: int | None = None) 
         gaps = qmx_decode(data)
         if n is not None:
             gaps = gaps[:n]
+    elif codec == "gamma":
+        gaps = gamma_decode(data, n)
     else:
         raise ValueError(f"unknown codec {codec!r}")
     return delta_decode(gaps)

@@ -117,7 +117,7 @@ def test_compressed_segment_store_roundtrip(spark, tmp_path):
     qdf = spark.createDataFrame(synthetic_queries(10), ["query_id", "query"])
     want = sorted(map(tuple, search(idx, qdf, k=10, with_keys=False).collect()))
 
-    for codec in ("vbyte", "qmx"):
+    for codec in ("vbyte", "qmx", "gamma"):
         out = str(tmp_path / f"ix_{codec}")
         save_index_tables(idx, out, codec=codec)
         loaded = load_index_tables(spark, out)
