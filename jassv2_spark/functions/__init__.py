@@ -1,3 +1,4 @@
+from jassv2_spark.functions.checksum import fletcher_16  # noqa: F401
 from jassv2_spark.functions.tokenizer import (  # noqa: F401
     extract_text,
     extract_text_udf,
@@ -5,4 +6,5 @@ from jassv2_spark.functions.tokenizer import (  # noqa: F401
     make_tokenize_udf,
     spark_tokens,
     tokenize,
+    tokenize_raw,
 )
