@@ -52,7 +52,7 @@ SCALE_AMPLIFY = int(os.environ.get("BENCH_SCALE_AMPLIFY", str(AMPLIFY * 8)))
 # scaling workload weights the query batch accordingly; per-phase times
 # for build and search are reported separately either way.
 SCALE_QUERIES = int(os.environ.get("BENCH_SCALE_QUERIES", "16000"))
-SCALE_REPS = int(os.environ.get("BENCH_SCALE_REPS", "3"))
+SCALE_REPS = int(os.environ.get("BENCH_SCALE_REPS", "2"))
 PHASES = os.environ.get("BENCH_PHASES", "all")  # 'all' | 'core' (build+saat)
 
 VOCAB = (
@@ -110,8 +110,19 @@ def materialized_corpus(spark, sf_dir: str, factor: int, cores: int):
     return spark.read.parquet(path)
 
 
+INPROC_REPS = int(os.environ.get("BENCH_INPROC_REPS", "2"))
+
+
 def run_level(cores: int, amplify: int, n_queries: int, phases_sel: str) -> dict:
-    """One measured run in THIS process (invoked via subprocess per level)."""
+    """One measured run in THIS process (invoked via subprocess per level).
+
+    For the scaling levels (phases_sel='core') the build and query-batch
+    phases repeat INPROC_REPS times in-process and record the min: the
+    first same-JVM execution of each phase carries JIT/whole-stage-codegen
+    compilation that is the SAME absolute cost at every parallelism level
+    (driver-side, serial), so including it in a 2-core vs 8-core ratio
+    systematically understates scaling. The min over warm repeats is the
+    steady-state estimator (same input, same job; only warmup excluded)."""
     from jassv2_spark.operators.build import BuildConf, build_index
     from jassv2_spark.operators.saat import package_index, saat_search
     from jassv2_spark.operators.search import search
@@ -130,13 +141,20 @@ def run_level(cores: int, amplify: int, n_queries: int, phases_sel: str) -> dict
 
     phases: dict[str, float] = {}
     docs = materialized_corpus(spark, SF_DIR, amplify, cores)
+    inproc = INPROC_REPS if phases_sel == "core" else 1
 
-    t0 = time.perf_counter()
-    idx = build_index(docs, text_col="text", key_col="doc_id", doc_id_col="doc_id", conf=conf)
-    n_segments = idx.segments.count()
-    idx.seg_stats.count()
-    idx.term_stats.count()
-    phases["build"] = time.perf_counter() - t0
+    idx = None
+    best_build = float("inf")
+    for _ in range(inproc):
+        if idx is not None:
+            idx.unpersist()
+        t0 = time.perf_counter()
+        idx = build_index(docs, text_col="text", key_col="doc_id", doc_id_col="doc_id", conf=conf)
+        n_segments = idx.segments.count()
+        idx.seg_stats.count()
+        idx.term_stats.count()
+        best_build = min(best_build, time.perf_counter() - t0)
+    phases["build"] = best_build
 
     qdf = spark.createDataFrame(gen_queries(n_queries), ["query_id", "query"])
     t0 = time.perf_counter()
@@ -151,9 +169,12 @@ def run_level(cores: int, amplify: int, n_queries: int, phases_sel: str) -> dict
     warm = spark.createDataFrame(gen_queries(512, seed=99), ["query_id", "query"])
     saat_search(idx, warm, k=10, package=pkg).count()
     phases["package"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    n_res = saat_search(idx, qdf, k=10, package=pkg).count()
-    phases["search_saat"] = time.perf_counter() - t0
+    best_search = float("inf")
+    for _ in range(inproc):
+        t0 = time.perf_counter()
+        n_res = saat_search(idx, qdf, k=10, package=pkg).count()
+        best_search = min(best_search, time.perf_counter() - t0)
+    phases["search_saat"] = best_search
 
     if phases_sel == "all":
         qdf_small = spark.createDataFrame(gen_queries(20, seed=7), ["query_id", "query"])

@@ -784,6 +784,68 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
 
     r["ann_lsh_topk"] = (_lsh, _lsh_sql())
 
+    # IVF ANN: coarse quantizer partitions the corpus into lists; a query
+    # probes the nprobe closest lists and exact-reranks only their members.
+    # The ENTRY uses seed-derived random unit centroids so the oracle can
+    # carry the identical literals (the k-means-trained quantizer is
+    # data-dependent — static SQL can't reproduce it — and is verified by
+    # pytest against the brute-force oracle instead, tests/test_dedup_ann.py).
+    IVF_LISTS, IVF_PROBE, IVF_SEED = 8, 3, 7
+
+    def _ivf_cent():
+        import numpy as np
+
+        rng = np.random.default_rng(IVF_SEED)
+        c = rng.standard_normal((IVF_LISTS, EMB_DIM))
+        return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    def _ivf(spark, sf):
+        from jassv2_spark.operators.ann import ivf_topk
+
+        return ivf_topk(
+            _emb(spark, sf), ANN_QUERY_IDS, k=K, n_lists=IVF_LISTS,
+            nprobe=IVF_PROBE, dim=EMB_DIM, centroids=_ivf_cent(),
+        )
+
+    def _ivf_sql() -> str:
+        cent = _ivf_cent()
+        qid_list = ", ".join(map(str, ANN_QUERY_IDS))
+
+        def dots(src: str, idc: str) -> str:
+            sels = []
+            for c_idx in range(IVF_LISTS):
+                arr = "[" + ", ".join(_flit(x) for x in cent[c_idx]) + "]"
+                sels.append(
+                    f"SELECT {idc}, {c_idx + 1} AS list_id, "
+                    f"list_dot_product(ve, {arr}) / sqrt(list_dot_product(ve, ve)) AS cdot FROM {src}"
+                )
+            return " UNION ALL ".join(sels)
+
+        return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+q AS (SELECT vec_id AS qid, ve FROM e WHERE vec_id IN ({qid_list})),
+ad AS ({dots('e', 'vec_id')}),
+assign AS (SELECT vec_id, list_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cdot DESC, list_id ASC) AS rn
+             FROM ad) WHERE rn = 1),
+qd AS ({dots('q', 'qid')}),
+probes AS (SELECT qid, list_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+                                          ORDER BY cdot DESC, list_id ASC) AS rn
+             FROM qd) WHERE rn <= {IVF_PROBE}),
+cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a USING (list_id)),
+scored AS (SELECT c.qid, c.vec_id,
+             round(list_dot_product(qe.ve, e.ve)
+                   / (sqrt(list_dot_product(qe.ve, qe.ve)) * sqrt(list_dot_product(e.ve, e.ve))), 4) AS cos
+           FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN e qe ON qe.vec_id = c.qid),
+r AS (SELECT qid, vec_id, cos,
+             (row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC))::BIGINT AS rank
+      FROM scored)
+SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
+
+    r["ann_ivf_topk"] = (_ivf, _ivf_sql())
+
     # ---- multimodal binary-column plumbing (pandas-UDF kernels) ----
     # Oracles reconstruct the synthesized payload (utf-8 bytes of `text`,
     # multimodal.synthesize_media) in DuckDB via encode()/hex(): byte values

@@ -132,6 +132,129 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_lists: int = 8,
+    seed: int = 42,
+    n_iter: int = 8,
+    sample_step: int = 1,
+    max_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer for IVF ANN.
+
+    Trains on a DETERMINISTIC driver-side sample (every ``sample_step``-th
+    vec_id, capped at ``max_sample`` rows in vec_id order — standard IVF
+    practice: the coarse quantizer needs only a sample, so the driver
+    collect is bounded regardless of corpus size). Lloyd iterations with
+    cosine assignment (unit-normalized means); seeded init; empty lists
+    keep their previous centroid. Returns (n_lists, dim) float64 — tiny,
+    broadcast as SQL literals by both the Spark plan and any oracle."""
+    samp = embeddings.where((F.col(id_col) % F.lit(int(sample_step))) == 0)
+    pdf = (
+        samp.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("ve"))
+        .orderBy("vec_id")
+        .limit(int(max_sample))
+        .toPandas()
+    )
+    X = np.array(pdf["ve"].tolist(), dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)].copy()
+    if len(cent) < n_lists:  # degenerate tiny corpus: pad with jittered copies
+        reps = np.tile(cent, (int(np.ceil(n_lists / len(cent))), 1))[:n_lists]
+        cent = reps + rng.normal(0, 1e-6, reps.shape)
+    for _ in range(n_iter):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(n_lists):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 1e-12:
+                    cent[c] = m / norm
+    return cent
+
+
+def _ivf_dots_expr(centroids: np.ndarray, vec: str = "ve") -> str:
+    """SQL array of cos(vec, centroid_c) (centroids are unit-norm, so the
+    dot with the normalized vector IS the cosine); literal doubles shared
+    verbatim with the oracle."""
+    rows = []
+    for c in centroids:
+        arr = "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        dot = f"aggregate(zip_with({vec}, {arr}, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v)"
+        rows.append(f"({dot}) / sqrt(aggregate(zip_with({vec}, {vec}, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v))")
+    return "array(" + ",".join(rows) + ")"
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, list_id): nearest-centroid (max cosine) coarse assignment —
+    a map-only pass; argmax is array_position(dots, array_max(dots)),
+    first-match on ties in both engines."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("ve"))
+    dots = _ivf_dots_expr(centroids)
+    return e.select(
+        "vec_id",
+        F.expr(f"array_position({dots}, array_max({dots}))").cast("long").alias("list_id"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate cosine top-k: per query, probe the ``nprobe``
+    closest coarse lists, exact-cosine re-rank only their members. Same
+    output schema as cosine_topk. The scan touches nprobe/n_lists of the
+    corpus — the classic IVF cost model; candidate generation is an
+    equi-join on list_id (never all-pairs)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])  # fallback only
+    cent = centroids if centroids is not None else ivf_centroids(
+        embeddings, dim, n_lists, seed, id_col=id_col, vec_col=vec_col
+    )
+    assign = ivf_assignments(embeddings, cent, id_col, vec_col)
+    e = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("ve"))
+    q = e.where(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("qid"), F.col("ve").alias("qe")
+    )
+    qdots = _ivf_dots_expr(cent, vec="qe")
+    probes = (
+        q.select("qid", F.posexplode(F.expr(qdots)).alias("pos", "cdot"))
+        .select("qid", (F.col("pos") + 1).cast("long").alias("list_id"), "cdot")
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("cdot").desc(), F.col("list_id").asc())
+    probes = probes.withColumn("pr", F.row_number().over(wp)).where(
+        F.col("pr") <= F.lit(int(nprobe))
+    ).select("qid", "list_id")
+    cands = assign.join(F.broadcast(probes), "list_id").select("qid", "vec_id")
+    pairs = cands.join(e, "vec_id").join(F.broadcast(q), "qid")
+    cos = _dot("qe", "ve") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ve", "ve")))
+    scored = pairs.select("qid", "vec_id", F.round(cos, 4).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= F.lit(k))
+        .select("qid", "vec_id", "cos", "rank")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.45,

@@ -101,6 +101,7 @@ class Index:
     max_rsv: float = 0.0
     conf: BuildConf = field(default_factory=BuildConf)
     profile: DataFrame | None = None  # (term, tf, n_pairs, sum_cnt, dl_lo, dl_hi)
+    counts: DataFrame | None = None   # persisted (doc_id, term, cnt, dl) base
     # bucket count of the on-disk term-bucketed segment layout (persist.py);
     # None for in-memory indexes. Query-side pruning MUST use this stored
     # value, not the current code constant — a constant bump would otherwise
@@ -109,7 +110,7 @@ class Index:
 
     def unpersist(self) -> None:
         for df in (self.segments, self.seg_stats, self.term_stats, self.doc_map,
-                   self.profile):
+                   self.profile, self.counts):
             if df is None:
                 continue
             try:
@@ -508,4 +509,5 @@ def build_index_from_counts(
         max_rsv=max_rsv,
         conf=conf,
         profile=profile,
+        counts=counts if cache else None,
     )

@@ -83,3 +83,33 @@ def test_near_dups_bucketed_plan_and_recall(spark):
                 a, b = int(ids[i]), int(ids[j])
                 want.add((min(a, b), max(a, b), float(C[i, j])))
     assert got == want
+
+
+def test_ivf_kmeans_topk_recall(spark):
+    """IVF with the trained spherical-k-means quantizer: candidates come
+    only from probed lists (equi-join plan), yet recall@10 vs the exact
+    scan stays high on the test corpus."""
+    from jassv2_spark.operators.ann import cosine_topk, ivf_assignments, ivf_centroids, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    cent = ivf_centroids(emb, dim=64, n_lists=8, seed=42)
+    assert cent.shape == (8, 64)
+    # every vector lands in exactly one list
+    n = emb.count()
+    assign = ivf_assignments(emb, cent)
+    assert assign.count() == n
+    assert assign.select("vec_id").distinct().count() == n
+
+    exact = {(r["qid"], r["vec_id"]) for r in cosine_topk(emb, qids, k=10).collect()}
+    approx = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_topk(emb, qids, k=10, n_lists=8, nprobe=4, centroids=cent, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # synthetic embeddings are near-isotropic (weak cluster structure), so
+    # the informative bar is beating the nprobe/n_lists=0.5 chance baseline
+    # by a wide margin, not near-perfect recall (deterministic: 0.72 here)
+    assert recall >= 0.7, recall
+    # each query's own vector (cos=1) must be found: it shares its list
+    assert all((q, q) in approx for q in qids)

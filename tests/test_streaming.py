@@ -41,3 +41,43 @@ def test_stream_ingest_equals_batch(spark, tmp_path):
     a = sorted(map(tuple, search(idx_s, qdf, k=10, with_keys=False).collect()))
     b = sorted(map(tuple, search(idx_b, qdf, k=10, with_keys=False).collect()))
     assert a == b
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    """applyInPandasWithState dedup: exactly one emitted row per distinct
+    content across micro-batches; re-sent duplicates are swallowed even
+    when they arrive in a LATER batch than the original."""
+    from jassv2_spark.streaming.dedup_stream import dedup_stream
+
+    src = str(tmp_path / "dsrc")
+    sink = str(tmp_path / "dsink")
+    chk = str(tmp_path / "dchk")
+    texts = ["alpha beta", "gamma delta", "alpha beta", "epsilon", "gamma delta", "zeta"]
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    # 3 files → 3 micro-batches (maxFilesPerTrigger=1); dup of doc 1 and 2
+    # land in different batches than the originals
+    df.where("doc_id in (1, 2)").coalesce(1).write.mode("append").parquet(src)
+    df.where("doc_id in (3, 4)").coalesce(1).write.mode("append").parquet(src)
+    df.where("doc_id in (5, 6)").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(sink).collect()
+    )
+    # first occurrence per content: docs 1, 2, 4, 6 (3 and 5 are dups)
+    assert out == [(1, "alpha beta"), (2, "gamma delta"), (4, "epsilon"), (6, "zeta")]
