@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from jassv2_spark.operators.build import BuildConf, Index, build_index
 from jassv2_spark.operators.search import (
     DEFAULT_K,
+    MAX_TOP_K,
     search,
     search_metrics,
     trec_run,
@@ -27,6 +28,9 @@ class Engine:
         self.top_k = DEFAULT_K
         self.rho = 1.0
         self.postings_budget: int | None = None
+        self.postings_min = 0
+        self.query_tokenizer: str | None = None  # None = index's parser
+        self.oracle: DataFrame | None = None  # (query_id, rsv_at_k)
 
     # -- construction -------------------------------------------------
     @classmethod
@@ -60,32 +64,98 @@ class Engine:
 
         save_index_tables(self.index, path)
 
-    # -- knobs (reference: JASS_anytime_api.h) ------------------------
+    # -- knobs (reference: JASS_anytime_api.h / .cpp:159-215) ----------
     def set_top_k(self, k: int) -> None:
-        self.top_k = k
+        self.top_k = min(k, MAX_TOP_K)
 
-    def set_postings_to_process_proportion(self, rho: float) -> None:
-        self.rho = rho
+    def get_top_k(self) -> int:
+        return self.top_k
+
+    def get_max_top_k(self) -> int:
+        return MAX_TOP_K  # source/query.h:136
+
+    def set_postings_to_process_relative(self, percent: float) -> None:
+        """ρ as a PERCENT of the query's own total postings
+        (`JASS_anytime_api.cpp:187-192`, applied at :572-573)."""
+        self.rho = float(percent) / 100.0
+
+    def set_postings_to_process_proportion(self, percent: float) -> None:
+        """Absolute budget = document_count × percent / 100
+        (`JASS_anytime_api.cpp:159-165` — proportion OF THE COLLECTION,
+        not of the query; use `_relative` for the query-relative ρ)."""
+        self.postings_budget = int(self.index.n_docs * float(percent) / 100.0)
 
     def set_postings_to_process(self, budget: int) -> None:
-        self.postings_budget = budget
+        self.postings_budget = int(budget)
+
+    def get_postings_to_process(self) -> int | None:
+        return self.postings_budget
+
+    def set_postings_to_process_minimum(self, count: int) -> None:
+        """Oracle-mode floor: at least this many postings are processed
+        before rsv@k pruning may drop work (`JASS_anytime_api.cpp:209-215`,
+        guard at :603)."""
+        self.postings_min = int(count)
+
+    def set_postings_to_process_proportion_minimum(self, percent: float) -> None:
+        self.postings_min = int(self.index.n_docs * float(percent) / 100.0)
+
+    def use_ascii_parser(self) -> None:
+        """The `-a` raw whitespace query mode (`parser_query.cpp:112-143`)."""
+        self.query_tokenizer = "raw"
+
+    def use_query_parser(self) -> None:
+        self.query_tokenizer = None
+
+    def load_oracle_scores(self, oracle: DataFrame) -> None:
+        """(query_id, rsv_at_k) from a prior run — enables rsv@k pruning
+        (`source/top_k_limit.h:27-88`; see operators/wand.py)."""
+        self.oracle = oracle
 
     def get_document_count(self) -> int:
         return self.index.n_docs
 
+    def get_encoding_scheme_name(self) -> str:
+        """Segment storage codec ('parquet' = native array columns with
+        parquet's own encodings; else the delta+codec BinaryType layout)."""
+        return getattr(self.index.conf, "codec", None) or "parquet"
+
     # -- serving -------------------------------------------------------
     def search(self, queries: DataFrame, k: int | None = None) -> DataFrame:
+        if self.oracle is not None:
+            from jassv2_spark.operators.wand import search_with_rsv_oracle
+
+            return search_with_rsv_oracle(
+                self.index, queries, self.oracle, k=k or self.top_k, rho=self.rho,
+                tokenizer=self.query_tokenizer, min_postings=self.postings_min,
+            )
         return search(
             self.index,
             queries,
             k=k or self.top_k,
             rho=self.rho,
             postings_budget=self.postings_budget,
+            tokenizer=self.query_tokenizer,
         )
+
+    def anytime_bootstrap(self, queries: DataFrame, k: int | None = None) -> DataFrame:
+        """Self-oracle mode (`JASS_anytime_api.h` anytime_bootstrap): run
+        the query batch once, keep each query's k-th rsv as the oracle for
+        subsequent searches, and return the bootstrap results."""
+        from pyspark.sql import functions as F
+
+        res = self.search(queries, k=k)
+        kk = k or self.top_k
+        self.oracle = (
+            res.where(F.col("rank") == F.lit(kk))
+            .select("query_id", F.col("rsv").alias("rsv_at_k"))
+        )
+        return res
 
     def search_metrics(self, queries: DataFrame) -> DataFrame:
         return search_metrics(
-            self.index, queries, rho=self.rho, postings_budget=self.postings_budget
+            self.index, queries, rho=self.rho, postings_budget=self.postings_budget,
+            tokenizer=self.query_tokenizer,
         )
 
     def trec_run(self, results: DataFrame, run_name: str = "JASSv2spark") -> DataFrame:

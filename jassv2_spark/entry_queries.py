@@ -669,10 +669,14 @@ sfp AS (SELECT d.doc_id,
     )
 
     # ---- training-data pipeline: text analysis ----
+    from jassv2_spark.operators.textstats import BPE_ISH_PATTERN
+
+    _bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
     r["text_token_counts"] = (
         lambda spark, sf: token_counts(_docs(spark, sf)),
         f"""SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws,
-                   len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::BIGINT AS n_tok
+                   len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::BIGINT AS n_tok,
+                   len(regexp_extract_all(text, '{_bpe_sql}'))::BIGINT AS n_pretok
             FROM documents""",
     )
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)

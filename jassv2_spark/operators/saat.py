@@ -197,10 +197,17 @@ def _search_one(
     k: int,
     rho: float,
     postings_budget: int | None,
+    raw: bool = False,
 ) -> tuple[list[tuple[int, int]], int]:
     """One query against the package; returns (ranked [(doc_id, rsv)],
-    postings_processed). Mirrors tests/oracle.py / the declarative plan."""
-    toks = tokenize(query, xml=False)
+    postings_processed). Mirrors tests/oracle.py / the declarative plan.
+    ``raw`` = the `-a` whitespace query mode (parser_query.cpp:112-143)."""
+    if raw:
+        from jassv2_spark.functions.tokenizer import tokenize_raw
+
+        toks = tokenize_raw(query)
+    else:
+        toks = tokenize(query, xml=False)
     if pkg.get("stem"):
         from jassv2_spark.functions.stem import stem_tokens
 
@@ -290,6 +297,7 @@ def saat_search(
     rho: float = 1.0,
     postings_budget: int | None = None,
     package: dict | None = None,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """Batch search via the shared-mmap package; schema matches the
     declarative path: (query_id, doc_id, rsv, rank)."""
@@ -306,12 +314,14 @@ def saat_search(
         ]
     )
 
+    raw = tokenizer == "raw"
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         p = bpkg.value
         for pdf in batches:
             out = []
             for qid, qtext in zip(pdf["query_id"], pdf["query"]):
-                ranked, _ = _search_one(p, qtext, k, rho, postings_budget)
+                ranked, _ = _search_one(p, qtext, k, rho, postings_budget, raw=raw)
                 for rank, (doc, rsv) in enumerate(ranked, start=1):
                     out.append((qid, doc, rsv, rank))
             yield pd.DataFrame(out, columns=["query_id", "doc_id", "rsv", "rank"])

@@ -17,6 +17,15 @@ from pyspark.sql import functions as F
 
 TOKEN_PATTERN = "[a-z]+|[0-9]+"
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+# BPE-ish pretokenizer (GPT-2-style shape: contraction suffixes, then
+# space-prefixed letter runs / digit runs / punctuation runs). Counts the
+# word-piece boundaries a byte-pair tokenizer would start from; ASCII
+# classes + explicit whitespace set so java.util.regex and RE2 agree, and
+# both engines use leftmost-first alternation.
+BPE_ISH_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]+"
+)
 
 
 def _toks(text_col: str) -> Column:
@@ -24,11 +33,18 @@ def _toks(text_col: str) -> Column:
 
 
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, n_ws, n_tok): whitespace-split count and tokenizer-token count."""
+    """(id, n_ws, n_tok, n_pretok): whitespace-split count, tokenizer-token
+    count, and BPE-ish pretokenizer piece count (the unit a subword
+    tokenizer's merge loop starts from)."""
     return docs.select(
         F.col(id_col),
         F.size(F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")).cast("long").alias("n_ws"),
         F.size(_toks(text_col)).cast("long").alias("n_tok"),
+        # F.lit, not an F.expr SQL literal: the pattern's \x0B escape must
+        # reach java.util.regex verbatim (SQL literal parsing would eat it)
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_pretok"),
     )
 
 

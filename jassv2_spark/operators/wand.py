@@ -148,6 +148,7 @@ def search_with_rsv_oracle(
     k: int = DEFAULT_K,
     rho: float = 1.0,
     tokenizer: str | None = None,
+    min_postings: int = 0,
 ) -> DataFrame:
     """Oracle rsv@k mode (`source/top_k_limit.h:27-88`, applied at
     `anytime/JASS_anytime_api.cpp:545`; heap lower bound pre-seeded at
@@ -175,7 +176,11 @@ def search_with_rsv_oracle(
         .join(F.broadcast(utot), "query_id")
         .join(F.broadcast(oracle.select("query_id", "rsv_at_k")), "query_id", "left")
         .where(
-            F.col("rsv_at_k").isNull()
+            # postings_to_process_min floor (`JASS_anytime_api.cpp:603`):
+            # the first min_postings postings (in processing order) are
+            # always processed — rsv@k pruning applies beyond them only
+            (F.col("cum_postings") <= F.lit(int(min_postings)))
+            | F.col("rsv_at_k").isNull()
             | (F.col("scaled") + F.col("u_total") - F.col("u_t") >= F.col("rsv_at_k"))
         )
     )

@@ -68,3 +68,17 @@ def test_package_is_distributed_and_path_normalized(spark, syn, tmp_path):
     assert _collect(saat_search(idx, qdf, k=10, package=pkg2)) == _collect(
         saat_search(idx, qdf, k=10, package=pkg)
     )
+
+
+def test_saat_raw_tokenizer_matches_declarative(spark, syn):
+    """`-a` raw mode through the SaaT fast path: pre-normalized queries
+    (already lowercase, whitespace-separated) must match the declarative
+    path run with tokenizer='raw'."""
+    idx, pkg = syn
+    # vocab terms are alpha/numeric RUNS ("w0001" indexes as "w"+"0001"),
+    # so raw-mode queries must be pre-split the same way to hit the vocab
+    queries = [("r1", "0001 0007"), ("r2", "w"), ("r3", "0003 0003 0012")]
+    qdf = spark.createDataFrame(queries, ["query_id", "query"])
+    a = _collect(search(idx, qdf, k=10, tokenizer="raw", with_keys=False))
+    b = _collect(saat_search(idx, qdf, k=10, package=pkg, tokenizer="raw"))
+    assert a == b and a  # non-empty: raw tokens hit the vocab verbatim

@@ -122,3 +122,52 @@ def test_search_same_results_at_two_parallelisms(spark):
     r1 = _spark_results(i1, spark, queries)
     r4 = _spark_results(i4, spark, queries)
     assert r1 == r4
+
+
+def test_engine_reference_api_surface(spark):
+    """pyjass API parity (`anytime/JASS_anytime_api.h`): budget setters use
+    the REFERENCE semantics — `_relative` is a percent of the query's own
+    postings (:187-192,:572-573), `_proportion` is a percent of the
+    collection's document count (:159-165); plus raw parser toggle, oracle
+    bootstrap, and getters."""
+    from jassv2_spark.engine import Engine
+    from jassv2_spark.fixtures import TEN_DOC_QUERIES, ten_documents
+    from jassv2_spark.operators.search import MAX_TOP_K
+
+    rows = [(r["url"], r["html"].decode()) for r in ten_documents()]
+    docs = spark.createDataFrame(rows, ["url", "html"])
+    eng = Engine.build(docs, text_col="html", key_col="url")
+    qdf = spark.createDataFrame(TEN_DOC_QUERIES, ["query_id", "query"])
+
+    assert eng.get_document_count() == 10
+    assert eng.get_max_top_k() == MAX_TOP_K
+    eng.set_top_k(5)
+    assert eng.get_top_k() == 5
+    assert eng.get_encoding_scheme_name() == "parquet"
+
+    # _relative: percent of the query's postings
+    eng.set_postings_to_process_relative(50)
+    assert eng.rho == 0.5
+    eng.set_postings_to_process_relative(100)
+
+    # _proportion: percent of DOC COUNT → absolute budget
+    eng.set_postings_to_process_proportion(50)
+    assert eng.get_postings_to_process() == 5
+    eng.set_postings_to_process(10**9)
+
+    # raw parser toggle: pre-normalized query matches the parsed one
+    full = {(r["query_id"], r["rank"], r["doc_id"]) for r in eng.search(qdf).collect()}
+    eng.use_ascii_parser()
+    raw = {(r["query_id"], r["rank"], r["doc_id"]) for r in eng.search(qdf).collect()}
+    assert raw == full  # TEN_DOC_QUERIES are already lowercase/space-split
+    eng.use_query_parser()
+
+    # bootstrap: results identical to plain search; oracle then installed
+    boot = {(r["query_id"], r["rank"], r["doc_id"]) for r in eng.anytime_bootstrap(qdf).collect()}
+    assert boot == full
+    assert eng.oracle is not None
+    eng.set_postings_to_process_minimum(0)
+    oracled = {(r["query_id"], r["rank"], r["doc_id"]) for r in eng.search(qdf).collect()}
+    assert oracled == full  # rsv@k pruning is rank-safe
+    idx = eng.index
+    idx.unpersist()
