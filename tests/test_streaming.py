@@ -81,3 +81,74 @@ def test_stateful_dedup_stream(spark, tmp_path):
     )
     # first occurrence per content: docs 1, 2, 4, 6 (3 and 5 are dups)
     assert out == [(1, "alpha beta"), (2, "gamma delta"), (4, "epsilon"), (6, "zeta")]
+
+
+def test_socket_query_channel(spark, tmp_path):
+    """channel_socket analogue: query lines over TCP → continuous SaaT
+    top-k; results must equal the batch engine on the same queries."""
+    import socket
+    import threading
+    import time
+
+    from jassv2_spark.fixtures import TEN_DOC_QUERIES, ten_documents
+    from jassv2_spark.operators.build import build_index
+    from jassv2_spark.operators.search import search
+    from jassv2_spark.streaming.query_channel import (
+        serve_query_stream,
+        socket_query_channel,
+    )
+
+    rows = [(r["url"], r["html"].decode()) for r in ten_documents()]
+    idx = build_index(
+        spark.createDataFrame(rows, ["url", "html"]), text_col="html", key_col="url"
+    )
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("localhost", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+    payload = "".join(f"{qid} {q}\n" for qid, q in TEN_DOC_QUERIES).encode()
+    done = threading.Event()
+
+    def feeder():
+        conn, _ = srv.accept()
+        conn.sendall(payload)
+        done.wait(60)  # keep the connection open until the test is done
+        conn.close()
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+
+    q = (
+        serve_query_stream(idx, socket_query_channel(spark, "localhost", port), k=10)
+        .writeStream.format("memory")
+        .queryName("socket_results")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        want = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["rsv"])
+            for r in search(
+                idx, spark.createDataFrame(TEN_DOC_QUERIES, ["query_id", "query"]),
+                k=10, with_keys=False,
+            ).collect()
+        )
+        got = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = sorted(
+                (r["query_id"], r["rank"], r["doc_id"], r["rsv"])
+                for r in spark.sql("SELECT * FROM socket_results").collect()
+            )
+            if len(got) >= len(want):
+                break
+            time.sleep(0.5)
+        assert got == want
+    finally:
+        done.set()
+        q.stop()
+        srv.close()
+        idx.unpersist()
