@@ -116,3 +116,30 @@ def test_build_deterministic_across_parallelism(spark):
         for r in i4.segments.collect()
     )
     assert s1 == s4
+
+
+def test_hot_term_segment_shards_bounded(spark):
+    """Zipf-head skew stress (BASELINE.md skew row): a stopword appearing in
+    EVERY document must be split into bounded doc-range shards (no single
+    giant group ever reaches one task), while tail terms stay single-shard
+    (no segment-row inflation). Bound comes from build_segments' df-adaptive
+    width: max(shard_size, n_docs*shard_size/df)."""
+    from pyspark.sql import functions as F
+
+    from jassv2_spark.operators.build import BuildConf, build_index
+
+    n, shard = 2000, 64
+    docs = spark.createDataFrame(
+        [(i, f"the common w{i % 50:04d}") for i in range(1, n + 1)], ["doc_id", "text"]
+    )
+    idx = build_index(
+        docs, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+        conf=BuildConf(shard_size=shard, tokenizer="ascii"),
+    )
+    hot = idx.segments.where(F.col("term") == "the").collect()
+    assert sum(r["part_freq"] for r in hot) == n
+    assert len(hot) >= n // shard  # the Zipf head really is split
+    assert max(r["part_freq"] for r in hot) <= shard  # every shard bounded
+    tail = idx.segments.where(F.col("term") == "0007").collect()  # "w0007" → "w"+"0007"
+    assert len(tail) == 1 and tail[0]["part_freq"] == n // 50  # tail: one shard
+    idx.unpersist()
