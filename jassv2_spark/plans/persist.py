@@ -347,6 +347,7 @@ def load_index_tables(spark: SparkSession, out_dir: str, conf: BuildConf | None 
     )
     segments = spark.read.parquet(os.path.join(out_dir, "segments"))
     codec = stats.get("codec")
+    conf.codec = codec  # surfaced via Engine.get_encoding_scheme_name()
     if codec is not None and "doc_ids_enc" in segments.columns:
         from jassv2_spark.functions.compression import make_decode_udf
 

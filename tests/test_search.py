@@ -169,5 +169,8 @@ def test_engine_reference_api_surface(spark):
     eng.set_postings_to_process_minimum(0)
     oracled = {(r["query_id"], r["rank"], r["doc_id"]) for r in eng.search(qdf).collect()}
     assert oracled == full  # rsv@k pruning is rank-safe
+    # a huge processing floor disables pruning entirely → still identical
+    eng.set_postings_to_process_minimum(10**9)
+    assert {(r["query_id"], r["rank"], r["doc_id"]) for r in eng.search(qdf).collect()} == full
     idx = eng.index
     idx.unpersist()
