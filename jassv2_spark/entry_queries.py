@@ -944,6 +944,82 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
                FROM ranked WHERE rank <= {K}""",
     )
 
+    # ---- web-pipeline: URL canonicalization + paragraph dedup ----
+    # Messy URLs synthesized deterministically from doc_id (tracking params,
+    # fragments, mixed-case scheme/host, default ports); the SAME synthesis
+    # and the SAME canonicalization regex chain run in both engines.
+    def _messy_url_spark():
+        d = F.col("doc_id").cast("string")
+        return (
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("HTTPS://Example.org:443/Web/"), d,
+                            F.lit("/?utm_source=x&ref=1#frag")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit("http://example.ORG:80/web/"), d))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("https://example.org/web/"), d, F.lit("/?gclid=abc")))
+            .otherwise(F.concat(F.lit("https://example.org/web/"), d,
+                                F.lit("?a=1&utm_campaign=z")))
+        )
+
+    def _urlcanon(spark, sf):
+        from jassv2_spark.operators.weburls import canonical_urls
+
+        pages = _docs(spark, sf).select("doc_id", _messy_url_spark().alias("url"))
+        return canonical_urls(pages)
+
+    _MESSY_SQL = """CASE
+        WHEN doc_id % 4 = 0 THEN 'HTTPS://Example.org:443/Web/' || doc_id || '/?utm_source=x&ref=1#frag'
+        WHEN doc_id % 4 = 1 THEN 'http://example.ORG:80/web/' || doc_id
+        WHEN doc_id % 4 = 2 THEN 'https://example.org/web/' || doc_id || '/?gclid=abc'
+        ELSE 'https://example.org/web/' || doc_id || '?a=1&utm_campaign=z' END"""
+    _TRK = "utm_[a-zA-Z]+|gclid|fbclid"
+    r["web_url_canonicalize"] = (
+        _urlcanon,
+        f"""WITH m AS (SELECT {_MESSY_SQL} AS url FROM documents),
+        s1 AS (SELECT url, regexp_replace(url, '#.*', '', 'g') AS u FROM m),
+        s2 AS (SELECT url, regexp_replace(u, '({_TRK})=[^&]*&', '', 'g') AS u FROM s1),
+        s3 AS (SELECT url, regexp_replace(u, '[?&]({_TRK})=[^&]*$', '', 'g') AS u FROM s2),
+        s4 AS (SELECT url, u, regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*') AS head FROM s3),
+        s5 AS (SELECT url,
+                      lower(regexp_replace(head, ':80$|:443$', '', 'g'))
+                        || substr(u, length(head) + 1) AS u
+               FROM s4),
+        s6 AS (SELECT url, regexp_replace(u, '/$', '', 'g') AS canon_url FROM s5)
+        SELECT url, canon_url,
+               regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/:]+)', 1) AS host
+        FROM s6""",
+    )
+
+    # The synthetic corpus has no natural cross-document paragraphs, so the
+    # entry appends a deterministic boilerplate footer (shared by doc_id%7)
+    # — the crawl-boilerplate shape this operator exists to find.
+    def _paradup(spark, sf):
+        from jassv2_spark.operators.weburls import paragraph_duplicates
+
+        with_footer = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(". standard site footer "),
+                (F.col("doc_id") % 7).cast("string"),
+            ).alias("text"),
+        )
+        return paragraph_duplicates(with_footer, min_docs=2)
+
+    r["dedup_paragraphs"] = (
+        _paradup,
+        """WITH d AS (SELECT doc_id,
+                             text || '. standard site footer ' || (doc_id % 7) AS text
+                      FROM documents),
+           p AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\. ')) AS para
+                 FROM d),
+           ph AS (SELECT doc_id, md5(para) AS para_hash FROM p
+                  WHERE length(trim(para)) > 0)
+           SELECT para_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                  count(*)::BIGINT AS n_occurrences, min(doc_id)::BIGINT AS keep_doc
+           FROM ph GROUP BY para_hash HAVING count(DISTINCT doc_id) >= 2""",
+    )
+
     # ---- relational sanity (TPC-H Q1 shape over lineitem) ----
     def _q1(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")

@@ -1,0 +1,95 @@
+"""Web-pipeline operators: URL canonicalization and paragraph-level dedup.
+
+Standard Common-Crawl-pipeline stages over the web-pages input contract:
+
+- canonicalize_url — a DEFINED, engine-portable canonical form: strip the
+  fragment, drop tracking parameters (utm_*, gclid, fbclid), lowercase
+  scheme+host only (path/query case preserved), strip default :80/:443
+  ports, strip a single trailing slash. Pure JVM regex expressions with
+  the same regexes runnable in RE2 (no backreferences, no lookaround), so
+  a DuckDB oracle can mirror the plan bit-for-bit. At 10^12 rows this is
+  a map-only pass; the usual consumer is an exact-dup groupBy on the
+  canonical form (same-page-different-tracking collapses).
+- paragraph_hashes / paragraph_duplicates — split each document on a
+  separator pattern, hash each piece (md5), and find pieces shared across
+  documents: the paragraph-granularity exact dedup used to strip
+  boilerplate (headers, footers, nav) that repeats across a crawl.
+  Shuffle is keyed by the content hash — uniform, skew-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PARAMS = "utm_[a-zA-Z]+|gclid|fbclid"
+_SCHEME_HOST = "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL column expression (see module docstring for the form)."""
+    # 1. fragment
+    u = F.regexp_replace(col, "#.*", "")
+    # 2. tracking params followed by another param (keep the separator for it)
+    u = F.regexp_replace(u, f"({TRACKING_PARAMS})=[^&]*&", "")
+    # 3. trailing tracking param, consuming its ? or & separator
+    u = F.regexp_replace(u, f"[?&]({TRACKING_PARAMS})=[^&]*$", "")
+    # 4. lowercase scheme+host only; path/query stay as-is
+    head = F.regexp_extract(u, _SCHEME_HOST, 0)
+    head = F.lower(F.regexp_replace(head, ":80$|:443$", ""))
+    tail = F.substring(u, F.length(F.regexp_extract(u, _SCHEME_HOST, 0)) + 1, 1 << 20)
+    u = F.concat(head, tail)
+    # 5. single trailing slash
+    return F.regexp_replace(u, "/$", "")
+
+
+def canonical_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, canon_url, host): canonical form + lowercased host."""
+    canon = canonicalize_url(F.col(url_col))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        canon.alias("canon_url"),
+        F.regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/:]+)", 1).alias("host"),
+    )
+
+
+def paragraph_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\\. ",
+) -> DataFrame:
+    """(doc_id, para_idx, para_hash): md5 of each non-empty piece of the
+    document split on ``sep`` (a regex; default sentence-ish '. ')."""
+    pieces = F.split(F.col(text_col), sep)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(pieces).alias("para_idx", "para"))
+        .where(F.length(F.trim("para")) > 0)
+        .select(
+            "doc_id",
+            F.col("para_idx").cast("long").alias("para_idx"),
+            F.md5(F.col("para").cast("binary")).alias("para_hash"),
+        )
+    )
+
+
+def paragraph_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\\. ",
+    min_docs: int = 2,
+) -> DataFrame:
+    """(para_hash, n_docs, n_occurrences, keep_doc): paragraphs appearing in
+    ≥ min_docs distinct documents — crawl boilerplate candidates; keep_doc
+    is the smallest holding doc (deterministic survivor)."""
+    ph = paragraph_hashes(docs, text_col, id_col, sep)
+    return (
+        ph.groupBy("para_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+    )

@@ -1,0 +1,47 @@
+"""URL canonicalization + paragraph dedup (web-pipeline operators)."""
+
+from pyspark.sql import functions as F
+
+from jassv2_spark.operators.weburls import (
+    canonical_urls,
+    paragraph_duplicates,
+    paragraph_hashes,
+)
+
+CASES = [
+    # (input, canonical, host)
+    ("HTTPS://Example.org:443/Web/9/?utm_source=x&ref=1#frag",
+     "https://example.org/Web/9/?ref=1", "example.org"),
+    ("http://example.ORG:80/web/1", "http://example.org/web/1", "example.org"),
+    ("https://example.org/a/?gclid=abc", "https://example.org/a", "example.org"),
+    ("https://example.org/a?b=1&utm_campaign=z&c=2", "https://example.org/a?b=1&c=2",
+     "example.org"),
+    ("https://example.org/a?utm_a=1&utm_b=2", "https://example.org/a", "example.org"),
+    ("https://Sub.Example.org:8080/P/Q?x=1", "https://sub.example.org:8080/P/Q?x=1",
+     "sub.example.org"),
+    ("https://example.org/", "https://example.org", "example.org"),
+]
+
+
+def test_canonicalize_golden_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _, _ in CASES], ["url"])
+    got = {r["url"]: (r["canon_url"], r["host"]) for r in canonical_urls(df).collect()}
+    for u, canon, host in CASES:
+        assert got[u] == (canon, host), u
+
+
+def test_paragraph_dedup(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "shared footer. unique one. shared footer"),
+            (2, "unique two. shared footer"),
+            (3, "totally different text"),
+        ],
+        ["doc_id", "text"],
+    )
+    ph = paragraph_hashes(docs)
+    assert ph.where(F.col("doc_id") == 1).count() == 3
+    dups = paragraph_duplicates(docs, min_docs=2).collect()
+    assert len(dups) == 1  # only 'shared footer' crosses documents
+    assert dups[0]["n_docs"] == 2 and dups[0]["n_occurrences"] == 3
+    assert dups[0]["keep_doc"] == 1
