@@ -290,6 +290,55 @@ def _search_one(
     return [(int(hit_ids[i]), int(vals[i])) for i in order], processed
 
 
+def saat_search_stats(
+    index: Index,
+    queries: DataFrame,
+    k: int = 10,
+    rho: float = 1.0,
+    postings_budget: int | None = None,
+    package: dict | None = None,
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """Per-query serving stats from the fast path: (query_id,
+    postings_processed, n_results, usec) — the reference's per-query
+    report (`anytime/JASS_anytime_stats.h:30-40`, printed at
+    `JASS_anytime.cpp:276-295`). postings_processed is deterministic and
+    matches the declarative `search_metrics` under the same budget; usec
+    is wall time of the kernel for this query on its worker."""
+    import time as _time
+
+    spark = queries.sparkSession
+    pkg = package if package is not None else package_index(index)
+    bpkg = spark.sparkContext.broadcast(pkg)
+    raw = tokenizer == "raw"
+    schema = StructType(
+        [
+            StructField("query_id", StringType(), False),
+            StructField("postings_processed", LongType(), False),
+            StructField("n_results", LongType(), False),
+            StructField("usec", LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = bpkg.value
+        for pdf in batches:
+            out = []
+            for qid, qtext in zip(pdf["query_id"], pdf["query"]):
+                t0 = _time.perf_counter()
+                ranked, processed = _search_one(p, qtext, k, rho, postings_budget, raw=raw)
+                usec = int((_time.perf_counter() - t0) * 1e6)
+                out.append((qid, processed, len(ranked), usec))
+            yield pd.DataFrame(
+                out, columns=["query_id", "postings_processed", "n_results", "usec"]
+            )
+
+    nparts = min(
+        4 * max(1, spark.sparkContext.defaultParallelism), max(1, queries.count())
+    )
+    return queries.repartition(nparts).mapInPandas(run, schema=schema)
+
+
 def saat_search(
     index: Index,
     queries: DataFrame,

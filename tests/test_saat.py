@@ -82,3 +82,24 @@ def test_saat_raw_tokenizer_matches_declarative(spark, syn):
     a = _collect(search(idx, qdf, k=10, tokenizer="raw", with_keys=False))
     b = _collect(saat_search(idx, qdf, k=10, package=pkg, tokenizer="raw"))
     assert a == b and a  # non-empty: raw tokens hit the vocab verbatim
+
+
+def test_saat_stats_match_declarative_metrics(spark, syn):
+    """The fast path's per-query postings_processed must equal the
+    declarative search_metrics (same budget logic on both sides); usec is
+    a positive wall-clock reading (JASS_anytime_stats parity)."""
+    from jassv2_spark.operators.saat import saat_search_stats
+    from jassv2_spark.operators.search import search_metrics
+
+    idx, pkg = syn
+    queries = synthetic_queries(12)
+    qdf = spark.createDataFrame(queries, ["query_id", "query"])
+    for rho in (1.0, 0.3):
+        want = {
+            r["query_id"]: r["postings_processed"]
+            for r in search_metrics(idx, qdf, rho=rho).collect()
+        }
+        rows = saat_search_stats(idx, qdf, k=10, rho=rho, package=pkg).collect()
+        got = {r["query_id"]: r["postings_processed"] for r in rows if r["postings_processed"] > 0}
+        assert got == {q: p for q, p in want.items() if p > 0}, rho
+        assert all(r["usec"] >= 0 for r in rows)
