@@ -43,6 +43,8 @@ def jass_index_main(argv: list[str]) -> int:
     p.add_argument("-If", "--index_forward", action="store_true", help="also write a forward index")
     p.add_argument("-o", "--out", default="./index_spark", help="index output directory")
     p.add_argument("-q", "--nologo", action="store_true")
+    p.add_argument("-N", "--report-every", type=int, default=None, dest="report_every",
+                   help="(accepted, no-op: progress comes from the Spark UI/event log)")
     a = p.parse_args(argv)
 
     from jassv2_spark.operators.build import BuildConf, build_index, build_prequantized_index
@@ -107,7 +109,16 @@ def jass_anytime_main(argv: list[str]) -> int:
     p.add_argument("-Q", "--queryrsvfile", default=None,
                    help="oracle rsv@k file, 1/line: <query_id> <rsv>")
     p.add_argument("-o", "--output", default="ranking.txt", help="TREC run output file")
+    # accepted for reference-command-line compatibility; managed by Spark
+    p.add_argument("-t", "--threads", type=int, default=None,
+                   help="(accepted, no-op: Spark schedules query partitions)")
+    p.add_argument("-w", "--width", type=int, default=None,
+                   help="(accepted, no-op: accumulator layout is automatic)")
+    p.add_argument("-2", "--v2_index", action="store_true", dest="v2_index",
+                   help="(accepted, no-op: one on-disk format here)")
     a = p.parse_args(argv)
+    if a.threads or a.width:
+        print("note: -t/-w are managed by Spark; flags accepted for compatibility")
 
     from jassv2_spark.engine import Engine
 
