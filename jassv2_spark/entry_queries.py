@@ -692,6 +692,34 @@ sfp AS (SELECT d.doc_id,
                    length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS alnum_ratio
             FROM d""",
     )
+    # n-gram language-ID: profile trigrams inline as literals in both engines
+    def _lang_ngram(spark, sf):
+        from jassv2_spark.operators.textstats import lang_ngram_scores
+
+        return lang_ngram_scores(_docs(spark, sf))
+
+    def _lang_ngram_sql() -> str:
+        from jassv2_spark.operators.textstats import LANG_ORDER, LANG_TRIGRAM_PROFILES
+
+        def score(lang: str) -> str:
+            return " + ".join(
+                f"CASE WHEN contains(t, '{tri}') THEN 1 ELSE 0 END"
+                for tri in LANG_TRIGRAM_PROFILES[lang]
+            )
+
+        scores = ", ".join(f"({score(lang)})::BIGINT AS score_{lang}" for lang in LANG_ORDER)
+        best = "greatest(" + ", ".join(f"score_{lang}" for lang in LANG_ORDER) + ")"
+        guess = "'und'"
+        for lang in reversed(LANG_ORDER):
+            guess = f"CASE WHEN score_{lang} = {best} THEN '{lang}' ELSE {guess} END"
+        return f"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+            s AS (SELECT doc_id, {scores} FROM d)
+            SELECT doc_id, {', '.join(f'score_{lang}' for lang in LANG_ORDER)},
+                   CASE WHEN {best} >= 2 THEN {guess} ELSE 'und' END AS lang_ngram
+            FROM s"""
+
+    r["text_lang_ngram"] = (_lang_ngram, _lang_ngram_sql())
+
     r["text_lang_guess"] = (
         lambda spark, sf: lang_guess(_docs(spark, sf)),
         """SELECT doc_id,

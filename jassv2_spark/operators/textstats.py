@@ -94,6 +94,57 @@ def lang_guess(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return docs.select(F.col(id_col), guess.alias("lang_guess"))
 
 
+# Character-trigram profiles for the n-gram language-ID heuristic —
+# highest-frequency trigrams (including word boundaries as spaces) of each
+# language's most common function words; public-knowledge linguistics,
+# deterministic, tiny enough to inline as literals in BOTH engines.
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "he ", " th", "and", "nd ", " an", "ing", "ng ", " of",
+           "of ", " to", "to ", "ion", " in", "in ", "ed ", "is ", " is",
+           "hat", "at "),
+    "de": ("der", "er ", " de", "ie ", "die", "und", "nd ", " un", "ein",
+           "ich", "ch ", " ei", "sch", "en ", "ung", " da", "das", "cht",
+           "ben", "gen"),
+    "fr": ("es ", " de", "de ", "le ", " le", "ent", "nt ", "la ", " la",
+           "et ", " et", "les", "que", " qu", "ue ", "our", " pa", "ais",
+           "ons", "ait"),
+    "es": (" de", "de ", "os ", " la", "la ", "el ", " el", "que", " qu",
+           "ue ", "as ", " en", "en ", "ado", "ión", "ar ", " co", "es ",
+           "nte", "los"),
+}
+LANG_ORDER = tuple(LANG_TRIGRAM_PROFILES)  # deterministic tie-break order
+
+
+def lang_ngram_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_hits: int = 2
+) -> DataFrame:
+    """(id, score_en, score_de, score_fr, score_es, lang_ngram): character
+    n-gram language ID — score = number of DISTINCT profile trigrams found
+    in the lowercased text; guess = argmax (first language in profile order
+    on ties), 'und' when the best score < min_hits. Pure JVM expressions;
+    profiles inline as literals, so an SQL oracle reproduces it exactly."""
+    d = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))
+    score_cols = {}
+    for lang, prof in LANG_TRIGRAM_PROFILES.items():
+        hits = [F.when(F.contains(F.col("__t"), F.lit(t)), 1).otherwise(0) for t in prof]
+        expr = hits[0]
+        for h in hits[1:]:
+            expr = expr + h
+        score_cols[lang] = expr
+    best = None
+    for lang in LANG_ORDER:
+        best = score_cols[lang] if best is None else F.greatest(best, score_cols[lang])
+    guess = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # earlier languages win ties
+        guess = F.when(score_cols[lang] == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best >= F.lit(int(min_hits)), guess).otherwise(F.lit("und"))
+    return d.select(
+        F.col(id_col),
+        *[score_cols[lang].cast("long").alias(f"score_{lang}") for lang in LANG_ORDER],
+        guess.alias("lang_ngram"),
+    )
+
+
 def fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle: int = 8
 ) -> DataFrame:

@@ -45,3 +45,21 @@ def test_paragraph_dedup(spark):
     assert len(dups) == 1  # only 'shared footer' crosses documents
     assert dups[0]["n_docs"] == 2 and dups[0]["n_occurrences"] == 3
     assert dups[0]["keep_doc"] == 1
+
+
+def test_lang_ngram_heuristic(spark):
+    """n-gram language ID on real sentences of each profiled language."""
+    from jassv2_spark.operators.textstats import lang_ngram_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox is jumping over the lazy dog in the garden."),
+            (2, "Der schnelle braune Fuchs springt über den faulen Hund und das Kind."),
+            (3, "Le renard brun rapide saute par-dessus le chien paresseux dans le parc."),
+            (4, "El rápido zorro marrón salta sobre el perro perezoso en el parque."),
+            (5, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_ngram"] for r in lang_ngram_scores(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
