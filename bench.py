@@ -208,16 +208,23 @@ def main():
         return
 
     def spawn(cores: int, amplify: int, n_q: int, sel: str) -> dict:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--level", str(cores),
-             str(amplify), str(n_q), sel],
-            capture_output=True, text=True, env=dict(os.environ),
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        for line in r.stdout.splitlines():
-            if line.startswith("LEVEL_JSON:"):
-                return json.loads(line[len("LEVEL_JSON:"):])
-        raise RuntimeError(f"level {cores} failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+        # one retry: a level run is a whole JVM under a noisy host — a
+        # transient subprocess death (OOM-kill, executor crash) must not
+        # void the entire benchmark record
+        last = ("", "")
+        for _attempt in range(2):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--level", str(cores),
+                 str(amplify), str(n_q), sel],
+                capture_output=True, text=True, env=dict(os.environ),
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("LEVEL_JSON:"):
+                    return json.loads(line[len("LEVEL_JSON:"):])
+            last = (r.stdout, r.stderr)
+            print(f"level {cores} attempt failed; retrying", file=sys.stderr)
+        raise RuntimeError(f"level {cores} failed twice:\n{last[0][-2000:]}\n{last[1][-2000:]}")
 
     def spawn_best(cores: int, amplify: int, n_q: int, sel: str, reps: int) -> dict:
         """Best-of-N per phase: the sandbox shows high run-to-run variance
