@@ -18,7 +18,10 @@ pollute either parallelism level):
 Scaling evidence (north_rule: ≥0.8 efficiency from N → 4N executors; no
 real cluster in this sandbox, so two parallelism levels on the SAME input
 stand in): each level runs in its own subprocess → its own cold JVM, same
-warmup, same input. Efficiency = (T_lo / T_hi) / (N_hi / N_lo).
+warmup, same input. Efficiency = (T_lo / T_hi) / (N_hi / N_lo), estimated
+as the MEDIAN over SCALE_REPS back-to-back (lo, hi) pairs — robust to the
+multi-minute host-noise episodes this box exhibits (see the paired-median
+comment in main()).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), BENCH_AMPLIFY (default 16),
@@ -52,7 +55,7 @@ SCALE_AMPLIFY = int(os.environ.get("BENCH_SCALE_AMPLIFY", str(AMPLIFY * 8)))
 # scaling workload weights the query batch accordingly; per-phase times
 # for build and search are reported separately either way.
 SCALE_QUERIES = int(os.environ.get("BENCH_SCALE_QUERIES", "16000"))
-SCALE_REPS = int(os.environ.get("BENCH_SCALE_REPS", "2"))
+SCALE_REPS = int(os.environ.get("BENCH_SCALE_REPS", "3"))
 PHASES = os.environ.get("BENCH_PHASES", "all")  # 'all' | 'core' (build+saat)
 
 VOCAB = (
@@ -239,29 +242,6 @@ def main():
         best["queries_per_sec"] = round(n_q / best["phases"]["search_saat"], 1)
         return best
 
-    def spawn_interleaved(levels: list[int], amplify: int, n_q: int, sel: str,
-                          reps: int) -> dict[int, dict]:
-        """Best-of-N per phase with the levels INTERLEAVED (lo, hi, lo, hi,
-        ...): host noise on this box arrives in multi-minute episodes, so
-        running all of one level then all of the other lets one episode land
-        entirely on one level and skew the ratio; alternating runs exposes
-        both levels to the same noise window and the per-phase min then
-        de-noises each level symmetrically."""
-        runs: dict[int, list[dict]] = {c: [] for c in levels}
-        for _ in range(reps):
-            for c in levels:
-                runs[c].append(spawn(c, amplify, n_q, sel))
-        out: dict[int, dict] = {}
-        for c in levels:
-            best = dict(runs[c][0])
-            best["phases"] = {
-                k: min(r["phases"][k] for r in runs[c]) for k in runs[c][0]["phases"]
-            }
-            best["docs_per_sec"] = round(best["n_docs"] / best["phases"]["build"], 1)
-            best["queries_per_sec"] = round(n_q / best["phases"]["search_saat"], 1)
-            out[c] = best
-        return out
-
     hi = spawn_best(CPUS, AMPLIFY, N_QUERIES, "all", 2)
     out = {
         "metric": "jassv2_spark index build + SaaT query batch wall time",
@@ -280,13 +260,29 @@ def main():
         # N vs 4N on the same (bigger) input, build + SaaT query batch —
         # the two throughput phases; packaging is the serial once-per-index
         # load (the reference's own startup is serial too).
-        both = spawn_interleaved(
-            [SCALE_LO, SCALE_HI], SCALE_AMPLIFY, SCALE_QUERIES, "core", SCALE_REPS
-        )
-        lo, hi4 = both[SCALE_LO], both[SCALE_HI]
+        #
+        # PAIRED-MEDIAN estimator: host noise on this box arrives in
+        # multi-minute episodes that can poison either level for a whole
+        # stretch (observed recorded efficiencies 0.70-0.86 for identical
+        # code). Each rep runs (lo, hi) back-to-back so a given episode
+        # hits both sides of ONE pair; efficiency is computed per pair and
+        # the MEDIAN pair is the record — one poisoned pair cannot move a
+        # median of three, unlike independent per-phase minima, which a
+        # single bad stretch on the short (hi) side skews directly. All
+        # pair efficiencies are recorded for transparency.
         par = ("build", "search_saat")
-        t_lo = sum(lo["phases"][p] for p in par)
-        t_hi = sum(hi4["phases"][p] for p in par)
+        pairs = []
+        for _ in range(SCALE_REPS):
+            lo = spawn(SCALE_LO, SCALE_AMPLIFY, SCALE_QUERIES, "core")
+            hi4 = spawn(SCALE_HI, SCALE_AMPLIFY, SCALE_QUERIES, "core")
+            t_lo = sum(lo["phases"][p] for p in par)
+            t_hi = sum(hi4["phases"][p] for p in par)
+            pairs.append(
+                {"lo": lo, "hi": hi4, "t_lo": t_lo, "t_hi": t_hi,
+                 "eff": (t_lo / t_hi) / (SCALE_HI / SCALE_LO)}
+            )
+        med = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]
+        lo, hi4, t_lo, t_hi = med["lo"], med["hi"], med["t_lo"], med["t_hi"]
         out["scaling"] = {
             "cores_lo": lo["cores"], "cores_hi": hi4["cores"],
             "amplify": SCALE_AMPLIFY, "n_docs": lo["n_docs"],
@@ -296,7 +292,9 @@ def main():
             "docs_per_sec_lo": lo["docs_per_sec"], "docs_per_sec_hi": hi4["docs_per_sec"],
             "queries_per_sec_lo": lo["queries_per_sec"], "queries_per_sec_hi": hi4["queries_per_sec"],
             "speedup": round(t_lo / t_hi, 3),
-            "efficiency": round((t_lo / t_hi) / (SCALE_HI / SCALE_LO), 3),
+            "efficiency": round(med["eff"], 3),
+            "pair_efficiencies": [round(p["eff"], 3) for p in pairs],
+            "estimator": "median of per-pair efficiencies (pairs run back-to-back)",
         }
     print(json.dumps(out))
 
