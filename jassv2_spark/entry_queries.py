@@ -633,6 +633,46 @@ FROM nrel n FULL OUTER JOIN nret t ON t.query_id = n.query_id
         ),
         _minhash_sql(),
     )
+
+    # Duplicate clusters = transitive closure of the LSH candidate pairs.
+    # Spark: iterative min-label propagation + pointer jumping
+    # (operators/dedup.py:connected_components). Oracle: DuckDB recursive
+    # CTE computing min-reachable-id over the same symmetrised edge set.
+    def _clusters_sql() -> str:
+        sigs = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+        bands = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, md5(h{4*b} || h{4*b+1} || h{4*b+2} || h{4*b+3}) AS band_hash FROM sig"
+            for b in range(4)
+        )
+        return (
+            "WITH RECURSIVE "
+            + _SHINGLE3.strip().strip(",")
+            + f""",
+            sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+            banded AS ({bands}),
+            pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM banded a JOIN banded b ON a.band_idx = b.band_idx
+                        AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            eg AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+                   UNION ALL SELECT doc_b, doc_a FROM pr),
+            walk(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT eg.src, walk.label FROM walk JOIN eg ON eg.dst = walk.node
+            ),
+            cl AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+            SELECT node::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
+                   (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+            FROM cl"""
+        )
+
+    def _clusters(spark, sf):
+        from jassv2_spark.operators.dedup import dedup_cluster_assign
+
+        return dedup_cluster_assign(_docs(spark, sf), n=3, num_hashes=16, bands=4)
+
+    r["dedup_clusters"] = (_clusters, _clusters_sql())
     # SimHash oracle: DuckDB rebuilds the fingerprint bit-exactly — per-term
     # hash h = first 8 bytes of md5 (hex-cast to UBIGINT == big-endian),
     # per-bit weighted votes, bit set iff vote > 0, signed-64 reinterpret.
@@ -1046,6 +1086,49 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
            SELECT para_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
                   count(*)::BIGINT AS n_occurrences, min(doc_id)::BIGINT AS keep_doc
            FROM ph GROUP BY para_hash HAVING count(DISTINCT doc_id) >= 2""",
+    )
+
+    # ---- training-data pipeline: event-stream analytics ----
+    def _events(spark, sf):
+        return spark.read.parquet(f"{sf}/events.parquet")
+
+    def _sessionize(spark, sf):
+        from jassv2_spark.operators.events import sessionize
+
+        return sessionize(_events(spark, sf), gap_minutes=30)
+
+    r["events_sessionize"] = (
+        _sessionize,
+        """WITH o AS (SELECT user_id, ts, event_id, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM events),
+           f AS (SELECT user_id, ts, event_id, value,
+                  CASE WHEN prev_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+               FROM o),
+           s AS (SELECT user_id, ts, value,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+               FROM f)
+           SELECT user_id, session_idx, min(ts) AS session_start,
+                  max(ts) AS session_end, count(*)::BIGINT AS n_events,
+                  sum(floor(value * 1000)::BIGINT)::BIGINT AS sum_value_milli
+           FROM s GROUP BY user_id, session_idx""",
+    )
+
+    def _tumbling(spark, sf):
+        from jassv2_spark.operators.events import tumbling_counts
+
+        return tumbling_counts(_events(spark, sf), window_size="1 hour")
+
+    r["events_tumbling"] = (
+        _tumbling,
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+                  count(*)::BIGINT AS n_events,
+                  count(DISTINCT user_id)::BIGINT AS n_users,
+                  sum(floor(value * 1000)::BIGINT)::BIGINT AS sum_value_milli
+           FROM events GROUP BY 1, 2""",
     )
 
     # ---- relational sanity (TPC-H Q1 shape over lineitem) ----

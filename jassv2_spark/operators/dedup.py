@@ -276,3 +276,88 @@ def simhash_hamming_pairs(
         .where(F.col("hamming") <= F.lit(int(max_distance)))
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, label): connected-component label = min node id reachable from
+    each node over the undirected `pairs` graph; nodes with no edges keep
+    their own id (singleton clusters).
+
+    Distributed min-label propagation with pointer jumping. Per iteration:
+
+      1. neighbour min:  label(v) <- min(label(v), min over {u : u~v} label(u))
+         — one shuffle join keyed on node id + one partial-agg groupBy;
+      2. pointer jump:   label(v) <- label(label(v))
+         — one more keyed join; halves pointer-tree height each round, so
+         convergence is O(log diameter) iterations rather than O(diameter).
+
+    Labels only ever DECREASE, so sum(label) is a strictly monotone
+    potential: the loop stops when the sum is unchanged (one scalar agg per
+    iteration — no row-wise diff join). Every join/groupBy is keyed on the
+    id itself (uniform at web scale where ids are hashes/dense ints); the
+    per-iteration lineage is truncated with localCheckpoint so the plan does
+    not grow — on a real cluster point `spark.sparkContext.setCheckpointDir`
+    at durable storage and swap in `.checkpoint()`.
+
+    The reference engine has no clustering stage (dedup is out of its
+    scope); this is the standard LSH-pairs -> duplicate-clusters closure a
+    training-data pipeline needs (cf. MinHash-LSH dedup in web-corpus
+    curation), built as a from-scratch DataFrame plan.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    prev_sum = None
+    for _ in range(max_iter):
+        nb = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nb_min"))
+        )
+        l1 = labels.join(nb, "node", "left").select(
+            "node", F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label")
+        )
+        ptr = l1.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
+        l2 = (
+            l1.withColumnRenamed("label", "mid")
+            .join(ptr, F.col("mid") == F.col("p_node"), "left")
+            .select("node", F.coalesce("p_label", "mid").alias("label"))
+        )
+        labels = l2.localCheckpoint(eager=True)
+        s = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+def dedup_cluster_assign(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size): every document labelled with its
+    near-duplicate cluster — the transitive closure of MinHash-LSH candidate
+    pairs — cluster_id = smallest doc id in the cluster (the deterministic
+    survivor a dedup policy keeps). Docs with no near-dup candidates form
+    size-1 clusters."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, text_col, id_col, n, num_hashes, bands)
+    labels = connected_components(pairs, docs.select(id_col), id_col=id_col)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").cast("long").alias(id_col),
+        F.col("label").cast("long").alias("cluster_id"),
+        "cluster_size",
+    )
