@@ -1088,6 +1088,112 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
            FROM ph GROUP BY para_hash HAVING count(DISTINCT doc_id) >= 2""",
     )
 
+    # Exact-substring dedup (Lee et al. ACL 2022): repeated L-token spans
+    # across the corpus, merged per doc via gaps-and-islands.
+    _RS_L, _RS_MIN = 8, 2
+
+    def _repeated_spans(spark, sf):
+        from jassv2_spark.operators.dedup import repeated_spans
+
+        return repeated_spans(_docs(spark, sf), length=_RS_L, min_count=_RS_MIN)
+
+    r["dedup_repeated_spans"] = (
+        _repeated_spans,
+        f"""WITH dtoks AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+                 FROM documents),
+           starts AS (SELECT doc_id, tk, unnest(range(1, len(tk) - {_RS_L} + 2)) AS s
+                 FROM dtoks WHERE len(tk) >= {_RS_L}),
+           occ AS (SELECT doc_id, s - 1 AS start_tok, s + {_RS_L} - 2 AS end_tok,
+                          md5(array_to_string(tk[s:s+{_RS_L - 1}], ' ')) AS g
+                 FROM starts),
+           hot AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= {_RS_MIN}),
+           sp AS (SELECT doc_id, start_tok, end_tok FROM occ JOIN hot USING (g)),
+           fl AS (SELECT doc_id, start_tok, end_tok,
+                         CASE WHEN start_tok > coalesce(max(end_tok) OVER (
+                                  PARTITION BY doc_id ORDER BY start_tok
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                              THEN 1 ELSE 0 END AS new_island
+                 FROM sp),
+           isl AS (SELECT doc_id, start_tok, end_tok,
+                          sum(new_island) OVER (PARTITION BY doc_id ORDER BY start_tok
+                                                ROWS UNBOUNDED PRECEDING) AS island
+                 FROM fl)
+           SELECT doc_id, min(start_tok)::BIGINT AS span_start,
+                  max(end_tok)::BIGINT AS span_end,
+                  (max(end_tok) - min(start_tok) + 1)::BIGINT AS span_tokens
+           FROM isl GROUP BY doc_id, island""",
+    )
+
+    # PII scrub: synthetic, deterministic PII is appended to each doc in
+    # BOTH engines (the corpus itself has none), then redacted.
+    def _pii(spark, sf):
+        from jassv2_spark.operators.textstats import pii_scrub
+
+        d = _docs(spark, sf)
+        aug = d.select(
+            F.col("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ).alias("text"),
+        )
+        return pii_scrub(aug)
+
+    from jassv2_spark.operators.textstats import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    _aug_sql = (
+        "text || ' Contact u' || doc_id::VARCHAR || '@mail.example.com or 555-867-'"
+        " || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+        " || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'"
+    )
+    r["text_pii_scrub"] = (
+        _pii,
+        "WITH a AS (SELECT doc_id, " + _aug_sql + """ AS t FROM documents)
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(t,
+                      '"""
+        + PII_EMAIL
+        + """', '[EMAIL]', 'g'),
+                      '"""
+        + PII_IPV4
+        + """', '[IP]', 'g'),
+                      '"""
+        + PII_PHONE
+        + """', '[PHONE]', 'g') AS clean_text,
+                  len(regexp_extract_all(t, '"""
+        + PII_EMAIL
+        + """'))::BIGINT AS n_emails,
+                  len(regexp_extract_all(t, '"""
+        + PII_IPV4
+        + """'))::BIGINT AS n_ips,
+                  len(regexp_extract_all(t, '"""
+        + PII_PHONE
+        + """'))::BIGINT AS n_phones
+           FROM a""",
+    )
+
+    # Deterministic hash-based train/val split (engine-portable md5 bucket)
+    def _split(spark, sf):
+        from jassv2_spark.operators.textstats import split_assign
+
+        return split_assign(_docs(spark, sf), val_frac=0.1)
+
+    _split_thresh = int(0.1 * (1 << 32))
+    r["text_split_assign"] = (
+        _split,
+        f"""SELECT doc_id,
+                  CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS UBIGINT)::BIGINT AS bucket,
+                  CASE WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS UBIGINT)
+                            < {_split_thresh} THEN 'val' ELSE 'train' END AS split
+           FROM documents""",
+    )
+
     # ---- training-data pipeline: event-stream analytics ----
     def _events(spark, sf):
         return spark.read.parquet(f"{sf}/events.parquet")

@@ -361,3 +361,76 @@ def dedup_cluster_assign(
         F.col("label").cast("long").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens): maximal token spans
+    covered by `length`-token substrings that occur ≥ `min_count` times
+    across the whole corpus (self-repeats included) — the exact-substring
+    dedup of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022), at token granularity. A curation pipeline cuts
+    these spans out of the training text.
+
+    Plan: per-doc rolling `length`-token shingles with positions (one JVM
+    transform + inline, no Python); one groupBy on the shingle md5 to find
+    repeated substrings (partial-agg, content-hash keyed → uniform); a
+    LEFT SEMI join to keep hot occurrences (semi join: no row blowup,
+    whatever the repeat count — a million-fold boilerplate shingle
+    contributes its occurrences once each, never a pairwise product);
+    then gaps-and-islands interval merge per doc (running-max window).
+    Span positions are 0-based token indexes, end inclusive."""
+    occ = (
+        docs.select(
+            F.col(id_col),
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)").alias("tk"),
+        )
+        .where(F.expr(f"size(tk) >= {length}"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"""inline(transform(sequence(1, size(tk) - {length} + 1),
+                     i -> struct(i - 1 AS start_tok, i + {length} - 2 AS end_tok,
+                                 md5(cast(concat_ws(' ', slice(tk, i, {length})) AS binary)) AS g)))"""
+            ),
+        )
+    )
+    hot = occ.groupBy("g").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") >= min_count)
+    spans = occ.join(hot.select("g"), "g", "left_semi")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("start_tok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        F.col(id_col),
+        "start_tok",
+        "end_tok",
+        F.when(
+            F.col("start_tok") > F.coalesce(F.max("end_tok").over(w), F.lit(-2)) + 1, 1
+        ).otherwise(0).alias("new_island"),
+    )
+    wisl = (
+        Window.partitionBy(id_col)
+        .orderBy("start_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        F.col(id_col), "start_tok", "end_tok", F.sum("new_island").over(wisl).alias("island")
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("start_tok").cast("long").alias("span_start"),
+        F.max("end_tok").cast("long").alias("span_end"),
+    ).select(
+        F.col(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+    )

@@ -162,3 +162,61 @@ def fingerprints(
     return docs.select(F.col(id_col), _toks(text_col).alias("__toks")).select(
         F.col(id_col), F.expr(expr).alias("fingerprint")
     )
+
+
+# PII patterns: shared by Spark (java.util.regex) and the DuckDB oracle
+# (RE2) — the subset below (character classes, bounded repeats, \b ASCII
+# word boundary, no backreferences) behaves identically in both engines.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_ips, n_phones): redact emails,
+    IPv4 addresses, and NANP-style phone numbers with typed placeholders.
+
+    Standard pre-training hygiene pass. Pure JVM `regexp_replace` /
+    `regexp_count` — whole-stage-codegen, no Python in the path. Counts are
+    taken on the original text; replacement order (email, ip, phone) is
+    fixed so the output is engine-independent."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(PII_EMAIL), F.lit("[EMAIL]")),
+            F.lit(PII_IPV4),
+            F.lit("[IP]"),
+        ),
+        F.lit(PII_PHONE),
+        F.lit("[PHONE]"),
+    )
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    val_frac: float = 0.1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bucket, split): deterministic, engine-portable train/val
+    assignment — bucket = first 32 bits of md5(str(id)) as an integer,
+    split = 'val' iff bucket / 2^32 < val_frac.
+
+    Hash-based (not random) so the split is stable under re-runs, joins,
+    and incremental ingest — any engine that can md5 a string reproduces
+    it. No shuffle at all: a per-row projection."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    thresh = int(val_frac * (1 << 32))
+    return docs.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        F.when(bucket < F.lit(thresh), F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )

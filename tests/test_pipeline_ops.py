@@ -1,0 +1,80 @@
+"""Repeated-span exact-substring dedup, PII scrubbing, and deterministic
+train/val split — hand-checkable semantics + determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jassv2_spark.operators.dedup import repeated_spans
+from jassv2_spark.operators.textstats import pii_scrub, split_assign
+
+
+def test_repeated_spans_cross_doc(spark):
+    boiler = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma delta"),
+            (2, f"{boiler} epsilon zeta eta theta iota kappa"),
+            (3, "nothing shared here at all whatsoever in this document"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+           for r in repeated_spans(docs, length=8, min_count=2).collect()}
+    # doc 1: boiler at token offset 2..10; 8-token windows at 2 and 3 merge
+    assert out[1] == (2, 10, 9)
+    # doc 2: boiler at offset 0..8
+    assert out[2] == (0, 8, 9)
+    assert 3 not in out
+
+
+def test_repeated_spans_self_repeat(spark):
+    # pure-alpha tokens: the tokenizer splits alnum mixes like "a1" -> "a","1"
+    eight = "ape bat cow dog elk fox gnu hen"
+    docs = spark.createDataFrame(
+        [(1, f"{eight} fillerx fillery {eight}")], ["doc_id", "text"]
+    )
+    out = sorted(
+        (r["span_start"], r["span_end"]) for r in
+        repeated_spans(docs, length=8, min_count=2).collect()
+    )
+    assert out == [(0, 7), (10, 17)]
+
+
+def test_repeated_spans_islands_merge_adjacent(spark):
+    # two docs sharing a 16-token run: windows tile the run, must merge to one
+    # span (pure-alpha tokens — the tokenizer splits alnum mixes like "t0")
+    run = ("ape bat cow dog elk fox gnu hen ibex jay kit lark mole newt owl pug")
+    docs = spark.createDataFrame([(1, run), (2, run)], ["doc_id", "text"])
+    out = repeated_spans(docs, length=8, min_count=2).collect()
+    assert {(r["doc_id"], r["span_start"], r["span_end"]) for r in out} == {
+        (1, 0, 15),
+        (2, 0, 15),
+    }
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@ex-ample.co.uk or call 555-123-4567"),
+            (2, "server at 192.168.10.1 and 10.0.0.7 ok"),
+            (3, "clean text with no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[1]["clean_text"] == "mail me at [EMAIL] or call [PHONE]"
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (1, 1, 0)
+    assert out[2]["clean_text"] == "server at [IP] and [IP] ok"
+    assert out[2]["n_ips"] == 2
+    assert out[3]["clean_text"] == out[3]["clean_text"] == "clean text with no pii at all"
+
+
+def test_split_assign_deterministic_and_sized(spark):
+    docs = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in split_assign(docs, 0.1).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in
+         split_assign(docs.repartition(13), 0.1).collect()}
+    assert a == b  # stable under partitioning / re-runs
+    n_val = sum(1 for v in a.values() if v[1] == "val")
+    assert 120 <= n_val <= 280  # ~10% of 2000, hash-uniform
+    assert all(0 <= v[0] < (1 << 32) for v in a.values())
