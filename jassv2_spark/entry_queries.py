@@ -1194,6 +1194,75 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
            FROM documents""",
     )
 
+    # Gopher repetition filters (Rae et al. 2021): dup-line fractions and
+    # n-gram coverage fractions. Positions are 1-based in both engines;
+    # every ratio is one exact-integer division so hashes match bitwise.
+    def _repetition(spark, sf):
+        from jassv2_spark.operators.textstats import repetition_signals
+
+        return repetition_signals(_docs(spark, sf))
+
+    r["text_repetition"] = (
+        _repetition,
+        f"""WITH base AS (
+             SELECT doc_id,
+                    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                l -> l <> '') AS lines,
+                    regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+             FROM documents),
+           g AS (
+             SELECT doc_id, lines, tk,
+                    CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                    END AS g2,
+                    CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(range(1, len(tk) - 1),
+                                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                    END AS g3
+             FROM base),
+           m AS (
+             SELECT *, CASE WHEN len(g2) = 0 THEN 0
+                            ELSE list_max(list_transform(list_distinct(g2),
+                                          x -> len(list_filter(g2, y -> y = x))))
+                       END AS mc2
+             FROM g),
+           s AS (
+             SELECT doc_id, lines, tk,
+                    CASE WHEN len(g2) = 0 THEN CAST([] AS BIGINT[])
+                         ELSE list_filter(range(1, len(g2) + 1),
+                              i -> g2[i] = list_min(list_filter(list_distinct(g2),
+                                     x -> len(list_filter(g2, y -> y = x)) = mc2)))
+                    END AS s2,
+                    CASE WHEN len(g3) = 0 THEN CAST([] AS BIGINT[])
+                         ELSE list_filter(range(1, len(g3) + 1),
+                              i -> len(list_filter(g3, y -> y = g3[i])) >= 2)
+                    END AS s3
+             FROM m)
+           SELECT doc_id,
+                  CASE WHEN len(lines) > 0
+                       THEN (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)::DOUBLE
+                       ELSE 0.0 END AS dup_line_frac,
+                  CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+                       THEN (coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+                             - coalesce(list_sum(list_transform(list_distinct(lines),
+                                                                x -> length(x))), 0))::DOUBLE
+                            / coalesce(list_sum(list_transform(lines, x -> length(x))), 0)::DOUBLE
+                       ELSE 0.0 END AS dup_line_char_frac,
+                  CASE WHEN coalesce(list_sum(list_transform(tk, x -> length(x))), 0) > 0
+                       THEN coalesce(list_sum(list_transform(range(1, len(tk) + 1),
+                              j -> CASE WHEN len(list_filter(s2, i -> j >= i AND j <= i + 1)) > 0
+                                        THEN length(tk[j]) ELSE 0 END)), 0)::DOUBLE
+                            / coalesce(list_sum(list_transform(tk, x -> length(x))), 0)::DOUBLE
+                       ELSE 0.0 END AS top2_char_frac,
+                  CASE WHEN coalesce(list_sum(list_transform(tk, x -> length(x))), 0) > 0
+                       THEN coalesce(list_sum(list_transform(range(1, len(tk) + 1),
+                              j -> CASE WHEN len(list_filter(s3, i -> j >= i AND j <= i + 2)) > 0
+                                        THEN length(tk[j]) ELSE 0 END)), 0)::DOUBLE
+                            / coalesce(list_sum(list_transform(tk, x -> length(x))), 0)::DOUBLE
+                       ELSE 0.0 END AS dup3_char_frac
+           FROM s""",
+    )
+
     # ---- training-data pipeline: event-stream analytics ----
     def _events(spark, sf):
         return spark.read.parquet(f"{sf}/events.parquet")

@@ -172,6 +172,114 @@ PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 PII_PHONE = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
 
 
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dup_line_frac, dup_line_char_frac, top2_char_frac,
+    dup3_char_frac): the Gopher repetition filters (Rae et al. 2021,
+    "Scaling Language Models", table A1) used to gate web documents out of
+    training corpora:
+
+    - dup_line_frac: fraction of (trimmed, non-empty) lines that are
+      repeats of an earlier line.
+    - dup_line_char_frac: fraction of line characters inside those repeats.
+    - top2_char_frac: fraction of token characters covered by occurrences
+      of the single most frequent word 2-gram (ties broken by
+      lexicographically smallest gram, so engines agree).
+    - dup3_char_frac: fraction of token characters inside word 3-grams
+      that occur at least twice.
+
+    Arrow-batched mapInPandas kernel (dict/Counter-based gram counting,
+    O(n_tokens) per row), NOT chained higher-order array expressions: a
+    pure-expression formulation was tried and rejected — Catalyst's
+    CollapseProject inlines each single-use array intermediate (grams,
+    occurrence positions) into the downstream lambda that consumes it, so
+    it is re-evaluated once per array ELEMENT, compounding to
+    super-quadratic per-row cost (measured: hung on 500 short docs).
+    Spark has no gram→count map primitive, so the honest JVM plan is
+    O(distinct_grams · n_tokens) string scans even before that blowup.
+    The kernel is still a map-only pass — column-pruned scan, zero
+    shuffles, Arrow batch in/out — i.e. embarrassingly parallel at
+    100 TB. All ratios are one exact-integer numerator and denominator
+    divided once, so the DuckDB oracle matches bitwise (trim/lower/regex
+    semantics mirrored: space-only strip, [a-z]+|[0-9]+ over lowercased
+    text)."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_field = docs.schema[id_col]
+    out_schema = StructType(
+        [StructField(id_col, id_field.dataType, id_field.nullable)]
+        + [
+            StructField(name, DoubleType(), False)
+            for name in ("dup_line_frac", "dup_line_char_frac", "top2_char_frac", "dup3_char_frac")
+        ]
+    )
+    pat = re.compile(TOKEN_PATTERN)
+
+    def _row(text):
+        if not isinstance(text, str):
+            return 0.0, 0.0, 0.0, 0.0
+        # DuckDB trim() strips spaces only — mirror with strip(" ")
+        lines = [s for s in (l.strip(" ") for l in text.split("\n")) if s]
+        if lines:
+            n_lines = len(lines)
+            dlines = set(lines)
+            line_chars = sum(map(len, lines))
+            dline_chars = sum(map(len, dlines))
+            dup_line = (n_lines - len(dlines)) / n_lines
+            dup_line_char = (line_chars - dline_chars) / line_chars if line_chars else 0.0
+        else:
+            dup_line = dup_line_char = 0.0
+        toks = pat.findall(text.lower())
+        n = len(toks)
+        tok_chars = sum(map(len, toks))
+        top2 = dup3 = 0
+        if n >= 2:
+            g2 = [toks[i] + " " + toks[i + 1] for i in range(n - 1)]
+            cnt = Counter(g2)
+            mc = max(cnt.values())
+            best = min(g for g, c in cnt.items() if c == mc)
+            cov = bytearray(n)
+            for i, g in enumerate(g2):
+                if g == best:
+                    cov[i] = cov[i + 1] = 1
+            top2 = sum(len(toks[j]) for j in range(n) if cov[j])
+        if n >= 3:
+            g3 = [toks[i] + " " + toks[i + 1] + " " + toks[i + 2] for i in range(n - 2)]
+            c3 = Counter(g3)
+            cov = bytearray(n)
+            for i, g in enumerate(g3):
+                if c3[g] >= 2:
+                    cov[i] = cov[i + 1] = cov[i + 2] = 1
+            dup3 = sum(len(toks[j]) for j in range(n) if cov[j])
+        return (
+            dup_line,
+            dup_line_char,
+            top2 / tok_chars if tok_chars else 0.0,
+            dup3 / tok_chars if tok_chars else 0.0,
+        )
+
+    def _batches(it):
+        for pdf in it:
+            vals = [_row(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dup_line_frac": [v[0] for v in vals],
+                    "dup_line_char_frac": [v[1] for v in vals],
+                    "top2_char_frac": [v[2] for v in vals],
+                    "dup3_char_frac": [v[3] for v in vals],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_batches, out_schema)
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, clean_text, n_emails, n_ips, n_phones): redact emails,
     IPv4 addresses, and NANP-style phone numbers with typed placeholders.

@@ -78,3 +78,49 @@ def test_split_assign_deterministic_and_sized(spark):
     n_val = sum(1 for v in a.values() if v[1] == "val")
     assert 120 <= n_val <= 280  # ~10% of 2000, hash-uniform
     assert all(0 <= v[0] < (1 << 32) for v in a.values())
+
+
+def test_repetition_signals_hand_checked(spark):
+    from jassv2_spark.operators.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "same line" repeated twice -> 1 dup of 3 distinct;
+            # chars: 3*9+5=32 total, 9 duplicated
+            (1, "same line\nsame line\nother\nthird line"),
+            # "go go go go": top 2-gram "go go" covers all 4 tokens (8 ch);
+            # 3-gram "go go go" occurs twice -> covers all tokens
+            (2, "go go go go"),
+            # no repetition at all
+            (3, "alpha beta gamma delta"),
+            # tie between "a b" and "b a" (2 each) -> lexicographically
+            # smallest "a b" wins; occurrences at 1,3 cover positions 1-4
+            (4, "a b a b c"),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    r1 = out[1]
+    assert r1["dup_line_frac"] == pytest.approx(1 / 4)
+    # line chars: same(9)+same(9)+other(5)+thirdline(10)=33; dup 9
+    assert r1["dup_line_char_frac"] == pytest.approx(9 / 33)
+    r2 = out[2]
+    assert r2["top2_char_frac"] == 1.0
+    assert r2["dup3_char_frac"] == 1.0
+    r3 = out[3]
+    # top 2-gram ("alpha beta", count 1, lexicographic min) covers 2 of 4
+    # tokens: alpha(5)+beta(4)=9 of 19 chars; no duplicated 3-gram
+    assert r3["top2_char_frac"] == pytest.approx(9 / 19)
+    assert r3["dup3_char_frac"] == 0.0
+    r4 = out[4]
+    # "a b" at positions 1 and 3 covers tokens 1-4 -> 4 of 5 chars
+    assert r4["top2_char_frac"] == pytest.approx(4 / 5)
+    r5 = out[5]
+    assert (
+        r5["dup_line_frac"]
+        == r5["dup_line_char_frac"]
+        == r5["top2_char_frac"]
+        == r5["dup3_char_frac"]
+        == 0.0
+    )
