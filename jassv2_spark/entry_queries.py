@@ -1263,6 +1263,60 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
            FROM s""",
     )
 
+    # Gopher quality gate (Rae et al. 2021) + C4 terminal-punct signal.
+    # Same split/trim/token recipes as above; booleans and exact-integer
+    # ratios, so both engines hash identically.
+    def _gopher(spark, sf):
+        from jassv2_spark.operators.textstats import gopher_quality
+
+        return gopher_quality(_docs(spark, sf))
+
+    from jassv2_spark.operators.textstats import GOPHER_STOPWORDS
+
+    _stop_sum = " + ".join(
+        f"CASE WHEN list_contains(tk, '{s}') THEN 1 ELSE 0 END" for s in GOPHER_STOPWORDS
+    )
+    r["text_gopher_quality"] = (
+        _gopher,
+        f"""WITH base AS (
+             SELECT doc_id, text AS t,
+                    list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                                w -> w <> '') AS w,
+                    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                l -> l <> '') AS lines,
+                    regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+             FROM documents),
+           m AS (
+             SELECT doc_id,
+                    len(w) AS nw,
+                    coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS wc,
+                    len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS na,
+                    len(lines) AS nl,
+                    len(list_filter(lines, l -> left(l, 1) IN ('-', '*', '•'))) AS nb,
+                    len(list_filter(lines, l -> right(l, 3) = '...' OR right(l, 1) = '…')) AS ne,
+                    len(list_filter(lines, l -> right(l, 1) IN ('.', '!', '?', '"'))) AS np,
+                    len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.')) AS ns,
+                    {_stop_sum} AS nstop
+             FROM base),
+           f AS (
+             SELECT doc_id, nw, nstop,
+                    CASE WHEN nw > 0 THEN wc::DOUBLE / nw::DOUBLE ELSE 0.0 END AS mwl,
+                    CASE WHEN nw > 0 THEN na::DOUBLE / nw::DOUBLE ELSE 0.0 END AS fa,
+                    CASE WHEN nw > 0 THEN ns::DOUBLE / nw::DOUBLE ELSE 0.0 END AS sr,
+                    CASE WHEN nl > 0 THEN nb::DOUBLE / nl::DOUBLE ELSE 0.0 END AS fb,
+                    CASE WHEN nl > 0 THEN ne::DOUBLE / nl::DOUBLE ELSE 0.0 END AS fe,
+                    CASE WHEN nl > 0 THEN np::DOUBLE / nl::DOUBLE ELSE 0.0 END AS fp
+             FROM m)
+           SELECT doc_id, nw::BIGINT AS n_words, mwl AS mean_word_len,
+                  fa AS frac_alpha_words, nstop::BIGINT AS n_stop_hits,
+                  sr AS symbol_word_ratio, fb AS frac_lines_bullet,
+                  fe AS frac_lines_ellipsis, fp AS frac_lines_end_punct,
+                  (nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+                   AND sr <= 0.1 AND fb <= 0.9 AND fe <= 0.3 AND fa >= 0.8
+                   AND nstop >= 2) AS keep_gopher
+           FROM f""",
+    )
+
     # ---- training-data pipeline: event-stream analytics ----
     def _events(spark, sf):
         return spark.read.parquet(f"{sf}/events.parquet")

@@ -280,6 +280,101 @@ def repetition_signals(
     return docs.select(id_col, text_col).mapInPandas(_batches, out_schema)
 
 
+# Gopher rule C5 ("required words"): keep needs >= 2 of these present.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc Gopher quality-filter signals (Rae et al. 2021, table A1)
+    plus two C4 line signals (Raffel et al. 2020), and the Gopher keep
+    decision:
+
+    - n_words / mean_word_len: whitespace-split word count and mean chars
+      per word (Gopher bounds: 50..100k words, mean length 3..10).
+    - frac_alpha_words: fraction of words containing an alphabetic char
+      (>= 0.8 to keep).
+    - n_stop_hits: how many of the 8 Gopher required words occur (>= 2).
+    - symbol_word_ratio: ('#' + '...') occurrences per word (<= 0.1).
+    - frac_lines_bullet / frac_lines_ellipsis: lines starting with a
+      bullet (<= 0.9) / ending with an ellipsis (<= 0.3).
+    - frac_lines_end_punct: C4's terminal-punctuation line fraction.
+    - keep_gopher: conjunction of the six Gopher thresholds above.
+
+    Pure-JVM single-level array expressions over three materialized
+    arrays (words, trimmed lines, tokens); each array is referenced by
+    several consumers, so CollapseProject keeps them materialized (unlike
+    the chained single-use intermediates that made the expression form of
+    repetition_signals blow up). Map-only: zero shuffles, whole-stage
+    codegen, a pure scan at 100 TB. Regex patterns ride the Column API
+    (never SQL literals) so java.util.regex sees \\x0B et al. verbatim;
+    every ratio is one exact-integer division, so the DuckDB oracle
+    matches bitwise."""
+    d = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.filter(
+            F.split(F.col(text_col), r"[ \t\n\x0B\f\r]+"), lambda w: w != F.lit("")
+        ).alias("__w"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+            lambda l: l != F.lit(""),
+        ).alias("__lines"),
+        _toks(text_col).alias("__toks"),
+    )
+    n_words = F.size("__w").cast("long")
+    word_chars = F.aggregate("__w", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    n_alpha = F.size(F.filter("__w", lambda w: w.rlike("[a-zA-Z]"))).cast("long")
+    n_lines = F.size("__lines").cast("long")
+    n_bullet = F.size(
+        F.filter("__lines", lambda l: F.substring(l, 1, 1).isin("-", "*", "•"))
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter("__lines", lambda l: l.endswith("...") | l.endswith("…"))
+    ).cast("long")
+    n_punct = F.size(
+        F.filter("__lines", lambda l: F.right(l, F.lit(1)).isin(".", "!", "?", '"'))
+    ).cast("long")
+    n_symbols = (
+        F.regexp_count(F.col("__t"), F.lit("#")) + F.regexp_count(F.col("__t"), F.lit("\\.\\.\\."))
+    ).cast("long")
+    stop_hits = None
+    for s in GOPHER_STOPWORDS:
+        hit = F.array_contains("__toks", s).cast("long")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+
+    def _frac(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+
+    mean_word_len = _frac(word_chars, n_words)
+    frac_alpha = _frac(n_alpha, n_words)
+    symbol_ratio = _frac(n_symbols, n_words)
+    frac_bullet = _frac(n_bullet, n_lines)
+    frac_ellipsis = _frac(n_ellipsis, n_lines)
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (frac_bullet <= 0.9)
+        & (frac_ellipsis <= 0.3)
+        & (frac_alpha >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return d.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        stop_hits.alias("n_stop_hits"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        frac_bullet.alias("frac_lines_bullet"),
+        frac_ellipsis.alias("frac_lines_ellipsis"),
+        _frac(n_punct, n_lines).alias("frac_lines_end_punct"),
+        keep.alias("keep_gopher"),
+    )
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, clean_text, n_emails, n_ips, n_phones): redact emails,
     IPv4 addresses, and NANP-style phone numbers with typed placeholders.

@@ -124,3 +124,42 @@ def test_repetition_signals_hand_checked(spark):
         == r5["dup3_char_frac"]
         == 0.0
     )
+
+
+def test_gopher_quality_hand_checked(spark):
+    from jassv2_spark.operators.textstats import gopher_quality
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and it all works "
+        "with plenty of normal prose to be sure this has enough words "
+        "for the gopher minimum bound which is fifty words total here "
+        "so keep padding along with more and more ordinary text until "
+        "we have crossed the threshold of fifty whitespace words okay"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            # bullet lines + ellipsis line
+            (2, "- item one\n- item two\nplain line...\n"),
+            # symbols: 2 '#' + 1 '...' over 5 words ('...' is a word too)
+            (3, "num #1 and #2 ..."),
+            (4, "1 22 333 4444"),  # no alpha words, no stopwords
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    r1 = out[1]
+    assert r1["n_words"] >= 50 and r1["keep_gopher"]
+    assert r1["frac_alpha_words"] == 1.0
+    assert r1["n_stop_hits"] >= 2
+    r2 = out[2]
+    assert r2["frac_lines_bullet"] == pytest.approx(2 / 3)
+    assert r2["frac_lines_ellipsis"] == pytest.approx(1 / 3)
+    assert r2["frac_lines_end_punct"] == pytest.approx(1 / 3)  # '...' ends in '.'
+    assert not r2["keep_gopher"]
+    r3 = out[3]
+    assert r3["symbol_word_ratio"] == pytest.approx(3 / 5)
+    r4 = out[4]
+    assert r4["frac_alpha_words"] == 0.0
+    assert r4["n_stop_hits"] == 0
+    assert not r4["keep_gopher"]
