@@ -1317,6 +1317,87 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
            FROM f""",
     )
 
+    # ---- training-data pipeline: curation (decontaminate / pack / cap) ----
+    # Benchmark decontamination: the eval set is carved deterministically
+    # from the corpus (doc_id % 50 == 0 plays the benchmark) so both
+    # engines see the identical split with no side-channel data.
+    _DC_N = 8
+
+    def _decontaminate(spark, sf):
+        from jassv2_spark.operators.curation import decontaminate
+
+        d = _docs(spark, sf)
+        return decontaminate(
+            d.where(F.col("doc_id") % 50 != 0),
+            d.where(F.col("doc_id") % 50 == 0),
+            n=_DC_N,
+        )
+
+    r["text_decontaminate"] = (
+        _decontaminate,
+        f"""WITH tk AS (SELECT doc_id,
+                    regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+               FROM documents),
+           g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= {_DC_N}
+                    THEN list_transform(range(1, len(tk) - {_DC_N} + 2),
+                           i -> array_to_string(tk[i:i+{_DC_N - 1}], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+               FROM tk),
+           ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+           h AS (SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n_hits
+                 FROM g JOIN ev USING (gram) WHERE g.doc_id % 50 <> 0
+                 GROUP BY g.doc_id)
+           SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                  coalesce(h.n_hits, 0) > 0 AS contaminated
+           FROM documents d LEFT JOIN h USING (doc_id)
+           WHERE d.doc_id % 50 <> 0""",
+    )
+
+    # GPT-style concatenation packing into fixed 256-token sequences,
+    # sharded by source (per-shard offsets — no global sort at scale).
+    _CTX = 256
+
+    def _pack(spark, sf):
+        from jassv2_spark.operators.curation import pack_sequences
+
+        return pack_sequences(_docs(spark, sf), ctx_len=_CTX)
+
+    r["text_pack_sequences"] = (
+        _pack,
+        f"""WITH t AS (SELECT doc_id, source,
+                    len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::BIGINT AS n_tok
+               FROM documents),
+           s AS (SELECT doc_id, source, n_tok,
+                    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             0)::BIGINT AS tok_start
+               FROM t)
+           SELECT doc_id, source, n_tok, tok_start,
+                  (tok_start // {_CTX})::BIGINT AS seq_first,
+                  ((tok_start + greatest(n_tok, 1) - 1) // {_CTX})::BIGINT AS seq_last
+           FROM s""",
+    )
+
+    # Per-domain cap sampling (C4-style host bound), md5-rank deterministic.
+    _CAP = 15
+
+    def _domain_cap(spark, sf):
+        from jassv2_spark.operators.curation import domain_cap_sample
+
+        return domain_cap_sample(_docs(spark, sf), cap=_CAP)
+
+    r["text_domain_cap"] = (
+        _domain_cap,
+        f"""WITH b AS (SELECT doc_id, source,
+                    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS UBIGINT)::BIGINT AS bucket
+               FROM documents),
+           rr AS (SELECT doc_id, source, bucket,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY bucket, doc_id)::BIGINT AS rk
+               FROM b)
+           SELECT doc_id, source, bucket, rk, rk <= {_CAP} AS keep FROM rr""",
+    )
+
     # ---- training-data pipeline: event-stream analytics ----
     def _events(spark, sf):
         return spark.read.parquet(f"{sf}/events.parquet")

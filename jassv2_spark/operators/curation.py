@@ -1,0 +1,161 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+benchmark decontamination, sequence packing, and per-domain cap sampling.
+
+These are the curation passes a 100 TB pre-training pipeline runs after
+quality filtering (textstats.gopher_quality) and dedup (operators.dedup):
+drop eval-set contamination (Brown et al. 2020, appendix C: 13-gram
+overlap decontamination), pack documents into fixed-length training
+sequences, and bound each domain's contribution (C4-style per-host caps,
+Raffel et al. 2020 §2.2).
+
+All three are engine-portable by construction — exact integer math,
+md5-derived buckets, and deterministic tie-breaks — so the DuckDB oracle
+reproduces them bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jassv2_spark.operators.textstats import TOKEN_PATTERN, _toks
+
+
+def _doc_ngrams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram): one row per n-gram occurrence position (duplicates kept;
+    callers dedup as needed). Pure-JVM: regexp tokenize → transform over a
+    1-based index sequence → explode."""
+    grams = F.when(
+        F.size("__tk") >= n,
+        F.expr(
+            f"transform(sequence(1, size(__tk) - {n} + 1),"
+            f" i -> array_join(slice(__tk, i, {n}), ' '))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    return (
+        docs.select(F.col(id_col), _toks(text_col).alias("__tk"))
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits, contaminated): for every training document, the
+    number of distinct token n-grams it shares with ANY document of the
+    evaluation/benchmark set, and the contamination verdict (n_hits > 0).
+
+    The GPT-3 decontamination recipe (Brown et al. 2020 appendix C) at
+    engine scale: the benchmark side is always tiny relative to the corpus
+    (thousands of eval documents vs 10^12 training documents), so its
+    distinct n-gram set is BROADCAST and the expensive side stays a
+    map-only scan — tokenize, enumerate n-grams, hash-probe the broadcast
+    set. Only matching (doc, gram) pairs reach the one small shuffle
+    (count-distinct per contaminated doc), then a broadcast join hangs the
+    hit counts back onto the train ids. At 100 TB nothing but true matches
+    ever shuffles.
+    """
+    ev_grams = _doc_ngrams(eval_docs, n, id_col, text_col).select("gram").distinct()
+    hits = (
+        _doc_ngrams(train, n, id_col, text_col)
+        .join(F.broadcast(ev_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").cast("long").alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, n_tok, tok_start, seq_first, seq_last): GPT-style
+    concatenation packing. Within each shard (default: the `source`
+    column), documents are concatenated in id order into one token stream
+    that is chunked into fixed `ctx_len` training sequences; each document
+    reports its token offset and the first/last sequence index it lands in
+    (documents may span a boundary — the standard causal-LM packing).
+
+    Scale shape: ONE shuffle, partitioned by shard — each shard's running
+    offset is a window cumulative sum over its own partition, so shards
+    pack in parallel and no global total order is ever imposed (a global
+    sort at 10^12 docs would serialize; per-shard offsets are exactly what
+    a sharded training loader consumes). Empty documents occupy zero
+    tokens and report seq_last = seq_first at their offset.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(_toks(text_col)).cast("long")
+    d = docs.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tok"))
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    d = d.select(id_col, shard_col, "n_tok", start.alias("tok_start"))
+    last_tok = F.col("tok_start") + F.greatest(F.col("n_tok"), F.lit(1)) - 1
+    return d.select(
+        id_col, shard_col, "n_tok", "tok_start", last_tok.alias("__last")
+    ).select(
+        F.col(id_col),
+        F.col(shard_col),
+        F.col("n_tok"),
+        F.col("tok_start"),
+        F.expr(f"tok_start div {ctx_len}").cast("long").alias("seq_first"),
+        F.expr(f"__last div {ctx_len}").cast("long").alias("seq_last"),
+    )
+
+
+def domain_cap_sample(
+    docs: DataFrame,
+    cap: int = 15,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, bucket, rk, keep): deterministic per-domain cap —
+    every domain keeps at most `cap` documents, chosen as the cap lowest
+    md5-derived buckets (ties broken by id). The C4-style bound on any
+    single host/domain dominating the mix, made reproducible: hash rank,
+    not random sample, so re-runs, incremental ingest of OTHER domains,
+    and engine changes never alter which documents a domain keeps.
+
+    Scale shape: one shuffle partitioned by domain; each domain ranks only
+    its own partition (window row_number). Domain skew is the pipeline's
+    known hazard — a mega-domain serializes its own rank; the mitigation
+    at 10^12 docs is a pre-pass that routes domains with count <= cap
+    straight through (they keep everything, no rank needed) so only the
+    rare over-cap domains shuffle. Kept as the simple single-window form
+    here; the bucket is the same 32-bit md5 prefix as split_assign, so
+    cap-sampling composes with the train/val split without correlation.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(domain_col).orderBy("bucket", id_col)
+    d = docs.select(F.col(id_col), F.col(domain_col), bucket.alias("bucket"))
+    return d.select(
+        id_col,
+        domain_col,
+        "bucket",
+        F.row_number().over(w).cast("long").alias("rk"),
+    ).select(
+        id_col,
+        domain_col,
+        "bucket",
+        "rk",
+        (F.col("rk") <= cap).alias("keep"),
+    )

@@ -1,0 +1,102 @@
+"""Decontamination, sequence packing, and domain-cap sampling —
+hand-checkable semantics, determinism, and boundary cases."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from jassv2_spark.operators.curation import (
+    decontaminate,
+    domain_cap_sample,
+    pack_sequences,
+)
+
+
+def _bucket(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+
+def test_decontaminate_flags_shared_ngram(spark):
+    leak = "alpha beta gamma delta epsilon"  # 5 tokens
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} trailing text here"),
+            (2, "completely disjoint training document with no overlap"),
+            (3, f"{leak} {leak}"),  # leak twice -> still distinct grams
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, f"benchmark prompt {leak} answer")], ["doc_id", "text"])
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(train, ev, n=5).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    # doc 3: "... epsilon alpha ..." bridge grams exist in doc 3 only, not in
+    # the eval doc, so exactly the one eval 5-gram matches
+    assert out[3] == (1, True)
+    assert len(out) == 3  # every train doc reported, hit or not
+
+
+def test_decontaminate_short_docs_are_clean(spark):
+    train = spark.createDataFrame([(1, "too short")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(2, "too short")], ["doc_id", "text"])
+    out = decontaminate(train, ev, n=5).collect()
+    assert [(r["n_hits"], r["contaminated"]) for r in out] == [(0, False)]
+
+
+def test_pack_sequences_offsets_and_spans(spark):
+    # source A: 3 docs of 4, 3, 2 tokens; ctx_len=5
+    # stream: [0..3][4..6][7..8] -> seq 0 covers 0-4, seq 1 covers 5-9
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "A"),
+            (2, "e f g", "A"),
+            (3, "h i", "A"),
+            (10, "x y z w v u", "B"),  # other shard packs independently
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["doc_id"]: (r["n_tok"], r["tok_start"], r["seq_first"], r["seq_last"])
+           for r in pack_sequences(docs, ctx_len=5).collect()}
+    assert out[1] == (4, 0, 0, 0)
+    assert out[2] == (3, 4, 0, 1)  # spans the seq-0/seq-1 boundary
+    assert out[3] == (2, 7, 1, 1)
+    assert out[10] == (6, 0, 0, 1)  # shard B restarts at offset 0
+
+
+def test_pack_sequences_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e", "A"), (2, "...", "A"), (3, "f", "A")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["doc_id"]: (r["n_tok"], r["tok_start"], r["seq_first"], r["seq_last"])
+           for r in pack_sequences(docs, ctx_len=5).collect()}
+    assert out[2] == (0, 5, 1, 1)  # zero tokens: sits at its offset's sequence
+    assert out[3] == (1, 5, 1, 1)
+
+
+def test_domain_cap_sample_keeps_cap_lowest_buckets(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "A") for i in range(10)]
+        + [(100 + i, f"text {100+i}", "B") for i in range(3)],
+        ["doc_id", "text", "source"],
+    )
+    out = domain_cap_sample(docs, cap=4).collect()
+    kept_a = sorted(r["doc_id"] for r in out if r["source"] == "A" and r["keep"])
+    expect_a = sorted(range(10), key=lambda i: (_bucket(i), i))[:4]
+    assert kept_a == sorted(expect_a)
+    # under-cap domain keeps everything
+    assert all(r["keep"] for r in out if r["source"] == "B")
+    # bucket matches the split_assign md5 recipe (composability contract)
+    for r in out:
+        assert r["bucket"] == _bucket(r["doc_id"])
+
+
+def test_domain_cap_sample_rank_is_dense_and_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", "A") for i in range(6)], ["doc_id", "text", "source"]
+    )
+    a = domain_cap_sample(docs, cap=3).collect()
+    b = domain_cap_sample(docs.repartition(5), cap=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sorted(r["rk"] for r in a) == [1, 2, 3, 4, 5, 6]
