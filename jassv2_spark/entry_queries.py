@@ -1378,6 +1378,34 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
            FROM s""",
     )
 
+    # Unigram-LM surprisal (CCNet-style perplexity proxy) with exact
+    # integer bit-length math: bits(x) = length(bin(x)) in both engines.
+    def _surprisal(spark, sf):
+        from jassv2_spark.operators.curation import unigram_surprisal
+
+        return unigram_surprisal(_docs(spark, sf))
+
+    r["text_unigram_surprisal"] = (
+        _surprisal,
+        f"""WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS tok
+               FROM documents),
+           v AS (SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY tok),
+           n AS (SELECT count(*)::BIGINT AS n_total FROM tok),
+           p AS (SELECT t.doc_id,
+                        (length(bin(n.n_total)) - length(bin(v.cnt)))::BIGINT AS bits
+                 FROM tok t JOIN v USING (tok) CROSS JOIN n),
+           a AS (SELECT doc_id, count(*)::BIGINT AS n_tok,
+                        sum(bits)::BIGINT AS sum_bits
+                 FROM p GROUP BY doc_id)
+           SELECT d.doc_id, coalesce(a.n_tok, 0)::BIGINT AS n_tok,
+                  coalesce(a.sum_bits, 0)::BIGINT AS sum_bits,
+                  CASE WHEN coalesce(a.n_tok, 0) > 0
+                       THEN coalesce(a.sum_bits, 0)::DOUBLE / a.n_tok::DOUBLE
+                       ELSE 0.0 END AS mean_bits
+           FROM documents d LEFT JOIN a USING (doc_id)""",
+    )
+
     # Per-domain cap sampling (C4-style host bound), md5-rank deterministic.
     _CAP = 15
 

@@ -120,6 +120,64 @@ def pack_sequences(
     )
 
 
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tok, sum_bits, mean_bits): a perplexity-proxy quality
+    signal from a corpus-level unigram language model — per token,
+    surprisal ≈ log2(N / count(token)) taken as the EXACT integer
+    bit-length difference bits(N) - bits(count), where bits(x) =
+    length(bin(x)) = floor(log2 x) + 1. Documents full of rare tokens
+    score high (gibberish / boilerplate-stripped residue), documents of
+    common tokens score low — the CCNet bucketing signal (Wenzek et al.
+    2020) without a trained LM.
+
+    Integer bit-lengths instead of floating log: both engines compute
+    length(bin(x)) identically, so the oracle matches bitwise where a
+    transcendental log2 would drift in the last ulp. mean_bits is the one
+    exact IEEE division sum/n, emitted in the same order on both sides.
+
+    Scale shape: token explode is map-side; ONE vocab-sized shuffle builds
+    the count table (partial-agg combines upstream), which then broadcasts
+    — vocabularies are millions of rows vs 10^12 documents — onto the
+    exploded tokens (map-side probe), and ONE doc-keyed shuffle sums per
+    document. The total-token count rides along as a broadcast 1-row agg.
+    """
+    toks = docs.select(F.col(id_col), F.explode(_toks(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    bits = (
+        F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("cnt")))
+    ).cast("long")
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum(bits).cast("long").alias("sum_bits"),
+        )
+    )
+    n_tok = F.coalesce(F.col("n_tok"), F.lit(0).cast("long"))
+    sum_bits = F.coalesce(F.col("sum_bits"), F.lit(0).cast("long"))
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_tok.alias("n_tok"),
+            sum_bits.alias("sum_bits"),
+            F.when(
+                n_tok > 0, sum_bits.cast("double") / n_tok.cast("double")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_bits"),
+        )
+    )
+
+
 def domain_cap_sample(
     docs: DataFrame,
     cap: int = 15,

@@ -9,6 +9,7 @@ from jassv2_spark.operators.curation import (
     decontaminate,
     domain_cap_sample,
     pack_sequences,
+    unigram_surprisal,
 )
 
 
@@ -90,6 +91,21 @@ def test_domain_cap_sample_keeps_cap_lowest_buckets(spark):
     # bucket matches the split_assign md5 recipe (composability contract)
     for r in out:
         assert r["bucket"] == _bucket(r["doc_id"])
+
+
+def test_unigram_surprisal_hand_checked(spark):
+    # corpus: "a" x4, "b" x2, "c" x1, "rare" x1 -> N=8, bits(8)=4
+    # bits: a -> 4-3=1, b -> 4-2=2, c -> 4-1=3, rare -> 4-1=3
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c"), (3, "rare"), (4, "...")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["n_tok"], r["sum_bits"], r["mean_bits"])
+           for r in unigram_surprisal(docs).collect()}
+    assert out[1] == (4, 1 + 1 + 1 + 2, 5 / 4)
+    assert out[2] == (3, 1 + 2 + 3, 2.0)
+    assert out[3] == (1, 3, 3.0)  # the all-rare doc scores highest
+    assert out[4] == (0, 0, 0.0)  # token-free doc present with zeros
 
 
 def test_domain_cap_sample_rank_is_dense_and_deterministic(spark):
