@@ -124,6 +124,7 @@ def unigram_surprisal(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_total: int | None = None,
 ) -> DataFrame:
     """(doc_id, n_tok, sum_bits, mean_bits): a perplexity-proxy quality
     signal from a corpus-level unigram language model — per token,
@@ -143,18 +144,23 @@ def unigram_surprisal(
     the count table (partial-agg combines upstream), which then broadcasts
     — vocabularies are millions of rows vs 10^12 documents — onto the
     exploded tokens (map-side probe), and ONE doc-keyed shuffle sums per
-    document. The total-token count rides along as a broadcast 1-row agg.
+    document. Pass `n_total` (the collection token count — a build
+    statistic every index already tracks) to keep the plan strictly
+    two-pass; when omitted it is derived lazily from the vocab table,
+    which costs one extra tokenize pass unless the upstream is cached.
     """
     toks = docs.select(F.col(id_col), F.explode(_toks(text_col)).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
-    bits = (
-        F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("cnt")))
-    ).cast("long")
+    if n_total is not None:
+        total_col = F.lit(int(n_total)).cast("long")
+        joined = toks.join(F.broadcast(vocab), "tok")
+    else:
+        total = vocab.agg(F.sum("cnt").cast("long").alias("n_total"))
+        total_col = F.col("n_total")
+        joined = toks.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(total))
+    bits = (F.length(F.bin(total_col)) - F.length(F.bin(F.col("cnt")))).cast("long")
     per_doc = (
-        toks.join(F.broadcast(vocab), "tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy(id_col)
+        joined.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tok"),
             F.sum(bits).cast("long").alias("sum_bits"),

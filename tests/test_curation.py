@@ -106,6 +106,10 @@ def test_unigram_surprisal_hand_checked(spark):
     assert out[2] == (3, 1 + 2 + 3, 2.0)
     assert out[3] == (1, 3, 3.0)  # the all-rare doc scores highest
     assert out[4] == (0, 0, 0.0)  # token-free doc present with zeros
+    # supplying the known collection total (two-pass plan) is identical
+    out2 = {r["doc_id"]: (r["n_tok"], r["sum_bits"], r["mean_bits"])
+            for r in unigram_surprisal(docs, n_total=8).collect()}
+    assert out2 == out
 
 
 def test_domain_cap_sample_rank_is_dense_and_deterministic(spark):
