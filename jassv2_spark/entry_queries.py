@@ -918,6 +918,85 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
 
     r["ann_ivf_topk"] = (_ivf, _ivf_sql())
 
+    # PQ-ADC top-k with exact refine (the FAISS IVF-PQ memory-side path):
+    # seed-derived codebooks shared verbatim (repr literals) by both
+    # engines, like the IVF centroids; the data-trained k-means codebook
+    # path is recall-tested in pytest.
+    PQ_M, PQ_KSUB, PQ_SEED, PQ_REFINE = 8, 16, 11, 100
+
+    def _pq_books():
+        import numpy as np
+
+        rng = np.random.default_rng(PQ_SEED)
+        return rng.standard_normal((PQ_M, PQ_KSUB, EMB_DIM // PQ_M)) / 8.0
+
+    def _pq(spark, sf):
+        from jassv2_spark.operators.ann import pq_adc_topk
+
+        return pq_adc_topk(
+            _emb(spark, sf), ANN_QUERY_IDS, k=K, codebooks=_pq_books(),
+            dim=EMB_DIM, refine_to=PQ_REFINE,
+        )
+
+    def _pq_sql() -> str:
+        import numpy as np
+
+        books = _pq_books()
+        dsub = EMB_DIM // PQ_M
+        qid_list = ", ".join(map(str, ANN_QUERY_IDS))
+
+        def score_list(mi: int, vec: str) -> str:
+            a, b = mi * dsub + 1, (mi + 1) * dsub
+            sub = f"{vec}[{a}:{b}]"
+            terms = []
+            for c in books[mi]:
+                arr = "[" + ", ".join(_flit(x) for x in c) + "]"
+                cc = _flit(float(np.dot(c, c)))
+                terms.append(f"({cc} - (2.0e0 * (list_dot_product({sub}, {arr}))))")
+            return "[" + ", ".join(terms) + "]"
+
+        code_cols = ", ".join(
+            f"list_position(s_{mi}, list_min(s_{mi}))::BIGINT AS code_{mi}"
+            for mi in range(PQ_M)
+        )
+        s_cols = ", ".join(f"{score_list(mi, 've')} AS s_{mi}" for mi in range(PQ_M))
+        qq = {
+            mi: f"list_dot_product(qe[{mi * dsub + 1}:{(mi + 1) * dsub}],"
+                f" qe[{mi * dsub + 1}:{(mi + 1) * dsub}])"
+            for mi in range(PQ_M)
+        }
+        tab_cols = ", ".join(
+            f"list_transform({score_list(mi, 'qe')}, x -> ({qq[mi]}) + x) AS tab_{mi}"
+            for mi in range(PQ_M)
+        )
+        adc = " + ".join(f"t.tab_{mi}[c.code_{mi}]" for mi in range(PQ_M))
+        return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+q AS (SELECT vec_id AS qid, ve AS qe FROM e WHERE vec_id IN ({qid_list})),
+sc AS (SELECT vec_id, {s_cols} FROM e),
+codes AS (SELECT vec_id, {code_cols} FROM sc),
+t AS (SELECT qid, {tab_cols} FROM q),
+scored AS (SELECT t.qid, c.vec_id, round({adc}, 4) AS adc
+           FROM codes c CROSS JOIN t),
+ranked AS (SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc ASC, vec_id ASC) AS rn
+           FROM scored),
+cand AS (SELECT qid, vec_id FROM ranked WHERE rn <= {PQ_REFINE}),
+fine AS (SELECT cand.qid, cand.vec_id,
+           round(list_dot_product(q.qe, e.ve)
+                 / (sqrt(list_dot_product(q.qe, q.qe))
+                    * sqrt(list_dot_product(e.ve, e.ve))), 4) AS cos
+         FROM cand JOIN e ON e.vec_id = cand.vec_id
+                   JOIN q ON q.qid = cand.qid),
+r AS (SELECT qid, vec_id, cos,
+        (row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id ASC))::BIGINT AS rank
+      FROM fine)
+SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
+
+    r["ann_pq_topk"] = (_pq, _pq_sql())
+
     # ---- multimodal binary-column plumbing (pandas-UDF kernels) ----
     # Oracles reconstruct the synthesized payload (utf-8 bytes of `text`,
     # multimodal.synthesize_media) in DuckDB via encode()/hex(): byte values

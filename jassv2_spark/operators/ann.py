@@ -306,3 +306,179 @@ def embedding_near_dups(
         pairs.select("doc_a", "doc_b", F.round(cos, round_dp).alias("cos"))
         .where(F.col("cos") >= F.lit(float(threshold)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): 64-dim float vectors -> m small codes.
+# The memory-side scale path that composes with IVF: at 10^12 vectors the
+# corpus no longer fits as raw floats (64 dims x 4 B = 256 B/vec); PQ stores
+# m bytes/vec and scores queries against codes via ADC table lookups
+# (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011) — the FAISS IVF-PQ architecture.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    seed: int = 42,
+    n_iter: int = 8,
+    max_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic per-subspace L2 k-means codebooks, shape
+    (m, ksub, dim//m). Trains on the same bounded driver-side sample as
+    ivf_centroids (first max_sample rows in vec_id order — codebook
+    training needs a sample, never the corpus). Seeded init, Lloyd
+    iterations; empty cells keep their previous centroid."""
+    assert dim % m == 0, "dim must divide into m equal subspaces"
+    dsub = dim // m
+    pdf = (
+        embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("ve"))
+        .orderBy("vec_id")
+        .limit(int(max_sample))
+        .toPandas()
+    )
+    X = np.array(pdf["ve"].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for mi in range(m):
+        S = X[:, mi * dsub : (mi + 1) * dsub]
+        cent = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)].copy()
+        if len(cent) < ksub:
+            reps = np.tile(cent, (int(np.ceil(ksub / len(cent))), 1))[:ksub]
+            cent = reps + rng.normal(0, 1e-6, reps.shape)
+        for _ in range(n_iter):
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = S[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+def _pq_sub(vec: str, mi: int, dsub: int) -> str:
+    return f"slice({vec}, {mi * dsub + 1}, {dsub})"
+
+
+def _pq_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _pq_score_arr(codebooks: np.ndarray, mi: int, vec: str) -> str:
+    """SQL array over sub-centroids c of (cc_c - 2*dot(sub, cent_c)) — the
+    c-dependent part of ||sub - cent_c||^2; argmin of this IS the code.
+    Literal doubles via repr so both engines parse identical values."""
+    dsub = codebooks.shape[2]
+    sub = _pq_sub(vec, mi, dsub)
+    terms = []
+    for c in codebooks[mi]:
+        arr = "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        cc = repr(float(np.dot(c, c)))
+        terms.append(f"({cc}D - (2.0D * ({_pq_dot(sub, arr)})))")
+    return "array(" + ",".join(terms) + ")"
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, code_0..code_{m-1}): per-subspace nearest-centroid codes,
+    1-based, first-match on ties. Map-only pass (the PQ compression step):
+    at scale this is the sink that replaces raw vectors with m bytes."""
+    m = codebooks.shape[0]
+    e = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("ve"))
+    cols = [F.col("vec_id")]
+    for mi in range(m):
+        s = _pq_score_arr(codebooks, mi, "ve")
+        cols.append(
+            F.expr(f"array_position({s}, array_min({s}))").cast("long").alias(f"code_{mi}")
+        )
+    return e.select(*cols)
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    codebooks: np.ndarray | None = None,
+    dim: int | None = None,
+    m: int = 4,
+    ksub: int = 8,
+    seed: int = 42,
+    refine_to: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, vec_id, adc, rank): asymmetric-distance top-k — each query
+    builds one ksub-entry L2 distance table per subspace from its OWN
+    uncompressed sub-vectors, then every corpus vector is scored by m
+    table lookups on its codes: adc = sum_m tab_m[code_m]. Ranking is by
+    (rounded adc ASC, vec_id ASC), deterministic in both engines.
+
+    With ``refine_to`` = R > 0, the FAISS-style refine stage runs: the
+    ADC top-R candidates per query are re-ranked by EXACT cosine against
+    their raw vectors, and the output becomes (qid, vec_id, cos, rank) —
+    compression-grade recall at the cost of reading R raw vectors per
+    query instead of zero.
+
+    Scale shape: codes are a map-only pass over the corpus (or a stored
+    artifact); the scoring join is corpus-codes x broadcast query tables —
+    the classic PQ scan that touches m bytes + m lookups per vector
+    instead of dim floats. The refine stage joins only R ids per query
+    back to raw vectors. Compose with ivf_topk's probe filter for the
+    full IVF-PQ regime."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])  # fallback only
+    books = codebooks if codebooks is not None else pq_codebooks(
+        embeddings, dim, m, ksub, seed, id_col=id_col, vec_col=vec_col
+    )
+    m = books.shape[0]
+    codes = pq_codes(embeddings, books, id_col, vec_col)
+    e = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("ve"))
+    q = e.where(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("qid"), F.col("ve").alias("qe")
+    )
+    dsub = books.shape[2]
+    qcols = [F.col("qid")]
+    for mi in range(m):
+        sub = _pq_sub("qe", mi, dsub)
+        qq = _pq_dot(sub, sub)
+        qcols.append(
+            F.expr(f"transform({_pq_score_arr(books, mi, 'qe')}, t -> ({qq}) + t)")
+            .alias(f"tab_{mi}")
+        )
+    qt = q.select(*qcols)
+    adc = None
+    for mi in range(m):
+        term = F.expr(f"element_at(tab_{mi}, cast(code_{mi} as int))")
+        adc = term if adc is None else adc + term
+    scored = codes.crossJoin(F.broadcast(qt)).select(
+        "qid", "vec_id", F.round(adc, 4).alias("adc")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    if not refine_to:
+        return ranked.where(F.col("rank") <= F.lit(int(k))).select(
+            "qid", "vec_id", "adc", "rank"
+        )
+    cands = ranked.where(F.col("rank") <= F.lit(int(refine_to))).select("qid", "vec_id")
+    pairs = cands.join(e, "vec_id").join(F.broadcast(q), "qid")
+    cos = _dot("qe", "ve") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ve", "ve")))
+    rescored = pairs.select("qid", "vec_id", F.round(cos, 4).alias("cos"))
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select("qid", "vec_id", "cos", "rank")
+    )

@@ -113,3 +113,46 @@ def test_ivf_kmeans_topk_recall(spark):
     assert recall >= 0.7, recall
     # each query's own vector (cos=1) must be found: it shares its list
     assert all((q, q) in approx for q in qids)
+
+
+def test_pq_codes_and_adc_refine_recall(spark):
+    """PQ: trained per-subspace codebooks compress each vector to m codes;
+    the ADC scan + exact refine recovers most of the exact top-k. Random
+    unit vectors are PQ's adversarial case (no cluster structure), so the
+    bar is the deterministic measured floor, not near-perfect recall."""
+    from jassv2_spark.operators.ann import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_codes,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    books = pq_codebooks(emb, dim=64, m=8, ksub=16, seed=7)
+    assert books.shape == (8, 16, 8)
+
+    codes = pq_codes(emb, books)
+    n = emb.count()
+    assert codes.count() == n
+    # codes are 1-based and within [1, ksub]; determinism across partitionings
+    row = codes.where("vec_id = 3").collect()[0]
+    assert all(1 <= row[f"code_{m}"] <= 16 for m in range(8))
+    again = pq_codes(emb.repartition(7), books).where("vec_id = 3").collect()[0]
+    assert tuple(row) == tuple(again)
+
+    exact = {(r["qid"], r["vec_id"]) for r in cosine_topk(emb, qids, k=10).collect()}
+    # pure ADC (no refine): coarse but must find the query itself (adc ~ 0)
+    adc_only = pq_adc_topk(emb, qids, k=10, codebooks=books)
+    rows = adc_only.collect()
+    assert {r["qid"] for r in rows} == set(qids)
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["qid"], set()).add(r["vec_id"])
+    assert all(q in byq[q] for q in qids)
+    # refined: exact re-rank of the ADC top-100 (measured 0.9 here)
+    refined = {
+        (r["qid"], r["vec_id"])
+        for r in pq_adc_topk(emb, qids, k=10, codebooks=books, refine_to=100).collect()
+    }
+    assert len(exact & refined) / len(exact) >= 0.8
