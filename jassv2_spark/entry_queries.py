@@ -1505,6 +1505,28 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
            SELECT doc_id, source, bucket, rk, rk <= {_CAP} AS keep FROM rr""",
     )
 
+    # Temperature-flattened (tau=2) domain mixing: sqrt is the one power
+    # IEEE requires correctly rounded, so rate/keep match bitwise.
+    def _temp_mix(spark, sf):
+        from jassv2_spark.operators.curation import temperature_mix_sample
+
+        return temperature_mix_sample(_docs(spark, sf))
+
+    r["text_temperature_mix"] = (
+        _temp_mix,
+        """WITH c AS (SELECT source, count(*)::BIGINT AS n_source
+               FROM documents GROUP BY source),
+           m AS (SELECT min(n_source)::BIGINT AS n_min FROM c),
+           b AS (SELECT doc_id, source,
+                    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS UBIGINT)::BIGINT AS bucket
+               FROM documents)
+           SELECT b.doc_id, b.source, c.n_source,
+                  sqrt(m.n_min::DOUBLE / c.n_source::DOUBLE) AS rate,
+                  b.bucket::DOUBLE
+                    < sqrt(m.n_min::DOUBLE / c.n_source::DOUBLE) * 4294967296.0e0 AS keep
+           FROM b JOIN c USING (source) CROSS JOIN m""",
+    )
+
     # ---- training-data pipeline: event-stream analytics ----
     def _events(spark, sf):
         return spark.read.parquet(f"{sf}/events.parquet")

@@ -223,3 +223,48 @@ def domain_cap_sample(
         "rk",
         (F.col("rk") <= cap).alias("keep"),
     )
+
+
+def temperature_mix_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, n_source, rate, keep): temperature-flattened domain
+    mixing at tau = 2 — each domain is down-sampled at
+    rate = sqrt(n_min / n_domain), so post-sampling domain shares go as
+    sqrt(raw counts): the standard flattening between proportional (tau=1)
+    and uniform (tau=inf) mixes used for multilingual / multi-domain
+    pre-training (Devlin et al. 2019 exponent-0.7 recipe, Conneau &
+    Lample 2019 alpha=0.5). tau is FIXED at 2 because sqrt is the one
+    power IEEE 754 requires correctly rounded — both engines compute the
+    identical double, where a general pow() would drift in the last ulp.
+    keep = md5-bucket < rate * 2^32 (the split_assign bucket, so the mix
+    composes with splits and caps without correlation).
+
+    Scale shape: one tiny per-domain count aggregation (partial-agg,
+    domain-cardinality rows) broadcast back onto the corpus with its
+    1-row min — the corpus pass itself is map-only: no window, no rank,
+    no shuffle of document rows at all (contrast domain_cap_sample).
+    """
+    counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_source"))
+    n_min = counts.agg(F.min("n_source").alias("n_min"))
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    rate = F.sqrt(F.col("n_min").cast("double") / F.col("n_source").cast("double"))
+    return (
+        docs.select(F.col(id_col), F.col(domain_col), bucket.alias("bucket"))
+        .join(F.broadcast(counts), domain_col)
+        .crossJoin(F.broadcast(n_min))
+        .select(
+            F.col(id_col),
+            F.col(domain_col),
+            F.col("n_source").cast("long").alias("n_source"),
+            rate.alias("rate"),
+            (
+                F.col("bucket").cast("double")
+                < rate * F.lit(4294967296.0)
+            ).alias("keep"),
+        )
+    )

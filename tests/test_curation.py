@@ -9,6 +9,7 @@ from jassv2_spark.operators.curation import (
     decontaminate,
     domain_cap_sample,
     pack_sequences,
+    temperature_mix_sample,
     unigram_surprisal,
 )
 
@@ -110,6 +111,26 @@ def test_unigram_surprisal_hand_checked(spark):
     out2 = {r["doc_id"]: (r["n_tok"], r["sum_bits"], r["mean_bits"])
             for r in unigram_surprisal(docs, n_total=8).collect()}
     assert out2 == out
+
+
+def test_temperature_mix_sqrt_flattening(spark):
+    import math
+
+    # domain A: 16 docs, domain B: 4 docs -> rate_A = sqrt(4/16) = 0.5,
+    # rate_B = 1.0 (smallest domain keeps everything)
+    docs = spark.createDataFrame(
+        [(i, "t", "A") for i in range(16)] + [(100 + i, "t", "B") for i in range(4)],
+        ["doc_id", "text", "source"],
+    )
+    out = temperature_mix_sample(docs).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert by[0]["rate"] == 0.5 and by[0]["n_source"] == 16
+    assert by[100]["rate"] == 1.0
+    assert all(by[100 + i]["keep"] for i in range(4))
+    # keep decision reproduces the md5-bucket rule exactly
+    for r in out:
+        expect = _bucket(r["doc_id"]) < math.sqrt(4 / r["n_source"]) * 2**32
+        assert r["keep"] == expect, r
 
 
 def test_domain_cap_sample_rank_is_dense_and_deterministic(spark):
