@@ -1505,6 +1505,39 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
            SELECT doc_id, source, bucket, rk, rk <= {_CAP} AS keep FROM rr""",
     )
 
+    # Corpus-level PMI collocations (phrase mining), integer bit-length
+    # score (sum of bit-lengths, never a product — no overflow anywhere).
+    _COLL_MIN, _COLL_K = 3, 50
+
+    def _collocations(spark, sf):
+        from jassv2_spark.operators.curation import collocations
+
+        return collocations(_docs(spark, sf), min_count=_COLL_MIN, top_k=_COLL_K)
+
+    r["text_collocations"] = (
+        _collocations,
+        f"""WITH tk AS (SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+               FROM documents),
+           u AS (SELECT unnest(tk) AS tok FROM tk),
+           uni AS (SELECT tok, count(*)::BIGINT AS n_tok FROM u GROUP BY tok),
+           nu AS (SELECT sum(n_tok)::BIGINT AS n_u FROM uni),
+           bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i+1])) AS bigram
+                  FROM tk WHERE len(tk) >= 2),
+           bi0 AS (SELECT bigram, count(*)::BIGINT AS n_ab FROM bg GROUP BY bigram),
+           nb AS (SELECT sum(n_ab)::BIGINT AS n_bi FROM bi0),
+           bi AS (SELECT * FROM bi0 WHERE n_ab >= {_COLL_MIN}),
+           j AS (SELECT bi.bigram, bi.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+                    (length(bin(bi.n_ab)) + 2 * length(bin(nu.n_u))
+                     - length(bin(ua.n_tok)) - length(bin(ub.n_tok))
+                     - length(bin(nb.n_bi)))::BIGINT AS pmi_bits
+                 FROM bi JOIN uni ua ON ua.tok = string_split(bi.bigram, ' ')[1]
+                         JOIN uni ub ON ub.tok = string_split(bi.bigram, ' ')[2]
+                         CROSS JOIN nu CROSS JOIN nb)
+           SELECT bigram, n_ab, n_a, n_b, pmi_bits FROM j
+           ORDER BY pmi_bits DESC, n_ab DESC, bigram ASC LIMIT {_COLL_K}""",
+    )
+
     # Temperature-flattened (tau=2) domain mixing: sqrt is the one power
     # IEEE requires correctly rounded, so rate/keep match bitwise.
     def _temp_mix(spark, sf):

@@ -268,3 +268,68 @@ def temperature_mix_sample(
             ).alias("keep"),
         )
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 3,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """(bigram, n_ab, n_a, n_b, pmi_bits): corpus-level collocation mining
+    — the top_k adjacent-token bigrams by a pointwise-mutual-information
+    score, the phrase-discovery pass a tokenizer/vocab builder runs before
+    BPE training (Mikolov et al. 2013 word2vec phrases use the same
+    count-ratio shape). PMI = log((n_ab/B) / ((n_a/N)(n_b/N))) is scored
+    in EXACT integer arithmetic as
+        pmi_bits = bits(n_ab) + 2*bits(N) - bits(n_a) - bits(n_b) - bits(B)
+    with bits(x) = length(bin(x)): sums of bit-lengths instead of a log of
+    a product, so it never overflows at any corpus size (bits(N^2) would)
+    and both engines agree bitwise. Ordering: pmi_bits DESC, n_ab DESC,
+    bigram ASC — fully deterministic.
+
+    Scale shape: two token-keyed shuffles with map-side partial aggs
+    (unigram counts, bigram counts); min_count prunes the Zipf tail
+    BEFORE the unigram join; the unigram table broadcasts; N and B are
+    1-row broadcast aggs off the (small) count tables; the final top-k is
+    a single ORDER BY ... LIMIT over the surviving bigrams.
+    """
+    base = docs.select(_toks(text_col).alias("__tk"))
+    grams = F.when(
+        F.size("__tk") >= 2,
+        F.expr("transform(sequence(1, size(__tk) - 1),"
+               " i -> struct(element_at(__tk, i) as a, element_at(__tk, i + 1) as b))"),
+    ).otherwise(F.expr("cast(array() as array<struct<a:string,b:string>>)"))
+    toks = base.select(F.explode("__tk").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    n_total = uni.agg(F.sum("n_tok").cast("long").alias("n_u"))
+    bi = (
+        base.select(F.explode(grams).alias("g"))
+        .select(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    b_total = bi.agg(F.sum("n_ab").cast("long").alias("n_bi"))
+    bi = bi.where(F.col("n_ab") >= F.lit(int(min_count)))
+    j = (
+        bi.join(F.broadcast(uni.select(F.col("tok").alias("a"), F.col("n_tok").alias("n_a"))), "a")
+        .join(F.broadcast(uni.select(F.col("tok").alias("b"), F.col("n_tok").alias("n_b"))), "b")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(b_total))
+    )
+    bits = lambda c: F.length(F.bin(c))  # noqa: E731
+    pmi_bits = (
+        bits(F.col("n_ab")) + F.lit(2) * bits(F.col("n_u"))
+        - bits(F.col("n_a")) - bits(F.col("n_b")) - bits(F.col("n_bi"))
+    ).cast("long")
+    return (
+        j.select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            pmi_bits.alias("pmi_bits"),
+        )
+        .orderBy(F.col("pmi_bits").desc(), F.col("n_ab").desc(), F.col("bigram").asc())
+        .limit(int(top_k))
+    )

@@ -113,6 +113,31 @@ def test_unigram_surprisal_hand_checked(spark):
     assert out2 == out
 
 
+def test_collocations_hand_checked(spark):
+    from jassv2_spark.operators.curation import collocations
+
+    # "new york" sticks together (3/3 co-occurrences); "the cat" is common
+    # but both words are frequent elsewhere -> lower PMI
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big the cat sat"),
+            (2, "in new york the cat slept"),
+            (3, "new york again the cat the dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = collocations(docs, min_count=3, top_k=5).collect()
+    rows = {r["bigram"]: r for r in out}
+    assert set(rows) == {"new york", "the cat"}
+    ny, tc = rows["new york"], rows["the cat"]
+    assert (ny["n_ab"], ny["n_a"], ny["n_b"]) == (3, 3, 3)
+    assert tc["n_ab"] == 3 and tc["n_a"] == 4  # 'the' appears 4x
+    assert ny["pmi_bits"] > tc["pmi_bits"]
+    # bits identity: n_u = 20 tokens -> bits 5; n_bi = 17 bigrams -> bits 5
+    # ny: bits(3) + 2*5 - bits(3) - bits(3) - 5 = 2 + 10 - 2 - 2 - 5 = 3
+    assert ny["pmi_bits"] == 3 and tc["pmi_bits"] == 2
+
+
 def test_temperature_mix_sqrt_flattening(spark):
     import math
 
