@@ -329,6 +329,52 @@ def registry() -> dict[str, tuple]:
         _sql(_BASE, _query_ctes(RHO_PARTIAL), _TOPK_CTES) + _topk_select,
     )
 
+    # Result snippets over the exhaustive top-k: best window-of-10 tokens
+    # covering the most distinct query terms, anchored at a match.
+    _SNIP_W = 10
+
+    def _snips(spark, sf):
+        from jassv2_spark.operators.snippets import snippets
+
+        qdf = _queries_df(spark)
+        qterms = qdf.select(
+            "query_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(query), '{TOKEN_PATTERN}', 0)")
+            ).alias("term"),
+        ).distinct()
+        hits = search(get_index(spark, sf), qdf, k=K, rho=1.0, with_keys=False)
+        return snippets(_docs(spark, sf), qterms, hits, window=_SNIP_W)
+
+    _SNIP_CTES = f"""
+hitdocs AS (SELECT DISTINCT query_id, doc_id FROM ranked WHERE rank <= {K}),
+dt AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+       FROM documents WHERE doc_id IN (SELECT doc_id FROM hitdocs)),
+pz AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS p1 FROM dt),
+m0 AS (SELECT doc_id, p1, tk[p1] AS term FROM pz),
+qdt AS (SELECT DISTINCT query_id, term FROM qt),
+mt AS (SELECT h.query_id, m0.doc_id, m0.p1, m0.term
+       FROM m0 JOIN qdt ON qdt.term = m0.term
+               JOIN hitdocs h ON h.doc_id = m0.doc_id AND h.query_id = qdt.query_id),
+an AS (SELECT a.query_id, a.doc_id, a.p1 AS anchor,
+              count(DISTINCT b.term)::BIGINT AS n_terms, count(*) AS n_hits
+       FROM mt a JOIN mt b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+                          AND b.p1 >= a.p1 AND b.p1 < a.p1 + {_SNIP_W}
+       GROUP BY a.query_id, a.doc_id, a.p1),
+best AS (SELECT query_id, doc_id, anchor, n_terms,
+                row_number() OVER (PARTITION BY query_id, doc_id
+                                   ORDER BY n_terms DESC, n_hits DESC, anchor ASC) AS rn
+         FROM an)
+"""
+    r["jass_snippets"] = (
+        _snips,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _SNIP_CTES)
+        + f""" SELECT b.query_id, b.doc_id, (b.anchor - 1)::BIGINT AS win_start,
+                  b.n_terms,
+                  array_to_string(dt.tk[b.anchor:b.anchor + {_SNIP_W} - 1], ' ') AS snippet
+           FROM best b JOIN dt USING (doc_id) WHERE b.rn = 1""",
+    )
+
     def _topk_wand(spark, sf):
         from jassv2_spark.operators.wand import search_wand
 
