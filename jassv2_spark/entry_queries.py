@@ -172,6 +172,7 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM (
 # ------------------------------------------------------------ Spark helpers
 
 _INDEX_CACHE: dict[str, Index] = {}
+_MERGED_CACHE: dict[str, Index] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,6 +391,40 @@ best AS (SELECT query_id, doc_id, anchor, n_terms,
     # block-max pruning is rank-safe ⇒ shares the exhaustive oracle
     r["jass_topk_wand"] = (
         _topk_wand,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
+    )
+
+    # Sharded-build merge (plans/merge.py): the corpus is split by doc_id
+    # parity, each half indexed independently (the expensive tokenizer pass
+    # runs per shard), then merged at the counts level. The merge is
+    # bitwise-identical to a single-shot build — so it shares the exhaustive
+    # full-corpus top-k oracle, which is exactly the claim being verified.
+    def _topk_merged(spark, sf):
+        from jassv2_spark.plans.merge import merge_indexes
+
+        merged = _MERGED_CACHE.get(sf)
+        if merged is None:
+            docs = _docs(spark, sf)
+            conf = BuildConf(k1=K1, b=B, tokenizer="parity")
+            shards = [
+                build_index(
+                    docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == par),
+                    text_col="text", key_col="doc_id", doc_id_col="doc_id",
+                    conf=conf,
+                )
+                for par in (0, 1)
+            ]
+            merged = merge_indexes(shards, conf=conf)
+            _MERGED_CACHE[sf] = merged
+        return search(merged, _queries_df(spark), k=K, rho=1.0, with_keys=False).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    r["jass_merge_topk"] = (
+        _topk_merged,
         _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
     )
     r["jass_query_metrics"] = (

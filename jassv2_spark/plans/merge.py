@@ -1,0 +1,204 @@
+"""Sharded-build merge: combine independently built index shards exactly.
+
+The reference build is a single process over one collection
+(`tools/JASS_index.cpp:270-404`); at the 10^12-doc design point the build
+must instead run as MANY independent shard builds (per Common-Crawl dump /
+date partition) that are later merged. The expensive pass — tokenization —
+is strictly per-document, so a merge never needs to redo it: shards are
+combined at the ``counts(doc_id, term, cnt, dl)`` level and only the cheap
+collection-global stages (df, idf, BM25, quantization min/max, segment
+layout) are recomputed over the union.
+
+Exactness guarantee: every collection-global quantity is an integer sum
+(N, collection length, per-term df) or derives from one (idf, mean dl),
+and integer sums are associative — so ``merge(build(A), build(B))`` is
+**bitwise identical** to ``build(A ∪ B)``: same scores, same quantized
+impacts, same segment table (verified in tests/test_merge.py). This is NOT
+true of merging at the quantized-segment level (quantization min/max and
+idf are collection-global), which is why the merge runs from counts.
+
+Two entry points:
+  - ``merge_indexes``    — in-memory ``Index`` shards → merged ``Index``.
+  - ``merge_build_dirs`` — persisted build dirs (plans/persist.py layout)
+    → a new persisted build dir; itself checkpoint-resumable, because it
+    seeds the target's ``doc_map``/``counts`` stages and then resumes the
+    ordinary stage chain.
+
+Doc-id handling: with ``rekey=False`` (default) shard doc_ids are trusted
+to be globally unique (caller-assigned, e.g. disjoint id ranges per shard).
+With ``rekey=True`` new dense global ids are assigned by key order over the
+union — exactly what a single-shot build with ``doc_id_col=None`` would
+assign, since ids are the dense rank of the key (sources/docids.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jassv2_spark.operators.build import BuildConf, Index, build_index_from_counts
+from jassv2_spark.sources.docids import assign_doc_ids
+
+
+def _check_compatible(confs: list[tuple]) -> None:
+    """All shards must share the scoring/tokenizer configuration — merging
+    shards tokenized or scored differently is silent corruption."""
+    first = confs[0]
+    for i, c in enumerate(confs[1:], start=1):
+        if c != first:
+            raise ValueError(
+                f"shard {i} build conf {c} differs from shard 0 {first}; "
+                "shards must share (k1, b, tokenizer, stem) to merge"
+            )
+
+
+def _rekey(
+    counts: list[DataFrame], doc_maps: list[DataFrame], num_partitions: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Assign new dense global doc_ids by key order over the union and remap
+    every shard's counts onto them. Matches the ids a single-shot build of
+    the union would assign (dense rank of key, sources/docids.py)."""
+    keyed = [
+        c.join(m.select("doc_id", "key"), "doc_id").drop("doc_id")
+        for c, m in zip(counts, doc_maps)
+    ]
+    all_keyed = keyed[0]
+    for k in keyed[1:]:
+        all_keyed = all_keyed.unionByName(k)
+    all_keys = doc_maps[0].select("key")
+    for m in doc_maps[1:]:
+        all_keys = all_keys.unionByName(m.select("key"))
+    new_ids = assign_doc_ids(
+        all_keys, key_col="key", out_col="doc_id", num_partitions=num_partitions
+    )
+    merged_counts = all_keyed.join(new_ids, "key").drop("key")
+    return merged_counts, new_ids.select("doc_id", "key")
+
+
+def merge_indexes(
+    shards: list[Index],
+    *,
+    conf: BuildConf | None = None,
+    rekey: bool = False,
+    cache: bool = True,
+) -> Index:
+    """Merge in-memory shard indexes into one index, bitwise-identical to a
+    single build over the concatenated corpora.
+
+    Requires shards built with ``cache=True`` (the default), which retains
+    the ``counts`` base table; quantized impacts alone are NOT mergeable
+    (collection-global min/max and idf differ between a shard and the union).
+    """
+    if not shards:
+        raise ValueError("no shards to merge")
+    for i, s in enumerate(shards):
+        if s.counts is None:
+            raise ValueError(
+                f"shard {i} has no counts table (built with cache=False?); "
+                "merge needs the unquantized counts base"
+            )
+    _check_compatible(
+        [(s.conf.k1, s.conf.b, s.conf.tokenizer, s.conf.stem) for s in shards]
+    )
+    conf = conf or shards[0].conf
+
+    counts = [s.counts.select("doc_id", "term", "cnt", "dl") for s in shards]
+    if rekey:
+        merged_counts, doc_map = _rekey(
+            counts, [s.doc_map for s in shards],
+            conf.num_partitions or shards[0].spark.sparkContext.defaultParallelism,
+        )
+    else:
+        merged_counts = counts[0]
+        for c in counts[1:]:
+            merged_counts = merged_counts.unionByName(c)
+        doc_map = shards[0].doc_map.select("doc_id", "key")
+        for s in shards[1:]:
+            doc_map = doc_map.unionByName(s.doc_map.select("doc_id", "key"))
+
+    # integer sums are associative: Σ over the union == Σ of shard sums
+    n_docs = sum(s.n_docs for s in shards)
+    collection_length = sum(s.collection_length for s in shards)
+    return build_index_from_counts(
+        merged_counts, doc_map, n_docs,
+        collection_length=collection_length, conf=conf, cache=cache,
+    )
+
+
+def merge_build_dirs(
+    spark: SparkSession,
+    shard_dirs: list[str],
+    out_dir: str,
+    *,
+    conf: BuildConf | None = None,
+    rekey: bool = False,
+) -> Index:
+    """Merge persisted shard build dirs (plans/persist.py stage layout) into
+    a new persisted index at ``out_dir``.
+
+    Seeds ``out_dir``'s ``doc_map`` and ``counts`` stages from the shards'
+    checkpoints (the tokenizer pass is never redone), then resumes the
+    ordinary checkpoint chain — so the merge is itself kill-and-resume safe
+    and emits the same per-stage lineage/metrics as a direct build.
+    """
+    from jassv2_spark.plans.persist import (
+        _mark,
+        _write_stage,
+        build_index_persisted,
+        stage_done,
+    )
+
+    if not shard_dirs:
+        raise ValueError("no shard dirs to merge")
+    shard_stats = []
+    for d in shard_dirs:
+        for stage in ("doc_map", "counts"):
+            if not stage_done(d, stage):
+                raise ValueError(f"shard {d} lacks completed stage {stage!r}")
+        with open(os.path.join(d, "stats.json")) as f:
+            shard_stats.append(json.load(f))
+    _check_compatible(
+        [(s["k1"], s["b"], s["tokenizer"], s["stem"]) for s in shard_stats]
+    )
+    if conf is None:
+        s0 = shard_stats[0]
+        conf = BuildConf(k1=s0["k1"], b=s0["b"], tokenizer=s0["tokenizer"], stem=s0["stem"])
+
+    os.makedirs(out_dir, exist_ok=True)
+    doc_maps = [spark.read.parquet(os.path.join(d, "doc_map")) for d in shard_dirs]
+    counts = [spark.read.parquet(os.path.join(d, "counts")) for d in shard_dirs]
+
+    if not (stage_done(out_dir, "doc_map") and stage_done(out_dir, "counts")):
+        if rekey:
+            merged_counts, new_map = _rekey(
+                counts, doc_maps, spark.sparkContext.defaultParallelism
+            )
+            texts = doc_maps[0].select("key", "text")
+            for m in doc_maps[1:]:
+                texts = texts.unionByName(m.select("key", "text"))
+            merged_map = new_map.join(texts, "key").select("doc_id", "key", "text")
+        else:
+            merged_map = doc_maps[0].select("doc_id", "key", "text")
+            for m in doc_maps[1:]:
+                merged_map = merged_map.unionByName(m.select("doc_id", "key", "text"))
+            merged_counts = counts[0].select("doc_id", "term", "cnt")
+            for c in counts[1:]:
+                merged_counts = merged_counts.unionByName(c.select("doc_id", "term", "cnt"))
+        t0 = time.perf_counter()
+        _write_stage(merged_map, out_dir, "doc_map", lineage_key="doc_id",
+                     extra={"merged_from": shard_dirs})
+        _write_stage(merged_counts.select("doc_id", "term", "cnt"), out_dir, "counts",
+                     lineage_key="term", extra={"merged_from": shard_dirs})
+        _mark(out_dir, "merge_seed", len(shard_dirs), time.perf_counter() - t0,
+              {"shard_dirs": shard_dirs, "rekey": rekey})
+
+    # resume the standard chain from doc_lengths onward; the docs argument
+    # is never scanned (doc_map/counts stages are already checkpointed)
+    docs = spark.read.parquet(os.path.join(out_dir, "doc_map"))
+    return build_index_persisted(
+        docs, out_dir, text_col="text", key_col="key", conf=conf
+    )

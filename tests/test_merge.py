@@ -1,0 +1,124 @@
+"""Shard-merge exactness: merge(build(A), build(B)) == build(A ∪ B).
+
+The merge combines shards at the counts level and recomputes only the
+collection-global stages, so the merged index must be BITWISE identical to
+a single-shot build of the concatenated corpus — same scores, impacts,
+segment table, and top-k (plans/merge.py invariant).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jassv2_spark.fixtures import synthetic_corpus, synthetic_queries
+from jassv2_spark.operators.build import BuildConf, build_index
+from jassv2_spark.operators.search import search
+from jassv2_spark.plans.merge import merge_build_dirs, merge_indexes
+from jassv2_spark.plans.persist import build_index_persisted, stage_done
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = synthetic_corpus(180)
+    return spark.createDataFrame(
+        [(i + 1, r["url"], r["text"]) for i, r in enumerate(rows)],
+        ["doc_id", "url", "text"],
+    )
+
+
+def _segments_sorted(idx):
+    return sorted(
+        (r["term"], r["impact"], r["min_doc"], r["part_freq"], tuple(r["doc_ids"]))
+        for r in idx.segments.collect()
+    )
+
+
+def _topk(idx, spark, queries, k=10):
+    qdf = spark.createDataFrame(queries, ["query_id", "query"])
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["rsv"])
+        for r in search(idx, qdf, k=k, with_keys=False).collect()
+    )
+
+
+def test_merge_disjoint_ids_equals_direct_build(spark, corpus):
+    even = corpus.filter(F.col("doc_id") % 2 == 0)
+    odd = corpus.filter(F.col("doc_id") % 2 == 1)
+    a = build_index(even, text_col="text", key_col="doc_id", doc_id_col="doc_id")
+    b = build_index(odd, text_col="text", key_col="doc_id", doc_id_col="doc_id")
+    merged = merge_indexes([a, b])
+    direct = build_index(corpus, text_col="text", key_col="doc_id", doc_id_col="doc_id")
+
+    assert merged.n_docs == direct.n_docs
+    assert merged.collection_length == direct.collection_length
+    assert merged.mean_doc_length == direct.mean_doc_length  # bitwise
+    assert (merged.min_rsv, merged.max_rsv) == (direct.min_rsv, direct.max_rsv)
+    assert _segments_sorted(merged) == _segments_sorted(direct)
+    queries = synthetic_queries(8)
+    assert _topk(merged, spark, queries) == _topk(direct, spark, queries)
+
+
+def test_merge_rekey_equals_direct_build(spark, corpus):
+    # shards ingested independently: each assigns its OWN dense ids by url,
+    # so raw ids collide across shards; rekey=True re-ranks over the union
+    docs = corpus.select("url", "text")
+    half_a = docs.filter(F.substring(F.xxhash64("url").cast("string"), -1, 1).isin(
+        *"02468"))
+    half_b = docs.subtract(half_a)
+    a = build_index(half_a, text_col="text", key_col="url")
+    b = build_index(half_b, text_col="text", key_col="url")
+    merged = merge_indexes([a, b], rekey=True)
+    direct = build_index(docs, text_col="text", key_col="url")
+
+    assert merged.n_docs == direct.n_docs
+    assert (merged.min_rsv, merged.max_rsv) == (direct.min_rsv, direct.max_rsv)
+    assert _segments_sorted(merged) == _segments_sorted(direct)
+    queries = synthetic_queries(6)
+    assert _topk(merged, spark, queries) == _topk(direct, spark, queries)
+    # merged doc_map must be exactly the direct build's key→id assignment
+    assert sorted(map(tuple, merged.doc_map.collect())) == sorted(
+        map(tuple, direct.doc_map.collect())
+    )
+
+
+def test_merge_conf_mismatch_raises(spark, corpus):
+    a = build_index(corpus, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+                    conf=BuildConf(k1=0.9))
+    b = build_index(corpus, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+                    conf=BuildConf(k1=1.2))
+    with pytest.raises(ValueError, match="differs"):
+        merge_indexes([a, b])
+
+
+def test_merge_requires_counts(spark, corpus):
+    a = build_index(corpus, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+                    cache=False)
+    with pytest.raises(ValueError, match="counts"):
+        merge_indexes([a])
+
+
+def test_merge_build_dirs_equals_direct_persisted(spark, corpus, tmp_path):
+    even = corpus.filter(F.col("doc_id") % 2 == 0)
+    odd = corpus.filter(F.col("doc_id") % 2 == 1)
+    build_index_persisted(even, str(tmp_path / "a"), text_col="text",
+                          key_col="doc_id", doc_id_col="doc_id")
+    build_index_persisted(odd, str(tmp_path / "b"), text_col="text",
+                          key_col="doc_id", doc_id_col="doc_id")
+    merged = merge_build_dirs(
+        spark, [str(tmp_path / "a"), str(tmp_path / "b")], str(tmp_path / "m")
+    )
+    direct = build_index_persisted(corpus, str(tmp_path / "d"), text_col="text",
+                                   key_col="doc_id", doc_id_col="doc_id")
+
+    assert merged.n_docs == direct.n_docs
+    assert (merged.min_rsv, merged.max_rsv) == (direct.min_rsv, direct.max_rsv)
+    assert _segments_sorted(merged) == _segments_sorted(direct)
+    queries = synthetic_queries(6)
+    assert _topk(merged, spark, queries) == _topk(direct, spark, queries)
+    # the merge seeded the tokenizer-stage checkpoints and is itself resumable
+    for stage in ("doc_map", "counts", "segments"):
+        assert stage_done(str(tmp_path / "m"), stage)
+    # rerunning the merge is a no-op resume (markers untouched → same index)
+    again = merge_build_dirs(
+        spark, [str(tmp_path / "a"), str(tmp_path / "b")], str(tmp_path / "m")
+    )
+    assert _segments_sorted(again) == _segments_sorted(direct)
