@@ -173,6 +173,7 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM (
 
 _INDEX_CACHE: dict[str, Index] = {}
 _MERGED_CACHE: dict[str, Index] = {}
+_DELETED_CACHE: dict[str, Index] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,6 +427,36 @@ best AS (SELECT query_id, doc_id, anchor, n_terms,
     r["jass_merge_topk"] = (
         _topk_merged,
         _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
+    )
+
+    # Incremental delete (plans/merge.py:delete_docs): remove every 7th doc
+    # from the ALREADY-BUILT full index (no re-tokenize; broadcast anti-join
+    # on the counts base + global-stage recompute). Exactness claim: equals
+    # a fresh build over the surviving docs — so the oracle is the whole
+    # SQL chain with the corpus pre-filtered.
+    def _topk_deleted(spark, sf):
+        from jassv2_spark.plans.merge import delete_docs
+
+        idx = _DELETED_CACHE.get(sf)
+        if idx is None:
+            doomed = _docs(spark, sf).select("doc_id").filter(
+                F.pmod(F.col("doc_id"), F.lit(7)) == 0
+            )
+            idx = delete_docs(get_index(spark, sf), doomed)
+            _DELETED_CACHE[sf] = idx
+        return search(idx, _queries_df(spark), k=K, rho=1.0, with_keys=False).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _base_del = _BASE.replace(
+        "FROM documents", "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 0)"
+    )
+    r["jass_delete_topk"] = (
+        _topk_deleted,
+        _sql(_base_del, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
     )
     r["jass_query_metrics"] = (
         lambda spark, sf: search_metrics(get_index(spark, sf), _queries_df(spark), rho=1.0).select(

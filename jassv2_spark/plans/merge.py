@@ -17,12 +17,15 @@ impacts, same segment table (verified in tests/test_merge.py). This is NOT
 true of merging at the quantized-segment level (quantization min/max and
 idf are collection-global), which is why the merge runs from counts.
 
-Two entry points:
+Entry points:
   - ``merge_indexes``    — in-memory ``Index`` shards → merged ``Index``.
   - ``merge_build_dirs`` — persisted build dirs (plans/persist.py layout)
     → a new persisted build dir; itself checkpoint-resumable, because it
     seeds the target's ``doc_map``/``counts`` stages and then resumes the
     ordinary stage chain.
+  - ``delete_docs`` / ``add_docs`` — incremental maintenance (takedowns,
+    recrawl appends) with the same counts-level exactness guarantee; the
+    reference has no mutation path at all (its serialized index is final).
 
 Doc-id handling: with ``rekey=False`` (default) shard doc_ids are trusted
 to be globally unique (caller-assigned, e.g. disjoint id ranges per shard).
@@ -127,6 +130,87 @@ def merge_indexes(
         merged_counts, doc_map, n_docs,
         collection_length=collection_length, conf=conf, cache=cache,
     )
+
+
+def delete_docs(
+    index: Index,
+    doc_ids,
+    *,
+    conf: BuildConf | None = None,
+    cache: bool = True,
+) -> Index:
+    """Remove documents from an index exactly, without re-tokenizing.
+
+    The reference index is immutable once serialized (`tools/JASS_index.cpp`
+    has no delete path); web-scale corpora need takedowns and recrawl
+    replacement. Deletion anti-joins the retained ``counts`` base (the
+    tokenizer output, never recomputed) and re-runs only the cheap
+    collection-global stages — df, idf, mean dl, quantization min/max,
+    segment layout — which MUST be recomputed because every one of them
+    shifts when N and the collection length shrink. The result is bitwise
+    identical to a fresh build over the surviving documents with the same
+    doc_ids (verified in tests/test_merge.py).
+
+    ``doc_ids`` is a DataFrame whose first column is the id, or an iterable
+    of ints. The id set is broadcast: the anti-join is map-side, so the one
+    full pass over counts has no shuffle. Unknown ids are ignored.
+    """
+    if index.counts is None:
+        raise ValueError(
+            "index has no counts table (built with cache=False?); "
+            "delete needs the unquantized counts base"
+        )
+    spark = index.spark
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id bigint"
+        )
+    ids = F.broadcast(ids.distinct())
+    new_counts = index.counts.select("doc_id", "term", "cnt", "dl").join(
+        ids, "doc_id", "left_anti"
+    )
+    new_map = index.doc_map.join(ids, "doc_id", "left_anti")
+    n_docs = new_map.count()
+    return build_index_from_counts(
+        new_counts, new_map, n_docs, conf=conf or index.conf, cache=cache
+    )
+
+
+def add_docs(
+    index: Index,
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "key",
+    doc_id_col: str | None = None,
+    conf: BuildConf | None = None,
+    rekey: bool = False,
+    cache: bool = True,
+) -> Index:
+    """Append new documents to an index: tokenize ONLY the new docs (the
+    expensive pass), then counts-level merge with the existing index —
+    ``merge_indexes`` exactness applies, so the result is bitwise identical
+    to a fresh build over the combined corpus. With ``doc_id_col=None`` the
+    new shard gets ids offset past the index's current max (disjointness is
+    the caller's contract when ``rekey=False``)."""
+    from jassv2_spark.operators.build import build_index
+
+    conf = conf or index.conf
+    shard = build_index(
+        docs, text_col=text_col, key_col=key_col, doc_id_col=doc_id_col,
+        conf=conf, cache=True,
+    )
+    if doc_id_col is None and not rekey:
+        offset = index.doc_map.agg(F.max("doc_id")).collect()[0][0] or 0
+        shard.counts = shard.counts.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(int(offset))
+        )
+        shard.doc_map = shard.doc_map.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(int(offset))
+        )
+    return merge_indexes([index, shard], conf=conf, rekey=rekey, cache=cache)
 
 
 def merge_build_dirs(

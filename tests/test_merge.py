@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from jassv2_spark.fixtures import synthetic_corpus, synthetic_queries
 from jassv2_spark.operators.build import BuildConf, build_index
 from jassv2_spark.operators.search import search
-from jassv2_spark.plans.merge import merge_build_dirs, merge_indexes
+from jassv2_spark.plans.merge import add_docs, delete_docs, merge_build_dirs, merge_indexes
 from jassv2_spark.plans.persist import build_index_persisted, stage_done
 
 
@@ -78,6 +78,62 @@ def test_merge_rekey_equals_direct_build(spark, corpus):
     assert sorted(map(tuple, merged.doc_map.collect())) == sorted(
         map(tuple, direct.doc_map.collect())
     )
+
+
+def test_delete_docs_equals_build_of_survivors(spark, corpus):
+    full = build_index(corpus, text_col="text", key_col="doc_id", doc_id_col="doc_id")
+    doomed = corpus.select("doc_id").filter(F.col("doc_id") % 5 == 0)
+    after = delete_docs(full, doomed)
+    direct = build_index(corpus.filter(F.col("doc_id") % 5 != 0),
+                         text_col="text", key_col="doc_id", doc_id_col="doc_id")
+
+    assert after.n_docs == direct.n_docs
+    assert after.collection_length == direct.collection_length
+    assert after.mean_doc_length == direct.mean_doc_length  # bitwise
+    assert (after.min_rsv, after.max_rsv) == (direct.min_rsv, direct.max_rsv)
+    assert _segments_sorted(after) == _segments_sorted(direct)
+    queries = synthetic_queries(8)
+    assert _topk(after, spark, queries) == _topk(direct, spark, queries)
+
+
+def test_delete_docs_accepts_iterable_and_ignores_unknown(spark, corpus):
+    full = build_index(corpus, text_col="text", key_col="doc_id", doc_id_col="doc_id")
+    after = delete_docs(full, [1, 2, 3, 999_999])
+    assert after.n_docs == full.n_docs - 3
+    assert after.doc_map.filter(F.col("doc_id").isin(1, 2, 3)).count() == 0
+
+
+def test_delete_docs_requires_counts(spark, corpus):
+    full = build_index(corpus, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+                       cache=False)
+    with pytest.raises(ValueError, match="counts"):
+        delete_docs(full, [1])
+
+
+def test_add_docs_equals_direct_build(spark, corpus):
+    old = corpus.filter(F.col("doc_id") <= 120)
+    new = corpus.filter(F.col("doc_id") > 120)
+    base = build_index(old, text_col="text", key_col="doc_id", doc_id_col="doc_id")
+    grown = add_docs(base, new, text_col="text", key_col="doc_id", doc_id_col="doc_id")
+    direct = build_index(corpus, text_col="text", key_col="doc_id", doc_id_col="doc_id")
+
+    assert grown.n_docs == direct.n_docs
+    assert (grown.min_rsv, grown.max_rsv) == (direct.min_rsv, direct.max_rsv)
+    assert _segments_sorted(grown) == _segments_sorted(direct)
+    queries = synthetic_queries(6)
+    assert _topk(grown, spark, queries) == _topk(direct, spark, queries)
+
+
+def test_add_docs_auto_offset_ids(spark, corpus):
+    # no doc_id_col: the new shard's dense ids are offset past the old max,
+    # so ids never collide and every new doc is searchable
+    old = corpus.filter(F.col("doc_id") <= 150)
+    new = corpus.filter(F.col("doc_id") > 150).select("url", "text")
+    base = build_index(old, text_col="text", key_col="doc_id", doc_id_col="doc_id")
+    grown = add_docs(base, new, text_col="text", key_col="url")
+    assert grown.n_docs == base.n_docs + new.count()
+    ids = [r[0] for r in grown.doc_map.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))
 
 
 def test_merge_conf_mismatch_raises(spark, corpus):
