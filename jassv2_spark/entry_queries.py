@@ -1672,6 +1672,38 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
            FROM b JOIN c USING (source) CROSS JOIN m""",
     )
 
+    # General dyadic-alpha temperature mixing: shares ∝ n^alpha with
+    # alpha = 45/64 (nearest dyadic to the Devlin et al. 0.7 exponent).
+    # rate = (n_min/n)^(19/64) evaluated as 6 nested sqrts then a
+    # 19-fold left-assoc product — every op IEEE-exact, so both engines
+    # compute the identical double (curation.dyadic_exponent).
+    _ALPHA_GEN = 45 / 64
+
+    def _temp_mix_gen(spark, sf):
+        from jassv2_spark.operators.curation import temperature_mix_sample
+
+        return temperature_mix_sample(_docs(spark, sf), alpha=_ALPHA_GEN)
+
+    _y6 = "m.n_min::DOUBLE / c.n_source::DOUBLE"
+    for _ in range(6):
+        _y6 = f"sqrt({_y6})"
+    _rate19 = " * ".join(["y"] * 19)
+    r["text_temperature_mix_gen"] = (
+        _temp_mix_gen,
+        f"""WITH c AS (SELECT source, count(*)::BIGINT AS n_source
+               FROM documents GROUP BY source),
+           m AS (SELECT min(n_source)::BIGINT AS n_min FROM c),
+           ry AS (SELECT c.source, c.n_source, {_y6} AS y
+                  FROM c CROSS JOIN m),
+           rr AS (SELECT source, n_source, {_rate19} AS rate FROM ry),
+           b AS (SELECT doc_id, source,
+                    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS UBIGINT)::BIGINT AS bucket
+               FROM documents)
+           SELECT b.doc_id, b.source, rr.n_source, rr.rate,
+                  b.bucket::DOUBLE < rr.rate * 4294967296.0e0 AS keep
+           FROM b JOIN rr USING (source)""",
+    )
+
     # ---- training-data pipeline: event-stream analytics ----
     def _events(spark, sf):
         return spark.read.parquet(f"{sf}/events.parquet")

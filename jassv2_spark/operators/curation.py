@@ -225,20 +225,53 @@ def domain_cap_sample(
     )
 
 
+def dyadic_exponent(alpha: float, max_m: int = 6) -> tuple[int, int]:
+    """Express the sampling exponent ``1 - alpha`` as ``j / 2**m`` exactly.
+
+    Every Python float is a dyadic rational, but only small denominators
+    (≤ 2**max_m) admit the portable sqrt-product evaluation below; for
+    anything else (e.g. 0.7) raise and name the nearest admissible value,
+    rather than silently computing a different mix.
+    """
+    from fractions import Fraction
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    fr = Fraction(1.0 - alpha)
+    if fr.denominator > (1 << max_m):
+        near = round(alpha * (1 << max_m)) / (1 << max_m)
+        raise ValueError(
+            f"alpha={alpha} is not a dyadic rational with denominator "
+            f"<= 2^{max_m}; nearest admissible value is {near} "
+            f"({round(alpha * (1 << max_m))}/{1 << max_m})"
+        )
+    m = fr.denominator.bit_length() - 1
+    return fr.numerator, m
+
+
 def temperature_mix_sample(
     docs: DataFrame,
     id_col: str = "doc_id",
     domain_col: str = "source",
+    alpha: float = 0.5,
 ) -> DataFrame:
     """(doc_id, source, n_source, rate, keep): temperature-flattened domain
-    mixing at tau = 2 — each domain is down-sampled at
-    rate = sqrt(n_min / n_domain), so post-sampling domain shares go as
-    sqrt(raw counts): the standard flattening between proportional (tau=1)
-    and uniform (tau=inf) mixes used for multilingual / multi-domain
-    pre-training (Devlin et al. 2019 exponent-0.7 recipe, Conneau &
-    Lample 2019 alpha=0.5). tau is FIXED at 2 because sqrt is the one
-    power IEEE 754 requires correctly rounded — both engines compute the
-    identical double, where a general pow() would drift in the last ulp.
+    mixing — each domain is down-sampled at rate = (n_min / n_domain)^(1-alpha),
+    so post-sampling domain shares go as n^alpha: the standard flattening
+    between proportional (alpha=1) and uniform (alpha=0) mixes used for
+    multilingual / multi-domain pre-training (Devlin et al. 2019
+    exponent-0.7 recipe, Conneau & Lample 2019 alpha=0.5 i.e. tau=2).
+
+    alpha must be a DYADIC rational (k/2^m, m ≤ 6): with 1-alpha = j/2^m
+    the rate is evaluated as y = sqrt applied m times to x = n_min/n, then
+    y multiplied j times left-to-right. sqrt is the one power IEEE 754
+    requires correctly rounded and IEEE multiplication is exact-order
+    deterministic, so every engine computes the IDENTICAL double — where a
+    general pow() drifts in the last ulp across libms. (For j > 1 the
+    product is the recipe's defined value, within 1-2 ulp of the true
+    power and exactly reproducible; at alpha ∈ {0, 1/2, 1} it IS the
+    correctly rounded power.) Non-dyadic requests raise with the nearest
+    admissible alpha (0.7 → 45/64 = 0.703125).
     keep = md5-bucket < rate * 2^32 (the split_assign bucket, so the mix
     composes with splits and caps without correlation).
 
@@ -247,12 +280,21 @@ def temperature_mix_sample(
     1-row min — the corpus pass itself is map-only: no window, no rank,
     no shuffle of document rows at all (contrast domain_cap_sample).
     """
+    j, m = dyadic_exponent(alpha)
     counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_source"))
     n_min = counts.agg(F.min("n_source").alias("n_min"))
     bucket = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 16, 10
     ).cast("long")
-    rate = F.sqrt(F.col("n_min").cast("double") / F.col("n_source").cast("double"))
+    y = F.col("n_min").cast("double") / F.col("n_source").cast("double")
+    for _ in range(m):
+        y = F.sqrt(y)
+    if j == 0:
+        rate = F.lit(1.0)
+    else:
+        rate = y
+        for _ in range(j - 1):
+            rate = rate * y
     return (
         docs.select(F.col(id_col), F.col(domain_col), bucket.alias("bucket"))
         .join(F.broadcast(counts), domain_col)

@@ -158,6 +158,57 @@ def test_temperature_mix_sqrt_flattening(spark):
         assert r["keep"] == expect, r
 
 
+def test_temperature_mix_dyadic_alpha(spark):
+    import math
+
+    # A: 16 docs, B: 1 doc; alpha = 3/4 -> exponent 1/4:
+    # rate_A = (1/16)^(1/4) = 0.5 EXACTLY (power of two -> sqrt chain exact)
+    docs = spark.createDataFrame(
+        [(i, "t", "A") for i in range(16)] + [(100, "t", "B")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["doc_id"]: r for r in temperature_mix_sample(docs, alpha=0.75).collect()}
+    assert out[0]["rate"] == 0.5
+    assert out[100]["rate"] == 1.0
+    # alpha=1 is the proportional no-op: every rate is 1, everything kept
+    out1 = temperature_mix_sample(docs, alpha=1.0).collect()
+    assert all(r["rate"] == 1.0 and r["keep"] for r in out1)
+    # alpha=0 is uniform: rate_A = 1/16 exactly
+    out0 = {r["doc_id"]: r for r in temperature_mix_sample(docs, alpha=0.0).collect()}
+    assert out0[0]["rate"] == 1.0 / 16.0
+    # general dyadic: alpha = 45/64 -> exponent 19/64; the recipe's value is
+    # the 19-fold product of the 6-fold sqrt — reproduce it in CPython
+    out_g = {r["doc_id"]: r for r in
+             temperature_mix_sample(docs, alpha=45 / 64).collect()}
+    y = 1.0 / 16.0
+    for _ in range(6):
+        y = math.sqrt(y)
+    expect = y
+    for _ in range(18):
+        expect = expect * y
+    assert out_g[0]["rate"] == expect  # bitwise
+
+
+def test_temperature_mix_rejects_non_dyadic_alpha(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "t", "A")], ["doc_id", "text", "source"])
+    with _pytest.raises(ValueError, match="0.703125"):
+        temperature_mix_sample(docs, alpha=0.7)
+    with _pytest.raises(ValueError, match=r"\[0, 1\]"):
+        temperature_mix_sample(docs, alpha=1.5)
+
+
+def test_dyadic_exponent_decomposition():
+    from jassv2_spark.operators.curation import dyadic_exponent
+
+    assert dyadic_exponent(0.5) == (1, 1)       # 1-a = 1/2
+    assert dyadic_exponent(0.75) == (1, 2)      # 1/4
+    assert dyadic_exponent(45 / 64) == (19, 6)  # 19/64
+    assert dyadic_exponent(1.0) == (0, 0)
+    assert dyadic_exponent(0.0) == (1, 0)
+
+
 def test_domain_cap_sample_rank_is_dense_and_deterministic(spark):
     docs = spark.createDataFrame(
         [(i, "t", "A") for i in range(6)], ["doc_id", "text", "source"]
