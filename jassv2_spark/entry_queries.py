@@ -71,6 +71,19 @@ ENTRY_QUERIES = [
     ("q10", "vector stream big key order"),
 ]
 
+# Phrase queries (operators/phrase.py): adjacent-run matching the bag-of-
+# words reference cannot express. 2/3-gram, repeated-token (overlap
+# counting), OOV, single-term, and mixed-case (casefold) phrases.
+PHRASE_QUERIES = [
+    ("ph01", "spark join"),
+    ("ph02", "hash table"),
+    ("ph03", "merge sort"),
+    ("ph04", "table table table"),
+    ("ph05", "zzz notaword"),
+    ("ph06", "window"),
+    ("ph07", "The FAST"),
+]
+
 # Raw-mode (`-a`) query set: mixed case, embedded punctuation, duplicate
 # raw tokens, tab/multi-space separators (the mode's observable semantics).
 RAW_QUERIES = [
@@ -457,6 +470,52 @@ best AS (SELECT query_id, doc_id, anchor, n_terms,
     r["jass_delete_topk"] = (
         _topk_deleted,
         _sql(_base_del, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
+    )
+
+    # Exact phrase top-k (operators/phrase.py): adjacent-token runs scored
+    # as BM25 pseudo-terms; map-only corpus pass via JVM higher-order fns,
+    # only matches shuffle. idf driver-side (CPython ln) as everywhere.
+    def _phrase(spark, sf):
+        from jassv2_spark.operators.phrase import phrase_topk
+
+        idx = get_index(spark, sf)  # reuse its N/clen: no extra stats scan
+        return phrase_topk(
+            _docs(spark, sf),
+            spark.createDataFrame(PHRASE_QUERIES, ["query_id", "phrase"]),
+            k=K, k1=K1, b=B,
+            collection_stats=(idx.n_docs, idx.collection_length),
+        )
+
+    _ph_values = ", ".join(f"('{qid}', '{p}')" for qid, p in PHRASE_QUERIES)
+    r["jass_phrase_topk"] = (
+        _phrase,
+        f"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+               FROM documents),
+           nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+           cl AS (SELECT sum(len(tk))::BIGINT AS clen FROM d),
+           q(query_id, phrase) AS (VALUES {_ph_values}),
+           qp AS (SELECT query_id,
+                         regexp_extract_all(lower(phrase), '{TOKEN_PATTERN}') AS ph
+                  FROM q),
+           m AS (SELECT query_id, doc_id, len(tk)::BIGINT AS dl,
+                   len(list_filter(range(1, len(tk) - len(ph) + 2),
+                                   i -> tk[i:i+len(ph)-1] = ph))::BIGINT AS ptf
+                 FROM d CROSS JOIN qp
+                 WHERE len(ph) >= 1 AND len(tk) >= len(ph)),
+           mm AS (SELECT * FROM m WHERE ptf > 0),
+           dfq AS (SELECT query_id, count(*)::BIGINT AS df FROM mm GROUP BY query_id),
+           sc AS (SELECT mm.query_id, mm.doc_id, mm.ptf,
+                   ln(nn.n::DOUBLE / dfq.df::DOUBLE)
+                     * ((least(mm.ptf, 1024)::DOUBLE * {_K1P1})
+                        / (least(mm.ptf, 1024)::DOUBLE
+                           + {_K1R} * ({_OMB} + ({_BR} * mm.dl::DOUBLE)
+                                       / (cl.clen::DOUBLE / nn.n::DOUBLE)))) AS score
+                 FROM mm JOIN dfq USING (query_id), nn, cl),
+           rk AS (SELECT query_id, doc_id, ptf, score,
+                   (row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id DESC))::BIGINT AS rank
+                  FROM sc)
+           SELECT query_id, doc_id, ptf, score, rank FROM rk WHERE rank <= {K}""",
     )
     r["jass_query_metrics"] = (
         lambda spark, sf: search_metrics(get_index(spark, sf), _queries_df(spark), rho=1.0).select(

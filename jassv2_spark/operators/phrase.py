@@ -1,0 +1,152 @@
+"""Exact phrase search: BM25-scored top-k over adjacent-token matches.
+
+The reference engine is strictly bag-of-words — its parser drops token
+positions before indexing (`source/parser.cpp`, `tools/JASS_index.cpp`
+count tf only) — so phrase queries ("new york", "hash table") are
+inexpressible there. Web-scale retrieval needs them; this operator adds
+the capability Spark-first, without a positional index:
+
+  documents ──spark_tokens──▶ (doc_id, tk: array<string>)   [map-only]
+    ──crossJoin(broadcast(parsed phrases))──▶ per (query, doc)
+      phrase_tf = #{ i : tk[i : i+|ph|] == ph }   [JVM higher-order fns:
+        sequence/filter/slice — whole-stage codegen, NO token explode,
+        NO corpus shuffle; a first-term array_contains prunes the scan]
+    ──filter phrase_tf > 0──▶ matches (sparse)
+    ──groupBy(query)──▶ phrase df  ──▶ ATIRE BM25 with the phrase as a
+      pseudo-term (tf = phrase_tf saturated at 1024, idf = ln(N/df))
+    ──window top-k──▶ (query_id, doc_id, ptf, score, rank)
+
+Scoring parity: the BM25 expression is the reference's exact operation
+grouping (`source/ranking_function_atire_bm25.h:97-145`) with idf computed
+DRIVER-side in CPython per distinct df (same rationale as
+operators/build.py: JVM Math.log differs from glibc/DuckDB by 1 ulp on ~8%
+of inputs; every other op is exact IEEE arithmetic in a fixed order, so
+results are bitwise engine-portable).
+
+Scale shape: the corpus pass is map-only (Q broadcast phrases × per-doc
+array scan, O(Q · dl) comparisons per document, short-circuited by the
+contains-first-term guard); only MATCHING (query, doc) pairs are ever
+shuffled — one tiny per-query df agg plus the per-query top-k window. At
+a fixed small Q this survives any corpus scale; a high-QPS phrase workload
+would precompute next-token postings instead, which composes with the
+ordinary index build.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jassv2_spark.functions.tokenizer import spark_tokens
+from jassv2_spark.operators.build import B_DEFAULT, K1_DEFAULT, MAX_TF
+
+
+def phrase_match_counts(
+    docs: DataFrame,
+    phrases: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+    tokenizer: str = "parity",
+) -> DataFrame:
+    """(query_id, doc_id, dl, ptf) for every document containing each
+    phrase at least once as an ADJACENT token run (ptf = occurrence count,
+    overlaps allowed). Phrases are tokenized with the same normalizer as
+    the corpus; zero-term phrases (punctuation-only) match nothing.
+    """
+    tk = spark_tokens(text_col, mode=tokenizer)
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"), tk.alias("tk"))
+    q = phrases.select(
+        F.col(query_id_col).alias("query_id"),
+        spark_tokens(phrase_col, mode=tokenizer).alias("ph"),
+    )
+    n_ph = F.size("ph")
+    starts = F.sequence(F.lit(1), F.size("tk") - n_ph + F.lit(1))
+    ptf = F.size(
+        F.filter(starts, lambda i: F.slice(F.col("tk"), i, n_ph) == F.col("ph"))
+    )
+    return (
+        d.crossJoin(F.broadcast(q))
+        # necessary condition cheap-checked before the O(dl·|ph|) scan
+        .where(
+            (n_ph >= 1)
+            & (F.size("tk") >= n_ph)
+            & F.array_contains(F.col("tk"), F.element_at(F.col("ph"), 1))
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.size("tk").cast("long").alias("dl"),
+            ptf.cast("long").alias("ptf"),
+        )
+        .where(F.col("ptf") > 0)
+    )
+
+
+def phrase_topk(
+    docs: DataFrame,
+    phrases: DataFrame,
+    k: int = 10,
+    *,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "parity",
+    collection_stats: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Top-k documents per phrase query, BM25-scored with the phrase as a
+    pseudo-term. Returns (query_id, doc_id, ptf, score, rank); ties break
+    to the higher doc_id like the engine's top-k heap
+    (`source/query_heap.h` semantics, operators/search.py).
+
+    ``collection_stats=(n_docs, collection_length)`` skips the stats scan —
+    pass ``(index.n_docs, index.collection_length)`` when an ordinary index
+    over the same corpus already exists (they are the same quantities), so
+    phrase serving adds only the single match pass.
+    """
+    spark = docs.sparkSession
+    matches = phrase_match_counts(
+        docs, phrases, text_col=text_col, id_col=id_col, tokenizer=tokenizer
+    ).persist()
+
+    if collection_stats is not None:
+        n_docs, clen = int(collection_stats[0]), int(collection_stats[1])
+    else:
+        stats = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(spark_tokens(text_col, mode=tokenizer))).alias("clen"),
+        ).collect()[0]
+        n_docs, clen = int(stats["n"]), int(stats["clen"] or 0)
+    mean_dl = float(clen) / float(n_docs) if n_docs else 0.0
+
+    # phrase df → driver-side CPython ln (bitwise-portable idf literals)
+    dfs = matches.groupBy("query_id").agg(F.count(F.lit(1)).alias("df")).collect()
+    if not dfs:
+        idf_map = spark.createDataFrame([], "query_id string, idf double")
+    else:
+        idf_map = spark.createDataFrame(
+            [(r["query_id"], math.log(n_docs / r["df"])) for r in dfs],
+            "query_id string, idf double",
+        )
+
+    tf_d = F.least(F.col("ptf"), F.lit(MAX_TF)).cast("double")
+    lc = F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("dl").cast("double") / F.lit(mean_dl)
+    )
+    score = F.col("idf") * ((tf_d * F.lit(float(k1) + 1.0)) / (tf_d + lc))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").desc()
+    )
+    return (
+        matches.join(F.broadcast(idf_map), "query_id")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "ptf", "score", "rank")
+    )

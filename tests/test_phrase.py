@@ -1,0 +1,75 @@
+"""Phrase search semantics: adjacency, overlap counting, scoring, top-k.
+
+The reference is bag-of-words (parser.cpp drops positions), so these
+semantics are pinned here, not against a reference golden: ptf counts ALL
+start positions of the exact adjacent token run (overlaps included), and
+the ranking is ATIRE BM25 with the phrase as a pseudo-term, ties to the
+higher doc_id (operators/phrase.py).
+"""
+
+import math
+
+import pytest
+
+from jassv2_spark.operators.phrase import phrase_match_counts, phrase_topk
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "in new york city new york is big"),
+            (2, "new in york but never adjacent"),
+            (3, "aa aa aa aa"),
+            (4, "plain filler text here"),
+            (5, "New York!"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def _q(spark, *pairs):
+    return spark.createDataFrame(list(pairs), ["query_id", "phrase"])
+
+
+def test_adjacency_required_and_overlap_counted(spark, docs):
+    out = phrase_match_counts(docs, _q(spark, ("p1", "new york"), ("p2", "aa aa"))).collect()
+    by = {(r["query_id"], r["doc_id"]): r for r in out}
+    assert by[("p1", 1)]["ptf"] == 2          # two occurrences
+    assert ("p1", 2) not in by                # terms present, never adjacent
+    assert by[("p1", 5)]["ptf"] == 1          # casefold + punctuation strip
+    assert by[("p2", 3)]["ptf"] == 3          # overlapping runs all counted
+    assert by[("p1", 1)]["dl"] == 8
+
+
+def test_single_term_oov_and_empty_phrase(spark, docs):
+    out = phrase_match_counts(
+        docs, _q(spark, ("s", "filler"), ("o", "zzz qqq"), ("e", "!!!"))
+    ).collect()
+    got = {(r["query_id"], r["doc_id"]) for r in out}
+    assert got == {("s", 4)}  # OOV and zero-term phrases match nothing
+
+
+def test_phrase_topk_scores_and_ranks(spark, docs):
+    out = phrase_topk(docs, _q(spark, ("p1", "new york")), k=10, k1=0.9, b=0.4).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 5]
+    by = {r["doc_id"]: r for r in out}
+    # hand-computed ATIRE BM25: N=5, clen=8+6+4+4+2=24, mean=24/5, df=2
+    mean = 24.0 / 5.0
+    idf = math.log(5 / 2)
+
+    def bm25(tf, dl):
+        return idf * ((tf * 1.9) / (tf + 0.9 * (0.6 + 0.4 * dl / mean)))
+
+    assert by[1]["score"] == bm25(2.0, 8.0)
+    assert by[5]["score"] == bm25(1.0, 2.0)
+    assert by[1]["rank"] == 1  # higher score wins
+
+
+def test_phrase_topk_tie_breaks_to_higher_docid_and_k_cuts(spark):
+    docs = spark.createDataFrame(
+        [(i, "x y filler") for i in range(1, 6)], ["doc_id", "text"]
+    )
+    out = phrase_topk(docs, _q(spark, ("t", "x y")), k=3).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [5, 4, 3]  # identical scores -> higher doc_id first, k=3
