@@ -517,6 +517,81 @@ best AS (SELECT query_id, doc_id, anchor, n_terms,
                   FROM sc)
            SELECT query_id, doc_id, ptf, score, rank FROM rk WHERE rank <= {K}""",
     )
+    # RM3 pseudo-relevance feedback (operators/feedback.py): expansion
+    # weights are EXACT integers (Σ tf·rsv over the fb docs), so both
+    # passes stay in the engine's integer algebra end-to-end.
+    _FB_DOCS, _FB_TERMS = 10, 10
+    _RM3_CTES = f"""
+fbd AS (SELECT query_id, doc_id, rsv FROM ranked WHERE rank <= {_FB_DOCS}),
+expx AS (SELECT f.query_id, t.term, sum(t.tf * f.rsv)::BIGINT AS exp_score
+         FROM fbd f JOIN tfx t USING (doc_id) GROUP BY f.query_id, t.term),
+expn AS (SELECT * FROM expx e WHERE NOT EXISTS
+          (SELECT 1 FROM qt WHERE qt.query_id = e.query_id AND qt.term = e.term)),
+exps AS (SELECT query_id, term, exp_score,
+          (row_number() OVER (PARTITION BY query_id
+                              ORDER BY exp_score DESC, term ASC))::BIGINT AS exp_rank
+         FROM expn),
+expk AS (SELECT * FROM exps WHERE exp_rank <= {_FB_TERMS})
+"""
+    _RM3_PASS2 = """
+qt2 AS (SELECT query_id, term, q_tf FROM qt
+        UNION ALL SELECT query_id, term, 1::BIGINT AS q_tf FROM expk),
+qm2 AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM qt2 GROUP BY query_id),
+mseg2 AS (SELECT q.query_id, q.term, s.impact, s.seg_freq,
+                 (s.impact * q.q_tf)::BIGINT AS simpact
+          FROM qt2 q JOIN seg s USING (term)),
+pterm2 AS (SELECT query_id, term, max(simpact) AS term_max FROM mseg2
+           GROUP BY query_id, term),
+qagg2 AS (SELECT query_id, sum(term_max)::BIGINT AS largest_rsv FROM pterm2
+          GROUP BY query_id),
+sseg2 AS (SELECT m.query_id, m.term, m.impact, m.simpact,
+            CASE WHEN qa.largest_rsv > 255
+                 THEN (floor(m.simpact::DOUBLE / qa.largest_rsv::DOUBLE
+                             * (255.0 - qm2.n_terms::DOUBLE) + 1.0))::BIGINT
+                 ELSE m.simpact END AS scaled
+          FROM mseg2 m JOIN qagg2 qa USING (query_id) JOIN qm2 USING (query_id)),
+hits2 AS (SELECT k2.query_id, i.doc_id, sum(k2.scaled)::BIGINT AS rsv
+          FROM sseg2 k2 JOIN imp i ON i.term = k2.term AND i.impact = k2.impact
+          GROUP BY k2.query_id, i.doc_id),
+ranked2 AS (SELECT query_id, doc_id, rsv,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rsv DESC, doc_id DESC))::BIGINT AS rank
+            FROM hits2)
+"""
+
+    def _rm3_terms(spark, sf):
+        from jassv2_spark.operators.feedback import rm3_expansion_terms
+
+        return rm3_expansion_terms(
+            get_index(spark, sf), _queries_df(spark),
+            fb_docs=_FB_DOCS, fb_terms=_FB_TERMS,
+        ).select("query_id", "term", "exp_score", "exp_rank")
+
+    r["jass_rm3_terms"] = (
+        _rm3_terms,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _RM3_CTES)
+        + " SELECT query_id, term, exp_score, exp_rank FROM expk",
+    )
+
+    def _rm3_topk(spark, sf):
+        from jassv2_spark.operators.feedback import rm3_search
+
+        return rm3_search(
+            get_index(spark, sf), _queries_df(spark), k=K,
+            fb_docs=_FB_DOCS, fb_terms=_FB_TERMS, with_keys=False,
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    r["jass_rm3_topk"] = (
+        _rm3_topk,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _RM3_CTES, _RM3_PASS2)
+        + f" SELECT query_id, doc_id, rsv, rank FROM ranked2 WHERE rank <= {K}",
+    )
+
     r["jass_query_metrics"] = (
         lambda spark, sf: search_metrics(get_index(spark, sf), _queries_df(spark), rho=1.0).select(
             "query_id",

@@ -141,6 +141,27 @@ def search(
     q_terms, q_meta = parse_queries(
         queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
     )
+    return search_from_terms(
+        index, q_terms, q_meta, k=k, rho=rho,
+        postings_budget=postings_budget, with_keys=with_keys,
+    )
+
+
+def search_from_terms(
+    index: Index,
+    q_terms: DataFrame,
+    q_meta: DataFrame,
+    k: int = DEFAULT_K,
+    rho: float = 1.0,
+    postings_budget: int | None = None,
+    with_keys: bool = True,
+) -> DataFrame:
+    """`search` from a prebuilt (query_id, term, q_tf) table — the entry
+    point for callers that construct term weights directly rather than
+    parsing query text (e.g. RM3 expanded queries, operators/feedback.py).
+    `q_meta` must carry (query_id, n_terms) with n_terms counted over
+    q_terms rows (the uint8-rescale divisor, JASS_anytime_api.cpp:544-563).
+    """
     seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
 
     segments = index.segments
