@@ -487,9 +487,11 @@ best AS (SELECT query_id, doc_id, anchor, n_terms,
         )
 
     _ph_values = ", ".join(f"('{qid}', '{p}')" for qid, p in PHRASE_QUERIES)
-    r["jass_phrase_topk"] = (
-        _phrase,
-        f"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+
+    def _pseudo_term_sql(match_cte: str) -> str:
+        """Shared pseudo-term BM25 oracle: `match_cte` defines
+        m(query_id, doc_id, dl, ptf) over d(doc_id, tk) × qp(query_id, ph)."""
+        return f"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
                FROM documents),
            nn AS (SELECT count(*)::BIGINT AS n FROM documents),
            cl AS (SELECT sum(len(tk))::BIGINT AS clen FROM d),
@@ -497,11 +499,7 @@ best AS (SELECT query_id, doc_id, anchor, n_terms,
            qp AS (SELECT query_id,
                          regexp_extract_all(lower(phrase), '{TOKEN_PATTERN}') AS ph
                   FROM q),
-           m AS (SELECT query_id, doc_id, len(tk)::BIGINT AS dl,
-                   len(list_filter(range(1, len(tk) - len(ph) + 2),
-                                   i -> tk[i:i+len(ph)-1] = ph))::BIGINT AS ptf
-                 FROM d CROSS JOIN qp
-                 WHERE len(ph) >= 1 AND len(tk) >= len(ph)),
+           {match_cte},
            mm AS (SELECT * FROM m WHERE ptf > 0),
            dfq AS (SELECT query_id, count(*)::BIGINT AS df FROM mm GROUP BY query_id),
            sc AS (SELECT mm.query_id, mm.doc_id, mm.ptf,
@@ -515,8 +513,75 @@ best AS (SELECT query_id, doc_id, anchor, n_terms,
                    (row_number() OVER (PARTITION BY query_id
                                        ORDER BY score DESC, doc_id DESC))::BIGINT AS rank
                   FROM sc)
-           SELECT query_id, doc_id, ptf, score, rank FROM rk WHERE rank <= {K}""",
+           SELECT query_id, doc_id, ptf, score, rank FROM rk WHERE rank <= {K}"""
+
+    r["jass_phrase_topk"] = (
+        _phrase,
+        _pseudo_term_sql(
+            """m AS (SELECT query_id, doc_id, len(tk)::BIGINT AS dl,
+                   len(list_filter(range(1, len(tk) - len(ph) + 2),
+                                   i -> tk[i:i+len(ph)-1] = ph))::BIGINT AS ptf
+                 FROM d CROSS JOIN qp
+                 WHERE len(ph) >= 1 AND len(tk) >= len(ph))"""
+        ),
     )
+
+    # Unordered proximity (operators/phrase.py:proximity_topk): every query
+    # term within a sliding window-token span; set-semantics containment.
+    _PROX_W = 5
+
+    def _proximity(spark, sf):
+        from jassv2_spark.operators.phrase import proximity_topk
+
+        idx = get_index(spark, sf)
+        return proximity_topk(
+            _docs(spark, sf),
+            spark.createDataFrame(PHRASE_QUERIES, ["query_id", "query"]),
+            window=_PROX_W, k=K, k1=K1, b=B,
+            collection_stats=(idx.n_docs, idx.collection_length),
+        )
+
+    r["jass_proximity_topk"] = (
+        _proximity,
+        _pseudo_term_sql(
+            f"""m AS (SELECT query_id, doc_id, len(tk)::BIGINT AS dl,
+                   len(list_filter(range(1, len(tk) + 1),
+                                   i -> list_has_all(tk[i:i+{_PROX_W - 1}], ph)))::BIGINT AS ptf
+                 FROM d CROSS JOIN qp
+                 WHERE len(ph) >= 1 AND list_has_all(tk, ph))"""
+        ),
+    )
+    # Strict-AND conjunctive mode (search_conjunctive): doc must match
+    # EVERY query term (OOV term ⇒ empty query), ranked by the same rsv.
+    def _topk_and(spark, sf):
+        from jassv2_spark.operators.search import search_conjunctive
+
+        return search_conjunctive(
+            get_index(spark, sf), _queries_df(spark), k=K, with_keys=False
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _AND_CTES = """
+hitsA AS (SELECT k.query_id, i.doc_id, sum(k.scaled)::BIGINT AS rsv,
+                 count(DISTINCT k.term)::BIGINT AS nt
+          FROM kept k JOIN imp i ON i.term = k.term AND i.impact = k.impact
+          GROUP BY k.query_id, i.doc_id),
+rankedA AS (SELECT h.query_id, h.doc_id, h.rsv,
+             (row_number() OVER (PARTITION BY h.query_id
+                                 ORDER BY h.rsv DESC, h.doc_id DESC))::BIGINT AS rank
+            FROM hitsA h JOIN qm USING (query_id)
+            WHERE h.nt = qm.n_terms)
+"""
+    r["jass_topk_and"] = (
+        _topk_and,
+        _sql(_BASE, _query_ctes(1.0), _AND_CTES)
+        + f" SELECT query_id, doc_id, rsv, rank FROM rankedA WHERE rank <= {K}",
+    )
+
     # RM3 pseudo-relevance feedback (operators/feedback.py): expansion
     # weights are EXACT integers (Σ tf·rsv over the fb docs), so both
     # passes stay in the engine's integer algebra end-to-end.

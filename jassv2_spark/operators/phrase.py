@@ -109,11 +109,105 @@ def phrase_topk(
     over the same corpus already exists (they are the same quantities), so
     phrase serving adds only the single match pass.
     """
-    spark = docs.sparkSession
     matches = phrase_match_counts(
         docs, phrases, text_col=text_col, id_col=id_col, tokenizer=tokenizer
     ).persist()
+    return _bm25_pseudo_term_topk(
+        docs, matches, k=k, k1=k1, b=b, text_col=text_col,
+        tokenizer=tokenizer, collection_stats=collection_stats,
+    )
 
+
+def proximity_match_counts(
+    docs: DataFrame,
+    queries: DataFrame,
+    window: int = 8,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    tokenizer: str = "parity",
+) -> DataFrame:
+    """(query_id, doc_id, dl, ptf): unordered proximity matching — ptf is
+    the number of window START positions i (1-based, windows truncate at
+    the document end) such that tk[i : i+window) contains EVERY query
+    term. Term containment is set-semantics (duplicate query tokens don't
+    require duplicate document tokens), identically on both engines.
+
+    A forall-contains prune (every term somewhere in the doc) guards the
+    O(dl · |q| · window) window scan, so non-candidate documents cost one
+    array membership pass. Same scale shape as phrase_match_counts:
+    map-only corpus pass, only matches survive.
+    """
+    tk = spark_tokens(text_col, mode=tokenizer)
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"), tk.alias("tk"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        spark_tokens(query_col, mode=tokenizer).alias("ph"),
+    )
+    win = F.lit(int(window))
+    starts = F.sequence(F.lit(1), F.size("tk"))
+    in_window = lambda i: F.forall(  # noqa: E731
+        F.col("ph"), lambda t: F.array_contains(F.slice(F.col("tk"), i, win), t)
+    )
+    ptf = F.size(F.filter(starts, in_window))
+    return (
+        d.crossJoin(F.broadcast(q))
+        .where(
+            (F.size("ph") >= 1)
+            & F.forall(F.col("ph"), lambda t: F.array_contains(F.col("tk"), t))
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.size("tk").cast("long").alias("dl"),
+            ptf.cast("long").alias("ptf"),
+        )
+        .where(F.col("ptf") > 0)
+    )
+
+
+def proximity_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    window: int = 8,
+    k: int = 10,
+    *,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "parity",
+    collection_stats: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Top-k documents whose terms co-occur within a `window`-token span,
+    BM25-scored with the co-occurrence count as the pseudo-term tf —
+    the relaxation of phrase_topk (window == |phrase| with order would be
+    the phrase case). Returns (query_id, doc_id, ptf, score, rank)."""
+    matches = proximity_match_counts(
+        docs, queries, window, text_col=text_col, id_col=id_col, tokenizer=tokenizer
+    ).persist()
+    return _bm25_pseudo_term_topk(
+        docs, matches, k=k, k1=k1, b=b, text_col=text_col,
+        tokenizer=tokenizer, collection_stats=collection_stats,
+    )
+
+
+def _bm25_pseudo_term_topk(
+    docs: DataFrame,
+    matches: DataFrame,
+    *,
+    k: int,
+    k1: float,
+    b: float,
+    text_col: str,
+    tokenizer: str,
+    collection_stats: tuple[int, int] | None,
+) -> DataFrame:
+    """Shared scorer: (query_id, doc_id, dl, ptf) matches → BM25 top-k with
+    the match pattern as a pseudo-term (phrase_topk / proximity_topk)."""
+    spark = docs.sparkSession
     if collection_stats is not None:
         n_docs, clen = int(collection_stats[0]), int(collection_stats[1])
     else:
@@ -124,7 +218,7 @@ def phrase_topk(
         n_docs, clen = int(stats["n"]), int(stats["clen"] or 0)
     mean_dl = float(clen) / float(n_docs) if n_docs else 0.0
 
-    # phrase df → driver-side CPython ln (bitwise-portable idf literals)
+    # pseudo-term df → driver-side CPython ln (bitwise-portable idf literals)
     dfs = matches.groupBy("query_id").agg(F.count(F.lit(1)).alias("df")).collect()
     if not dfs:
         idf_map = spark.createDataFrame([], "query_id string, idf double")

@@ -163,29 +163,7 @@ def search_from_terms(
     q_terms rows (the uint8-rescale divisor, JASS_anytime_api.cpp:544-563).
     """
     seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
-
-    segments = index.segments
-    if "term_bucket" in segments.columns:
-        # static partition pruning for the term-bucketed on-disk layout
-        # (plans/persist.py): a query touches only the buckets its terms
-        # hash to — the Spark replacement for the reference's vocabulary
-        # binary search (`source/deserialised_jass_v1.h:311-334`). The
-        # bucket set is computed with the same JVM xxhash64 expression the
-        # writer used, via a tiny job over the (already tiny) query terms.
-        # The bucket COUNT comes from the index's own stats.json (it is part
-        # of the on-disk format); falling back to the code constant only for
-        # in-memory/legacy indexes — otherwise a constant bump would silently
-        # prune away matching segments of older saves.
-        from jassv2_spark.plans.persist import N_TERM_BUCKETS
-
-        n_buckets = getattr(index, "n_term_buckets", None) or N_TERM_BUCKETS
-        buckets = [
-            r[0]
-            for r in q_terms.select(
-                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
-            ).distinct().collect()
-        ]
-        segments = segments.where(F.col("term_bucket").isin(buckets))
+    segments = _pruned_segments(index, q_terms)
 
     processed = F.broadcast(seg.select("query_id", "term", "impact", "scaled"))
     hits = (
@@ -201,6 +179,80 @@ def search_from_terms(
     if with_keys:
         # topk is tiny (≤ queries × k): broadcast it into the big doc_map,
         # never the reverse (doc_map is N rows).
+        topk = F.broadcast(topk).join(index.doc_map, "doc_id")
+        return topk.select("query_id", "doc_id", "key", "rsv", "rank")
+    return topk.select("query_id", "doc_id", "rsv", "rank")
+
+
+def _pruned_segments(index: Index, q_terms: DataFrame) -> DataFrame:
+    """Static partition pruning for the term-bucketed on-disk layout
+    (plans/persist.py): a query touches only the buckets its terms hash
+    to — the Spark replacement for the reference's vocabulary binary
+    search (`source/deserialised_jass_v1.h:311-334`). The bucket set is
+    computed with the same JVM xxhash64 expression the writer used, via a
+    tiny job over the (already tiny) query terms. The bucket COUNT comes
+    from the index's own stats.json (it is part of the on-disk format);
+    falling back to the code constant only for in-memory/legacy indexes —
+    otherwise a constant bump would silently prune away matching segments
+    of older saves. In-memory indexes (no term_bucket column) pass through.
+    """
+    segments = index.segments
+    if "term_bucket" not in segments.columns:
+        return segments
+    from jassv2_spark.plans.persist import N_TERM_BUCKETS
+
+    n_buckets = getattr(index, "n_term_buckets", None) or N_TERM_BUCKETS
+    buckets = [
+        r[0]
+        for r in q_terms.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+        ).distinct().collect()
+    ]
+    return segments.where(F.col("term_bucket").isin(buckets))
+
+
+def search_conjunctive(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    tokenizer: str | None = None,
+    with_keys: bool = True,
+) -> DataFrame:
+    """Strict-AND top-k: a document qualifies only if it matches EVERY
+    query term, ranked by the same accumulated rsv as the OR path.
+
+    The reference processes queries disjunctively only (the SaaT
+    accumulator union, `anytime/JASS_anytime_api.cpp:578-648`); conjunctive
+    filtering is the standard web-search default this engine adds. A term
+    that is out-of-vocabulary empties its query's results (true AND):
+    n_terms counts terms BEFORE the vocab drop (parse_queries), and the
+    per-doc distinct-matched-term count is compared against it.
+
+    Plan: identical to `search` (broadcast query side, one (query, doc)
+    hash-agg shuffle) with a countDistinct(term) riding the same aggregate;
+    ρ budgets are meaningless under AND semantics (a skipped segment could
+    drop a qualifying doc), so none is offered.
+    """
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    seg = gather_segments(index, q_terms, q_meta, rho=1.0)
+    processed = F.broadcast(seg.select("query_id", "term", "impact", "scaled"))
+    hits = (
+        processed.join(_pruned_segments(index, q_terms), ["term", "impact"])
+        .select("query_id", "term", F.explode("doc_ids").alias("doc_id"), "scaled")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("scaled").alias("rsv"),
+            F.count_distinct(F.col("term")).alias("nt"),
+        )
+        .join(F.broadcast(q_meta), "query_id")
+        .where(F.col("nt") == F.col("n_terms"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("rsv").desc(), F.col("doc_id").desc())
+    topk = hits.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= F.lit(k))
+    if with_keys:
         topk = F.broadcast(topk).join(index.doc_map, "doc_id")
         return topk.select("query_id", "doc_id", "key", "rsv", "rank")
     return topk.select("query_id", "doc_id", "rsv", "rank")

@@ -11,7 +11,12 @@ import math
 
 import pytest
 
-from jassv2_spark.operators.phrase import phrase_match_counts, phrase_topk
+from jassv2_spark.operators.phrase import (
+    phrase_match_counts,
+    phrase_topk,
+    proximity_match_counts,
+    proximity_topk,
+)
 
 
 @pytest.fixture()
@@ -64,6 +69,41 @@ def test_phrase_topk_scores_and_ranks(spark, docs):
     assert by[1]["score"] == bm25(2.0, 8.0)
     assert by[5]["score"] == bm25(1.0, 2.0)
     assert by[1]["rank"] == 1  # higher score wins
+
+
+def test_proximity_window_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha x x beta rest here"),     # within window 4
+            (2, "alpha x x x x x x beta"),       # gap 7: outside window 4
+            (3, "beta alpha together"),          # order-free
+            (4, "alpha only no second term"),
+        ],
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame([("p", "alpha beta")], ["query_id", "query"])
+    out4 = proximity_match_counts(docs, q, window=4).collect()
+    assert {r["doc_id"] for r in out4} == {1, 3}
+    out8 = proximity_match_counts(docs, q, window=8).collect()
+    assert {r["doc_id"] for r in out8} == {1, 2, 3}
+    # ptf counts window START positions covering all terms: doc 1 windows
+    # starting at tokens 1..1 (alpha..beta spans 4) -> exactly 1 for w=4
+    assert {r["doc_id"]: r["ptf"] for r in out4}[1] == 1
+
+
+def test_proximity_topk_scores_like_phrase_scorer(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta x"), (2, "alpha y beta"), (3, "nothing here at all")],
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame([("p", "alpha beta")], ["query_id", "query"])
+    out = proximity_topk(docs, q, window=3, k=10).collect()
+    assert len(out) == 2
+    by = {r["doc_id"]: r for r in out}
+    # doc 1: starts 1 ("alpha beta x") -> both in window; doc 2: start 1
+    assert by[1]["ptf"] == 1 and by[2]["ptf"] == 1
+    # equal tf and dl -> equal score -> higher doc_id ranks first
+    assert by[2]["rank"] == 1 and by[1]["rank"] == 2
 
 
 def test_phrase_topk_tie_breaks_to_higher_docid_and_k_cuts(spark):

@@ -174,3 +174,32 @@ def test_engine_reference_api_surface(spark):
     assert {(r["query_id"], r["rank"], r["doc_id"]) for r in eng.search(qdf).collect()} == full
     idx = eng.index
     idx.unpersist()
+
+
+def test_conjunctive_and_semantics(ten, spark):
+    from jassv2_spark.operators.search import search_conjunctive
+
+    idx, py = ten
+    qdf = spark.createDataFrame(
+        [("qa", "ten nine"), ("qo", "ten zzz"), ("qs", "ten")], ["query_id", "query"]
+    )
+    out = search_conjunctive(idx, qdf, k=10, with_keys=False).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["query_id"], []).append(r)
+
+    # AND result set = OR docs that contain BOTH terms, same rsv values
+    or_hits = {(d, v) for d, v in py.search("ten nine", k=10)[0]}
+    and_docs = {r["doc_id"] for r in by.get("qa", [])}
+    posting_docs = {}
+    for r in idx.postings.filter(idx.postings.term.isin("ten", "nine")).collect():
+        posting_docs.setdefault(r["term"], set()).add(r["doc_id"])
+    expect_and = posting_docs.get("ten", set()) & posting_docs.get("nine", set())
+    assert and_docs == expect_and
+    assert {(r["doc_id"], r["rsv"]) for r in by["qa"]} <= or_hits
+
+    # an OOV term empties the query under strict AND
+    assert "qo" not in by
+    # single-term AND == single-term OR
+    single = {(r["doc_id"], r["rsv"]) for r in by.get("qs", [])}
+    assert single == {(d, v) for d, v in py.search("ten", k=10)[0]}
