@@ -582,6 +582,77 @@ rankedA AS (SELECT h.query_id, h.doc_id, h.rsv,
         + f" SELECT query_id, doc_id, rsv, rank FROM rankedA WHERE rank <= {K}",
     )
 
+    # BM25F field-weighted ranking (operators/bm25f.py): title = first 6
+    # tokens at weight 3, body = rest at weight 1. Weighted tf/length stay
+    # integer; per-term scores truncate to micros before the per-query sum
+    # so the aggregate is associative (bitwise at any parallelism).
+    _TITLE_LEN, _W_TITLE, _W_BODY = 6, 3, 1
+
+    def _bm25f(spark, sf):
+        from jassv2_spark.operators.bm25f import bm25f_topk
+        from jassv2_spark.functions.tokenizer import spark_tokens
+
+        tk = spark_tokens("text", mode="parity")
+        base = _docs(spark, sf).select("doc_id", tk.alias("tk"))
+        title = base.select(
+            "doc_id", F.lit("title").alias("field"),
+            F.array_join(F.slice("tk", 1, _TITLE_LEN), " ").alias("text"),
+        )
+        body = base.select(
+            "doc_id", F.lit("body").alias("field"),
+            F.array_join(
+                F.expr(f"slice(tk, {_TITLE_LEN + 1}, greatest(size(tk) - {_TITLE_LEN}, 0))"),
+                " ",
+            ).alias("text"),
+        )
+        return bm25f_topk(
+            title.unionByName(body), _queries_df(spark),
+            {"title": _W_TITLE, "body": _W_BODY}, k=K, k1=K1, b=B,
+        )
+
+    r["jass_bm25f_topk"] = (
+        _bm25f,
+        f"""WITH tkx AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+               FROM documents),
+           fcnt AS (
+             SELECT doc_id, term, {_W_TITLE} * count(*) AS wpart
+             FROM (SELECT doc_id, unnest(tk[1:{_TITLE_LEN}]) AS term FROM tkx)
+             GROUP BY doc_id, term
+             UNION ALL
+             SELECT doc_id, term, {_W_BODY} * count(*) AS wpart
+             FROM (SELECT doc_id, unnest(tk[{_TITLE_LEN + 1}:]) AS term FROM tkx)
+             GROUP BY doc_id, term),
+           wtfx AS (SELECT doc_id, term, sum(wpart)::BIGINT AS wtf FROM fcnt
+                    GROUP BY doc_id, term),
+           wdlx AS (SELECT doc_id, sum(wtf)::BIGINT AS wdl FROM wtfx GROUP BY doc_id),
+           nn AS (SELECT count(*)::BIGINT AS n, sum(wdl)::BIGINT AS total FROM wdlx),
+           q(query_id, query) AS (VALUES {_values_clause()}),
+           qtok AS (SELECT query_id,
+                           unnest(regexp_extract_all(lower(query), '{TOKEN_PATTERN}')) AS term
+                    FROM q),
+           qt AS (SELECT query_id, term, count(*)::BIGINT AS q_tf FROM qtok
+                  GROUP BY query_id, term),
+           dfq AS (SELECT w.term, count(*)::BIGINT AS df FROM wtfx w
+                   JOIN (SELECT DISTINCT term FROM qt) s ON s.term = w.term
+                   GROUP BY w.term),
+           sc AS (SELECT qt.query_id, w.doc_id,
+                   qt.q_tf * (floor(1000000.0e0 *
+                     (ln(nn.n::DOUBLE / d.df::DOUBLE)
+                      * ((w.wtf::DOUBLE * {_K1P1})
+                         / (w.wtf::DOUBLE + {_K1R} * ({_OMB} + ({_BR} * l.wdl::DOUBLE)
+                                            / (nn.total::DOUBLE / nn.n::DOUBLE)))))))::BIGINT AS contrib
+                 FROM wtfx w JOIN qt ON qt.term = w.term
+                      JOIN dfq d ON d.term = w.term
+                      JOIN wdlx l ON l.doc_id = w.doc_id, nn),
+           hitsF AS (SELECT query_id, doc_id, sum(contrib)::BIGINT AS rsv_micro FROM sc
+                     GROUP BY query_id, doc_id),
+           rankedF AS (SELECT query_id, doc_id, rsv_micro,
+                        (row_number() OVER (PARTITION BY query_id
+                                            ORDER BY rsv_micro DESC, doc_id DESC))::BIGINT AS rank
+                       FROM hitsF)
+           SELECT query_id, doc_id, rsv_micro, rank FROM rankedF WHERE rank <= {K}""",
+    )
+
     # RM3 pseudo-relevance feedback (operators/feedback.py): expansion
     # weights are EXACT integers (Σ tf·rsv over the fb docs), so both
     # passes stay in the engine's integer algebra end-to-end.
