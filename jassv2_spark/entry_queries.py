@@ -187,6 +187,7 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM (
 _INDEX_CACHE: dict[str, Index] = {}
 _MERGED_CACHE: dict[str, Index] = {}
 _DELETED_CACHE: dict[str, Index] = {}
+_BIGRAM_CACHE: dict[str, Index] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,6 +525,50 @@ best AS (SELECT query_id, doc_id, anchor, n_terms,
                  FROM d CROSS JOIN qp
                  WHERE len(ph) >= 1 AND len(tk) >= len(ph))"""
         ),
+    )
+
+    # Bigram-index phrase serving (operators/phrase.py:build_bigram_index):
+    # the high-QPS scale path — adjacent pairs become vocabulary terms and
+    # phrase queries run through the ORDINARY quantized segment pipeline.
+    # Oracle = the full _BASE/_query_ctes/_TOPK chain with both tokenizers
+    # swapped to bigram emission (everything downstream is identical).
+    def _phrase_bigram(spark, sf):
+        from jassv2_spark.operators.phrase import build_bigram_index, phrase_topk_bigram
+
+        bidx = _BIGRAM_CACHE.get(sf)
+        if bidx is None:
+            bidx = build_bigram_index(
+                _docs(spark, sf), text_col="text", key_col="doc_id",
+                doc_id_col="doc_id", conf=BuildConf(k1=K1, b=B, tokenizer="parity"),
+            )
+            _BIGRAM_CACHE[sf] = bidx
+        q = spark.createDataFrame(PHRASE_QUERIES, ["query_id", "phrase"])
+        return phrase_topk_bigram(bidx, q, k=K, with_keys=False).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _bg_base = _BASE.replace(
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term\n         FROM documents),",
+        f"tkb AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk FROM documents),\n"
+        "toks AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS term FROM tkb),",
+    )
+    assert "tkb" in _bg_base, "bigram toks splice failed"
+    _bg_q = _query_ctes(1.0).replace(
+        f"q(query_id, query) AS (VALUES {_values_clause()}),",
+        f"q(query_id, query) AS (VALUES {_ph_values}),",
+    ).replace(
+        f"qtok AS (SELECT query_id, unnest(regexp_extract_all(lower(query), '{TOKEN_PATTERN}')) AS term FROM q),",
+        f"qtk AS (SELECT query_id, regexp_extract_all(lower(query), '{TOKEN_PATTERN}') AS tk FROM q),\n"
+        "qtok AS (SELECT query_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS term FROM qtk),",
+    )
+    assert "qtk" in _bg_q and _ph_values in _bg_q, "bigram query splice failed"
+    r["jass_phrase_bigram_topk"] = (
+        _phrase_bigram,
+        _sql(_bg_base, _bg_q, _TOPK_CTES)
+        + f" SELECT query_id, doc_id, rsv, rank FROM ranked WHERE rank <= {K}",
     )
 
     # Unordered proximity (operators/phrase.py:proximity_topk): every query

@@ -194,6 +194,124 @@ def proximity_topk(
     )
 
 
+def _bigram_col(tk_col: str):
+    """Adjacent-pair terms ("a b") from a token-array column — the
+    next-word vocabulary. Empty for docs/queries with < 2 tokens."""
+    return _bigram_col_from(F.col(tk_col))
+
+
+def build_bigram_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "key",
+    doc_id_col: str | None = None,
+    conf=None,
+):
+    """Impact-ordered index over the BIGRAM vocabulary — the serving-side
+    scale path for phrase workloads: where the scan path
+    (phrase_match_counts) pays O(dl·|ph|) per query per document, this
+    pays it ONCE at build, and every phrase query then runs through the
+    ordinary quantized segment pipeline (broadcast query side, ρ budgets,
+    WAND, term-bucket pruning — all of it applies unchanged, because a
+    bigram is just a term with a space in it).
+
+    Semantics: counts are adjacent-pair frequencies (overlaps counted, as
+    in phrase_match_counts); dl = bigram count = token count - 1; N counts
+    ALL documents (a <2-token doc simply has no postings). Built via
+    build_index_from_counts, so every build invariant (quantization,
+    segment layout, merge/delete maintenance) carries over.
+    """
+    from jassv2_spark.operators.build import BuildConf, build_index_from_counts
+    from jassv2_spark.sources.docids import assign_doc_ids
+    from pyspark.sql import Window as W
+
+    conf = conf or BuildConf()
+    if doc_id_col is None:
+        ids = assign_doc_ids(
+            docs.select(F.col(key_col).alias("key")), key_col="key", out_col="doc_id"
+        )
+        docs = docs.join(ids, docs[key_col] == ids["key"]).drop(ids["key"])
+        did = "doc_id"
+    else:
+        did = doc_id_col
+    doc_map = docs.select(
+        F.col(did).cast("long").alias("doc_id"), F.col(key_col).alias("key")
+    )
+    n_docs = docs.count()
+    base = docs.select(
+        F.col(did).cast("long").alias("doc_id"),
+        spark_tokens(text_col, mode=conf.tokenizer).alias("__tk"),
+    )
+    counts = (
+        base.select("doc_id", F.explode(_bigram_col("__tk")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("dl", F.sum("cnt").over(W.partitionBy("doc_id")))
+    )
+    return build_index_from_counts(counts, doc_map, n_docs, conf=conf)
+
+
+def parse_phrase_bigrams(
+    phrases: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+    tokenizer: str = "parity",
+) -> tuple[DataFrame, DataFrame]:
+    """Phrase text → (q_terms(query_id, bigram term, q_tf), q_meta) for
+    serving against a bigram index. A one-token phrase yields no bigrams
+    (route those to the ordinary index); a repeated-token phrase yields
+    q_tf > 1, exactly like a repeated query term in the main parser."""
+    # materialize the tokenizer UDF before the HOF: Spark cannot evaluate a
+    # Python UDF inside a lambda function (UNSUPPORTED_FEATURE), so the
+    # token array must be a plain column when the bigram transform runs
+    base = phrases.select(
+        F.col(query_id_col).alias("query_id"),
+        spark_tokens(phrase_col, mode=tokenizer).alias("__tk"),
+    )
+    toks = base.select("query_id", F.explode(_bigram_col("__tk")).alias("term"))
+    q_terms = toks.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("q_tf"))
+    q_meta = q_terms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    return q_terms, q_meta
+
+
+def _bigram_col_from(col):
+    """_bigram_col over an arbitrary array Column (not a named column)."""
+    n = F.size(col)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(col, i), F.lit(" "), F.element_at(col, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+
+
+def phrase_topk_bigram(
+    bigram_index,
+    phrases: DataFrame,
+    k: int = 10,
+    rho: float = 1.0,
+    with_keys: bool = False,
+) -> DataFrame:
+    """Phrase top-k served from a bigram index through the ordinary
+    segment pipeline (search_from_terms). For 2-token phrases this ranks
+    by quantized BM25 over exact adjacent-pair frequencies; longer
+    phrases rank by their overlapping bigrams (the standard candidate
+    scorer — exactness needs a positional verify, phrase_match_counts)."""
+    from jassv2_spark.operators.search import search_from_terms
+
+    q_terms, q_meta = parse_phrase_bigrams(
+        phrases, tokenizer=bigram_index.conf.tokenizer
+    )
+    return search_from_terms(
+        bigram_index, q_terms, q_meta, k=k, rho=rho, with_keys=with_keys
+    )
+
+
 def _bm25_pseudo_term_topk(
     docs: DataFrame,
     matches: DataFrame,

@@ -106,6 +106,38 @@ def test_proximity_topk_scores_like_phrase_scorer(spark):
     assert by[2]["rank"] == 1 and by[1]["rank"] == 2
 
 
+def test_bigram_index_counts_equal_scan_ptf(spark, docs):
+    from jassv2_spark.operators.phrase import build_bigram_index, phrase_topk_bigram
+
+    bidx = build_bigram_index(docs, text_col="text", key_col="doc_id",
+                              doc_id_col="doc_id")
+    # postings tf over the bigram vocabulary == the scan path's ptf for
+    # every 2-token phrase (same overlap-counting semantics)
+    scan = phrase_match_counts(
+        docs, spark.createDataFrame([("p1", "new york"), ("p2", "aa aa")],
+                                    ["query_id", "phrase"])
+    ).collect()
+    post = {(r["term"], r["doc_id"]): r["tf"] for r in bidx.postings.collect()}
+    for r in scan:
+        ph = {"p1": "new york", "p2": "aa aa"}[r["query_id"]]
+        assert post[(ph, r["doc_id"])] == r["ptf"], (ph, r["doc_id"])
+    # dl = token count - 1 per doc with >= 2 tokens
+    dl = {r["doc_id"]: r["dl"] for r in bidx.doc_lengths.collect()}
+    assert dl[1] == 7 and dl[5] == 1
+    # serving: a 2-token phrase hits exactly the scan path's doc set
+    out = phrase_topk_bigram(
+        bidx, spark.createDataFrame([("p1", "new york")], ["query_id", "phrase"]),
+        k=10,
+    ).collect()
+    assert {r["doc_id"] for r in out} == {1, 5}
+    assert sorted(r["rank"] for r in out) == [1, 2]
+    # one-token phrase: no bigrams -> no results (route to ordinary index)
+    empty = phrase_topk_bigram(
+        bidx, spark.createDataFrame([("s", "filler")], ["query_id", "phrase"]), k=10
+    ).collect()
+    assert empty == []
+
+
 def test_phrase_topk_tie_breaks_to_higher_docid_and_k_cuts(spark):
     docs = spark.createDataFrame(
         [(i, "x y filler") for i in range(1, 6)], ["doc_id", "text"]
