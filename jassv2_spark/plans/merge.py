@@ -213,6 +213,63 @@ def add_docs(
     return merge_indexes([index, shard], conf=conf, rekey=rekey, cache=cache)
 
 
+def delete_docs_build_dir(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    doc_ids,
+    *,
+    conf: BuildConf | None = None,
+) -> "Index":
+    """Persisted-index takedown: produce a new build dir at ``out_dir``
+    with ``doc_ids`` removed, never re-running the tokenizer pass — the
+    on-disk ``doc_map``/``counts`` stages are anti-joined against the
+    broadcast id set and re-seeded, then the ordinary checkpoint chain
+    resumes (same exactness argument as :func:`delete_docs`; same
+    kill-and-resume safety and per-stage lineage as a direct build)."""
+    from jassv2_spark.plans.persist import (
+        _mark,
+        _write_stage,
+        build_index_persisted,
+        stage_done,
+    )
+
+    for stage in ("doc_map", "counts"):
+        if not stage_done(src_dir, stage):
+            raise ValueError(f"source {src_dir} lacks completed stage {stage!r}")
+    if conf is None:
+        with open(os.path.join(src_dir, "stats.json")) as f:
+            s0 = json.load(f)
+        conf = BuildConf(k1=s0["k1"], b=s0["b"], tokenizer=s0["tokenizer"], stem=s0["stem"])
+
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    else:
+        ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id bigint")
+    ids = F.broadcast(ids.distinct())
+
+    os.makedirs(out_dir, exist_ok=True)
+    if not (stage_done(out_dir, "doc_map") and stage_done(out_dir, "counts")):
+        doc_map = spark.read.parquet(os.path.join(src_dir, "doc_map"))
+        counts = spark.read.parquet(os.path.join(src_dir, "counts"))
+        t0 = time.perf_counter()
+        _write_stage(
+            doc_map.join(ids, "doc_id", "left_anti"), out_dir, "doc_map",
+            lineage_key="doc_id", extra={"deleted_from": src_dir},
+        )
+        _write_stage(
+            counts.select("doc_id", "term", "cnt").join(ids, "doc_id", "left_anti"),
+            out_dir, "counts", lineage_key="term", extra={"deleted_from": src_dir},
+        )
+        _mark(out_dir, "delete_seed", 0, time.perf_counter() - t0,
+              {"src_dir": src_dir})
+
+    docs = spark.read.parquet(os.path.join(out_dir, "doc_map"))
+    return build_index_persisted(
+        docs, out_dir, text_col="text", key_col="key", conf=conf
+    )
+
+
 def merge_build_dirs(
     spark: SparkSession,
     shard_dirs: list[str],

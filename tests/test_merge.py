@@ -12,7 +12,13 @@ from pyspark.sql import functions as F
 from jassv2_spark.fixtures import synthetic_corpus, synthetic_queries
 from jassv2_spark.operators.build import BuildConf, build_index
 from jassv2_spark.operators.search import search
-from jassv2_spark.plans.merge import add_docs, delete_docs, merge_build_dirs, merge_indexes
+from jassv2_spark.plans.merge import (
+    add_docs,
+    delete_docs,
+    delete_docs_build_dir,
+    merge_build_dirs,
+    merge_indexes,
+)
 from jassv2_spark.plans.persist import build_index_persisted, stage_done
 
 
@@ -150,6 +156,30 @@ def test_merge_requires_counts(spark, corpus):
                     cache=False)
     with pytest.raises(ValueError, match="counts"):
         merge_indexes([a])
+
+
+def test_delete_build_dir_equals_direct_persisted(spark, corpus, tmp_path):
+    build_index_persisted(corpus, str(tmp_path / "src"), text_col="text",
+                          key_col="doc_id", doc_id_col="doc_id")
+    doomed = [r[0] for r in corpus.select("doc_id")
+              .filter(F.col("doc_id") % 4 == 0).collect()]
+    after = delete_docs_build_dir(
+        spark, str(tmp_path / "src"), str(tmp_path / "del"), doomed
+    )
+    direct = build_index_persisted(
+        corpus.filter(F.col("doc_id") % 4 != 0), str(tmp_path / "d2"),
+        text_col="text", key_col="doc_id", doc_id_col="doc_id",
+    )
+    assert after.n_docs == direct.n_docs
+    assert (after.min_rsv, after.max_rsv) == (direct.min_rsv, direct.max_rsv)
+    assert _segments_sorted(after) == _segments_sorted(direct)
+    queries = synthetic_queries(6)
+    assert _topk(after, spark, queries) == _topk(direct, spark, queries)
+    # the seeded stages are checkpointed: re-running resumes, same index
+    again = delete_docs_build_dir(
+        spark, str(tmp_path / "src"), str(tmp_path / "del"), doomed
+    )
+    assert _segments_sorted(again) == _segments_sorted(direct)
 
 
 def test_merge_build_dirs_equals_direct_persisted(spark, corpus, tmp_path):
