@@ -345,6 +345,28 @@ def registry() -> dict[str, tuple]:
         _sql(_BASE, _query_ctes(RHO_PARTIAL), _TOPK_CTES) + _topk_select,
     )
 
+    # Two-stage doc-sharded serve (operators/search.py:search_sharded): the
+    # serving-fleet plan — per-(query, shard) local top-k, then a merge of
+    # n_shards·k finalists. Exactly equal to the single-window `search`
+    # (per-doc rsv is shard-local; winners survive their own shard), so it
+    # shares the exhaustive oracle — which is precisely the claim verified.
+    def _topk_sharded(spark, sf):
+        from jassv2_spark.operators.search import search_sharded
+
+        return search_sharded(
+            get_index(spark, sf), _queries_df(spark), k=K, n_shards=8, with_keys=False
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    r["jass_topk_sharded"] = (
+        _topk_sharded,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
+    )
+
     # Result snippets over the exhaustive top-k: best window-of-10 tokens
     # covering the most distinct query terms, anchored at a match.
     _SNIP_W = 10
@@ -1518,6 +1540,150 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
                FROM ranked WHERE rank <= {K}""",
     )
 
+    # ---- web link graph (operators/webgraph.py) ----
+    # Deterministic out-link rule: doc i links to (7i+3)%n, (13i+5)%n,
+    # (i+1)%n (self-links dropped); anchor text = the target's first 3
+    # tokens. The Spark side takes the LONG way — synthesize links, render
+    # them into <LINKS> html, regex-extract them back — so a green hash
+    # proves extraction inverts synthesis byte-for-byte; the oracle states
+    # the intended link semantics directly.
+    _ANCHOR_N = 3
+
+    _LINKS_CTES = f"""
+nnl AS (SELECT count(*)::BIGINT AS n FROM documents),
+c0 AS (SELECT doc_id AS src,
+              [(doc_id * 7 + 3) % nnl.n,
+               (doc_id * 13 + 5) % nnl.n,
+               (doc_id + 1) % nnl.n] AS ds
+       FROM documents, nnl),
+cand AS (SELECT src, unnest(ds) AS dst FROM c0),
+ded AS (SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
+atk AS (SELECT doc_id AS dst,
+               array_to_string(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')[1:{_ANCHOR_N}], ' ') AS anchor
+        FROM documents),
+lnk AS (SELECT d.src, d.dst, a.anchor FROM ded d JOIN atk a USING (dst))
+"""
+
+    def _web_links(spark, sf):
+        from jassv2_spark.operators.webgraph import (
+            extract_links,
+            linked_html,
+            synthesize_links,
+        )
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N)
+        return extract_links(linked_html(docs, links))
+
+    r["web_link_graph"] = (
+        _web_links,
+        _sql(_LINKS_CTES) + " SELECT src, dst, anchor FROM lnk",
+    )
+
+    # Integer PageRank: damped power iteration kept in exact int64 fixed
+    # point (scale 10^12, d = 85/100, contributions integer-divided by
+    # out-degree) — associative sums make it bitwise at any parallelism
+    # and in any engine; the oracle unrolls the same 10 steps as CTEs.
+    _PR_ITERS = 10
+
+    def _pr_sql() -> str:
+        from jassv2_spark.operators.webgraph import PR_SCALE
+
+        base = 15 * PR_SCALE // 100
+        parts = [
+            "edg AS (SELECT d.src, d.dst, o.outd FROM ded d JOIN "
+            "(SELECT src, count(*)::BIGINT AS outd FROM ded GROUP BY src) o USING (src))",
+            f"r0 AS (SELECT doc_id, {PR_SCALE}::BIGINT AS r FROM documents)",
+        ]
+        for i in range(_PR_ITERS):
+            parts.append(
+                f"""m{i} AS (SELECT e.dst AS doc_id, sum(r{i}.r // e.outd)::BIGINT AS m
+        FROM edg e JOIN r{i} ON r{i}.doc_id = e.src GROUP BY e.dst),
+r{i + 1} AS (SELECT d.doc_id,
+               ({base}::BIGINT + (85 * coalesce(m{i}.m, 0)) // 100)::BIGINT AS r
+             FROM documents d LEFT JOIN m{i} USING (doc_id))"""
+            )
+        return (
+            _sql(_LINKS_CTES, *parts)
+            + f" SELECT doc_id, r AS pr FROM r{_PR_ITERS}"
+        )
+
+    def _web_pagerank(spark, sf):
+        from jassv2_spark.operators.webgraph import pagerank, synthesize_links
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        return pagerank(docs.select("doc_id"), links, iterations=_PR_ITERS)
+
+    r["web_pagerank"] = (_web_pagerank, _pr_sql())
+
+    # Anchor-text retrieval: inbound anchors become a BM25F field at weight
+    # 2 next to the body at weight 1 (Craswell et al. SIGIR'01: anchor text
+    # is how the web describes a page). Shares operators/bm25f.py's exact
+    # integer wtf/wdl + fixed-point-micros-per-term determinism recipe.
+    _W_ANCHOR = 2
+
+    def _web_anchor_bm25f(spark, sf):
+        from jassv2_spark.operators.bm25f import bm25f_topk
+        from jassv2_spark.operators.webgraph import anchor_field, synthesize_links
+
+        docs = _docs(spark, sf)
+        body = docs.select(
+            "doc_id", F.lit("body").alias("field"), F.col("text").alias("text")
+        )
+        anchors = anchor_field(synthesize_links(docs, anchor_tokens=_ANCHOR_N))
+        return bm25f_topk(
+            body.unionByName(anchors), _queries_df(spark),
+            {"body": 1, "anchor": _W_ANCHOR}, k=K, k1=K1, b=B,
+        )
+
+    r["web_anchor_bm25f_topk"] = (
+        _web_anchor_bm25f,
+        _sql(
+            _LINKS_CTES,
+            f"""anct AS (SELECT dst AS doc_id,
+                     string_agg(anchor, ' ' ORDER BY src) AS atext
+              FROM lnk GROUP BY dst),
+fcnt AS (
+  SELECT doc_id, term, 1 * count(*) AS wpart
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+  UNION ALL
+  SELECT doc_id, term, {_W_ANCHOR} * count(*) AS wpart
+  FROM (SELECT doc_id, unnest(regexp_extract_all(atext, '{TOKEN_PATTERN}')) AS term
+        FROM anct)
+  GROUP BY doc_id, term),
+wtfx AS (SELECT doc_id, term, sum(wpart)::BIGINT AS wtf FROM fcnt GROUP BY doc_id, term),
+wdlx AS (SELECT doc_id, sum(wtf)::BIGINT AS wdl FROM wtfx GROUP BY doc_id),
+nnw AS (SELECT count(*)::BIGINT AS n, sum(wdl)::BIGINT AS total FROM wdlx),
+q(query_id, query) AS (VALUES {_values_clause()}),
+qtok AS (SELECT query_id,
+                unnest(regexp_extract_all(lower(query), '{TOKEN_PATTERN}')) AS term
+         FROM q),
+qt AS (SELECT query_id, term, count(*)::BIGINT AS q_tf FROM qtok GROUP BY query_id, term),
+dfq AS (SELECT w.term, count(*)::BIGINT AS df FROM wtfx w
+        JOIN (SELECT DISTINCT term FROM qt) s ON s.term = w.term
+        GROUP BY w.term),
+sc AS (SELECT qt.query_id, w.doc_id,
+        qt.q_tf * (floor(1000000.0e0 *
+          (ln(nnw.n::DOUBLE / d.df::DOUBLE)
+           * ((w.wtf::DOUBLE * {_K1P1})
+              / (w.wtf::DOUBLE + {_K1R} * ({_OMB} + ({_BR} * l.wdl::DOUBLE)
+                                 / (nnw.total::DOUBLE / nnw.n::DOUBLE)))))))::BIGINT AS contrib
+      FROM wtfx w JOIN qt ON qt.term = w.term
+           JOIN dfq d ON d.term = w.term
+           JOIN wdlx l ON l.doc_id = w.doc_id, nnw),
+hitsF AS (SELECT query_id, doc_id, sum(contrib)::BIGINT AS rsv_micro FROM sc
+          GROUP BY query_id, doc_id),
+rankedF AS (SELECT query_id, doc_id, rsv_micro,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rsv_micro DESC, doc_id DESC))::BIGINT AS rank
+            FROM hitsF)""",
+        )
+        + f" SELECT query_id, doc_id, rsv_micro, rank FROM rankedF WHERE rank <= {K}",
+    )
+
     # ---- web-pipeline: URL canonicalization + paragraph dedup ----
     # Messy URLs synthesized deterministically from doc_id (tracking params,
     # fragments, mixed-case scheme/host, default ports); the SAME synthesis
@@ -2060,6 +2226,52 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
                   count(DISTINCT user_id)::BIGINT AS n_users,
                   sum(floor(value * 1000)::BIGINT)::BIGINT AS sum_value_milli
            FROM events GROUP BY 1, 2""",
+    )
+
+    # ---- HyperLogLog sketch (operators/sketch.py) ----
+    # Distinct-term cardinality per language via a fully-specified HLL:
+    # md5-prefix hash → 64 registers, exact-integer Σ2^(27-M_j), one
+    # literal-over-sum_inv division for the raw estimate. Register-exact
+    # AND estimate-bitwise across engines; exact count rides along for
+    # the accuracy story.
+    def _hll(spark, sf):
+        from jassv2_spark.functions.tokenizer import spark_tokens
+        from jassv2_spark.operators.sketch import hll_distinct
+
+        toks = _docs(spark, sf).select(
+            "lang", F.explode(spark_tokens("text", mode="parity")).alias("term")
+        )
+        est = hll_distinct(toks, ["lang"], "term")
+        exact = toks.groupBy("lang").agg(
+            F.count_distinct("term").alias("exact_distinct")
+        )
+        return est.join(exact, "lang").select(
+            "lang", "sum_inv", "est", F.col("exact_distinct").cast("long").alias("exact_distinct")
+        )
+
+    from jassv2_spark.operators.sketch import HLL_M as _HM, hll_alpha as _halpha
+
+    _HLL_C = _flit(_halpha(_HM) * float(_HM * _HM * (1 << 27)))
+    r["sketch_hll_terms"] = (
+        _hll,
+        f"""WITH toksl AS (SELECT lang, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+                 FROM documents),
+        hx AS (SELECT lang, CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)::BIGINT AS h
+               FROM toksl),
+        br AS (SELECT lang, h % {_HM} AS bucket,
+                      CASE WHEN h // {_HM} = 0 THEN 27
+                           ELSE 27 - length(bin(h // {_HM})) END AS rho
+               FROM hx),
+        mr AS (SELECT lang, bucket, max(rho)::BIGINT AS m_rho FROM br GROUP BY lang, bucket),
+        gl AS (SELECT DISTINCT lang FROM documents),
+        fb AS (SELECT lang, unnest(range({_HM})) AS bucket FROM gl),
+        reg AS (SELECT fb.lang, fb.bucket, coalesce(mr.m_rho, 0) AS m_rho
+                FROM fb LEFT JOIN mr ON mr.lang = fb.lang AND mr.bucket = fb.bucket),
+        sx AS (SELECT lang, sum((1::BIGINT << (27 - m_rho)::INT))::BIGINT AS sum_inv
+               FROM reg GROUP BY lang),
+        ex AS (SELECT lang, count(DISTINCT term)::BIGINT AS exact_distinct FROM toksl GROUP BY lang)
+        SELECT sx.lang, sx.sum_inv, {_HLL_C} / sx.sum_inv::DOUBLE AS est, ex.exact_distinct
+        FROM sx JOIN ex ON ex.lang = sx.lang""",
     )
 
     # ---- relational sanity (TPC-H Q1 shape over lineitem) ----

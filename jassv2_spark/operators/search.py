@@ -163,15 +163,7 @@ def search_from_terms(
     q_terms rows (the uint8-rescale divisor, JASS_anytime_api.cpp:544-563).
     """
     seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
-    segments = _pruned_segments(index, q_terms)
-
-    processed = F.broadcast(seg.select("query_id", "term", "impact", "scaled"))
-    hits = (
-        processed.join(segments, ["term", "impact"])
-        .select("query_id", F.explode("doc_ids").alias("doc_id"), "scaled")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("scaled").alias("rsv"))
-    )
+    hits = _accumulate_hits(index, q_terms, seg)
 
     wk = Window.partitionBy("query_id").orderBy(F.col("rsv").desc(), F.col("doc_id").desc())
     topk = hits.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= F.lit(k))
@@ -179,6 +171,76 @@ def search_from_terms(
     if with_keys:
         # topk is tiny (≤ queries × k): broadcast it into the big doc_map,
         # never the reverse (doc_map is N rows).
+        topk = F.broadcast(topk).join(index.doc_map, "doc_id")
+        return topk.select("query_id", "doc_id", "key", "rsv", "rank")
+    return topk.select("query_id", "doc_id", "rsv", "rank")
+
+
+def _accumulate_hits(index: Index, q_terms: DataFrame, seg: DataFrame) -> DataFrame:
+    """(query_id, doc_id, rsv): the SaaT accumulation — broadcast the tiny
+    processed-segment set into the (pruned) segment payloads, explode the
+    docid runs, one (query_id, doc_id) hash-agg shuffle."""
+    processed = F.broadcast(seg.select("query_id", "term", "impact", "scaled"))
+    return (
+        processed.join(_pruned_segments(index, q_terms), ["term", "impact"])
+        .select("query_id", F.explode("doc_ids").alias("doc_id"), "scaled")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("scaled").alias("rsv"))
+    )
+
+
+def search_sharded(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    n_shards: int = 32,
+    rho: float = 1.0,
+    postings_budget: int | None = None,
+    tokenizer: str | None = None,
+    with_keys: bool = True,
+) -> DataFrame:
+    """Doc-sharded two-stage top-k — the serving-fleet plan.
+
+    `search` ranks each query's candidates in ONE window partition: at web
+    scale a query matching 10^9 documents funnels all of them through a
+    single task. This variant models how a doc-partitioned serving cluster
+    actually runs: documents are sharded by doc_id hash, each shard ranks
+    its own slice, and only n_shards·k finalists per query meet for the
+    merge. The segment METADATA (impacts, seg_freq, the uint8-rescale
+    divisor — `gather_segments`) stays collection-global and broadcast,
+    like the replicated vocabulary of a real serving fleet; only the
+    posting payloads are sharded.
+
+    Stage 1: rank within (query_id, shard) — parallelism = queries×shards,
+    per-task candidate sets shrink ~n_shards×. Stage 2: re-rank the
+    surviving n_shards·k rows per query (tiny).
+
+    Exactness (row-for-row equal to `search`): rsv is a per-doc sum and a
+    doc lives in exactly one shard, so each shard computes the identical
+    rsv the global plan would; a global top-k doc is a fortiori in its own
+    shard's top-k, so stage 2 sees every global winner; both stages order
+    by the engine's (rsv DESC, doc_id DESC) tie-break, so final ranks
+    coincide. ρ / postings budgets act on the global metadata before any
+    sharding, hence are also unchanged.
+    """
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
+    hits = _accumulate_hits(index, q_terms, seg).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(int(n_shards)))
+    )
+    order = [F.col("rsv").desc(), F.col("doc_id").desc()]
+    w_local = Window.partitionBy("query_id", "shard").orderBy(*order)
+    finalists = hits.withColumn("lrank", F.row_number().over(w_local)).where(
+        F.col("lrank") <= F.lit(k)
+    )
+    w_global = Window.partitionBy("query_id").orderBy(*order)
+    topk = finalists.withColumn("rank", F.row_number().over(w_global)).where(
+        F.col("rank") <= F.lit(k)
+    )
+    if with_keys:
         topk = F.broadcast(topk).join(index.doc_map, "doc_id")
         return topk.select("query_id", "doc_id", "key", "rsv", "rank")
     return topk.select("query_id", "doc_id", "rsv", "rank")

@@ -1,0 +1,206 @@
+"""Web link graph: hyperlink extraction, anchor text, integer PageRank.
+
+The reference engine indexes each document as an isolated text stream
+(`tools/JASS_index.cpp` feeds the parser one buffer per document); web
+retrieval at Common-Crawl scale also needs the LINK structure — anchor
+text is among the strongest relevance fields (it is how pages describe
+each other) and link-derived scores (PageRank) are the classic static
+prior. This module adds that layer over the contract-shaped pages table
+(sources/webpages.py), public-knowledge only (Page et al. 1999; Craswell
+et al. SIGIR'01 on anchor-text effectiveness).
+
+Components
+----------
+- linked_html / extract_links: pages carry an explicit ``<LINKS>`` block
+  of ``<a href="...">anchor</a>`` elements; extraction recovers
+  (src, dst, anchor) from the raw html string with a regex — a map-only
+  pass (the synthesis is deterministic from the corpus so tests and the
+  DuckDB oracle can rebuild the identical bytes; no external data).
+- synthesize_links: the deterministic out-link rule each doc follows —
+  dst ∈ {(7·id+3) mod n, (13·id+5) mod n, (id+1) mod n} \\ {id}, anchor
+  = the first 3 tokens of the TARGET's text (anchor text describes the
+  page it points at).
+- anchor_field: inbound anchors aggregated per target doc (ordered by
+  source id for determinism) — feed it to operators/bm25f.py as a
+  weighted field next to the body.
+- pagerank: damped power iteration in EXACT integer arithmetic — ranks
+  are maintained as integers at a fixed SCALE, per-edge contributions
+  use integer division by out-degree, and the damping step is
+  (15·SCALE)//100 + (85·Σcontrib)//100. Every op is associative/exact,
+  so the result is bitwise-identical at any parallelism AND in any
+  engine (the float formulation would drift across summation orders).
+
+Scale shape: extraction is map-only; anchor aggregation is one shuffle
+keyed by target doc (partial-agg friendly); PageRank is the standard
+iterate of (edges ⋈ ranks → groupBy dst), shuffle keyed by doc_id both
+ways — out-degree is bounded here, in-degree skew is absorbed by the
+map-side partial sum of contributions. For long chains at cluster scale
+pass ``checkpoint_every`` to truncate lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jassv2_spark.sources.webpages import URL_PREFIX
+
+PR_SCALE = 10**12  # integer fixed-point: rank mass per node at iteration 0
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
+
+_LINK_RE = r'<a href="([^"]+)">([^<]*)</a>'
+
+
+def synthesize_links(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    anchor_tokens: int = 3,
+) -> DataFrame:
+    """(src, dst, anchor): the deterministic out-link rule over any
+    (doc_id, text) table. Self-links are dropped, duplicate targets
+    collapse. n = corpus size is read off the table (one tiny agg)."""
+    n = docs.count()
+    did = F.col(id_col).cast("long")
+    src = docs.select(
+        did.alias("src"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (did * 7 + 3) % n, (did * 13 + 5) % n, (did + 1) % n
+                )
+            )
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    # anchor text describes the target: its first `anchor_tokens` tokens
+    from jassv2_spark.functions.tokenizer import spark_tokens
+
+    tgt = docs.select(
+        did.alias("dst"),
+        F.array_join(
+            F.slice(spark_tokens(text_col, mode="parity"), 1, anchor_tokens), " "
+        ).alias("anchor"),
+    )
+    return src.join(tgt, "dst").select("src", "dst", "anchor")
+
+
+def linked_html(docs: DataFrame, links: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(url, html): TREC-framed page bytes with an explicit <LINKS> block —
+    the contract html of sources/webpages.py extended with out-links
+    (ordered by dst for a deterministic byte stream)."""
+    did = F.col(id_col).cast("long")
+    outl = (
+        links.groupBy("src")
+        .agg(F.array_sort(F.collect_list(F.struct("dst", "anchor"))).alias("ls"))
+        .select(
+            F.col("src").alias("__src"),
+            F.aggregate(
+                "ls",
+                F.lit(""),
+                lambda acc, s: F.concat(
+                    acc, F.lit('<a href="'), F.lit(URL_PREFIX),
+                    F.lpad(s["dst"].cast("string"), 8, "0"),
+                    F.lit('">'), s["anchor"], F.lit("</a>"),
+                ),
+            ).alias("links_html"),
+        )
+    )
+    return (
+        docs.join(outl, did == F.col("__src"), "left")
+        .select(
+            F.concat(F.lit(URL_PREFIX), F.lpad(did.cast("string"), 8, "0")).alias("url"),
+            F.concat(
+                F.lit("<DOC><DOCNO>"), did.cast("string"), F.lit("</DOCNO>"),
+                F.col(text_col),
+                F.lit("<LINKS>"), F.coalesce(F.col("links_html"), F.lit("")),
+                F.lit("</LINKS></DOC>"),
+            ).alias("html"),
+        )
+    )
+
+
+def extract_links(pages: DataFrame, *, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(src, dst, anchor) recovered from raw page html — map-only regex
+    extraction (the real-web direction of `linked_html`). Urls outside
+    the corpus prefix pass through as dst = NULL-free parse of the digit
+    tail; callers can range-filter."""
+    hrefs = F.expr(f"regexp_extract_all({html_col}, '{_LINK_RE}', 1)")
+    texts = F.expr(f"regexp_extract_all({html_col}, '{_LINK_RE}', 2)")
+    src = F.substring(F.col(url_col), len(URL_PREFIX) + 1, 8).cast("long")
+    return (
+        pages.select(
+            src.alias("src"),
+            F.explode(F.arrays_zip(hrefs.alias("h"), texts.alias("a"))).alias("z"),
+        )
+        .select(
+            "src",
+            F.substring(F.col("z.h"), len(URL_PREFIX) + 1, 8).cast("long").alias("dst"),
+            F.col("z.a").alias("anchor"),
+        )
+    )
+
+
+def anchor_field(links: DataFrame) -> DataFrame:
+    """(doc_id, field='anchor', text): inbound anchor text per target,
+    source-id-ordered — ready to union with the body field for BM25F."""
+    return (
+        links.groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("src", "anchor"))).alias("ls"))
+        .select(
+            "doc_id",
+            F.lit("anchor").alias("field"),
+            F.array_join(F.transform("ls", lambda s: s["anchor"]), " ").alias("text"),
+        )
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    iterations: int = 10,
+    scale: int = PR_SCALE,
+    damp_num: int = PR_DAMP_NUM,
+    damp_den: int = PR_DAMP_DEN,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """(doc_id, pr): damped PageRank after `iterations` power steps, in
+    exact integer arithmetic (see module docstring). `nodes` must carry
+    doc_id; `edges` (src, dst). Dangling nodes (no out-links) leak their
+    mass — the synthesized graph has none by construction; real graphs
+    should add self-loops or redistribute first.
+
+    r₀(v) = scale;  c(u) = r(u) div outdeg(u)
+    r(v) ← (15·scale) div 100  +  (85 · Σ_{u→v} c(u)) div 100
+
+    Integer sums are associative ⇒ bitwise-stable at any parallelism;
+    with damp < 1 every intermediate fits comfortably in int64 for any
+    corpus size (r(v) ≤ scale·(indeg·damp + base) bounded by the usual
+    geometric argument; at scale=10¹² there is headroom up to ~10⁶×
+    amplification before BIGINT overflow — far beyond real in-degrees
+    because contributions are divided by out-degree first).
+    """
+    base = (damp_den - damp_num) * scale // damp_den
+    nd = nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id"))
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    e = edges.join(outd, "src").select("src", "dst", "outd").persist()
+    ranks = nd.select("doc_id", F.lit(int(scale)).cast("long").alias("r"))
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .select(F.col("dst").alias("doc_id"), F.expr("r div outd").alias("c"))
+        )
+        mass = contrib.groupBy("doc_id").agg(F.sum("c").alias("m"))
+        ranks = nd.join(mass, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.lit(int(base))
+                + F.expr(f"({damp_num} * coalesce(m, cast(0 as long))) div {damp_den}")
+            ).cast("long").alias("r"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("doc_id", F.col("r").alias("pr"))

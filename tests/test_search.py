@@ -124,6 +124,37 @@ def test_search_same_results_at_two_parallelisms(spark):
     assert r1 == r4
 
 
+def test_sharded_search_equals_global(spark):
+    """Two-stage doc-sharded top-k (`search_sharded`) is row-for-row the
+    single-window `search` — across k, ρ, shard counts exceeding n_docs,
+    and tie-heavy synthetic scores."""
+    from jassv2_spark.operators.search import search_sharded
+
+    rows = synthetic_corpus(300)
+    docs = spark.createDataFrame(
+        [(r["url"], r["html"].decode()) for r in rows], ["url", "html"]
+    )
+    idx = build_index(docs, text_col="html", key_col="url")
+    queries = synthetic_queries(12)
+    qdf = spark.createDataFrame(queries, ["query_id", "query"])
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["rsv"]) for r in df.collect()
+        )
+
+    for k, rho, n_shards in [(10, 1.0, 4), (10, 0.35, 7), (3, 1.0, 500), (25, 1.0, 2)]:
+        want = canon(search(idx, qdf, k=k, rho=rho, with_keys=False))
+        got = canon(
+            search_sharded(idx, qdf, k=k, rho=rho, n_shards=n_shards, with_keys=False)
+        )
+        assert got == want, f"k={k} rho={rho} shards={n_shards}"
+    # with_keys path keeps the key join
+    wk = search_sharded(idx, qdf, k=5, n_shards=4).collect()
+    assert all(r["key"] is not None for r in wk)
+    idx.unpersist()
+
+
 def test_engine_reference_api_surface(spark):
     """pyjass API parity (`anytime/JASS_anytime_api.h`): budget setters use
     the REFERENCE semantics — `_relative` is a percent of the query's own
