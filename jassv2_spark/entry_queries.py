@@ -720,6 +720,50 @@ rankedA AS (SELECT h.query_id, h.doc_id, h.rsv,
            SELECT query_id, doc_id, rsv_micro, rank FROM rankedF WHERE rank <= {K}""",
     )
 
+    # LM Dirichlet query likelihood (operators/lmdir.py): the second
+    # ranker behind the reference's pluggable ranking_function.h seam.
+    # Spark evaluates ln() driver-side over the small (term, tf) / dl
+    # domains and truncates to micros pre-sum; the oracle computes the
+    # IDENTICAL doubles with DuckDB's glibc ln in the same op order.
+    _LM_MU = "2500.0e0"
+
+    def _lmdir(spark, sf):
+        from jassv2_spark.operators.lmdir import lm_dirichlet_topk
+
+        return lm_dirichlet_topk(
+            _docs(spark, sf), _queries_df(spark), k=K, mu=2500.0
+        )
+
+    _LM_CTES = f"""
+ctfx AS (SELECT c.term, sum(c.cnt)::BIGINT AS ctf FROM cnt c
+         JOIN (SELECT DISTINCT term FROM qt) s ON s.term = c.term
+         GROUP BY c.term),
+clx AS (SELECT sum(dl)::BIGINT AS clen FROM dlx),
+qvx AS (SELECT qt.query_id, qt.term, qt.q_tf FROM qt JOIN ctfx ON ctfx.term = qt.term),
+qlenx AS (SELECT query_id, sum(q_tf)::BIGINT AS qlen FROM qvx GROUP BY query_id),
+tpart AS (SELECT q.query_id, c.doc_id,
+            sum(q.q_tf * (floor(1000000.0e0 *
+              ln(1e0 + (c.cnt::DOUBLE * clx.clen::DOUBLE)
+                       / ({_LM_MU} * f.ctf::DOUBLE))))::BIGINT)::BIGINT AS t_micro
+          FROM cnt c JOIN qvx q ON q.term = c.term
+               JOIN ctfx f ON f.term = c.term, clx
+          GROUP BY q.query_id, c.doc_id),
+lmhits AS (SELECT t.query_id, t.doc_id,
+             (t.t_micro + ql.qlen * (floor(1000000.0e0 *
+                ln({_LM_MU} / (d.dl::DOUBLE + {_LM_MU}))))::BIGINT)::BIGINT AS rsv_micro
+           FROM tpart t JOIN dlx d ON d.doc_id = t.doc_id
+                JOIN qlenx ql ON ql.query_id = t.query_id),
+lmranked AS (SELECT query_id, doc_id, rsv_micro,
+              (row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rsv_micro DESC, doc_id DESC))::BIGINT AS rank
+             FROM lmhits)
+"""
+    r["jass_lmdir_topk"] = (
+        _lmdir,
+        _sql(_BASE, _query_ctes(1.0), _LM_CTES)
+        + f" SELECT query_id, doc_id, rsv_micro, rank FROM lmranked WHERE rank <= {K}",
+    )
+
     # RM3 pseudo-relevance feedback (operators/feedback.py): expansion
     # weights are EXACT integers (Σ tf·rsv over the fb docs), so both
     # passes stay in the engine's integer algebra end-to-end.
