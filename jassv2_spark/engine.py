@@ -152,6 +152,31 @@ class Engine:
         )
         return res
 
+    def search_sharded(
+        self, queries: DataFrame, k: int | None = None, n_shards: int = 32
+    ) -> DataFrame:
+        """Two-stage doc-sharded top-k (operators/search.py:search_sharded):
+        row-identical to `search` with the per-query ranking window split
+        across shards — the serving-fleet plan."""
+        from jassv2_spark.operators.search import search_sharded
+
+        return search_sharded(
+            self.index, queries, k=k or self.top_k, n_shards=n_shards,
+            rho=self.rho, postings_budget=self.postings_budget,
+            tokenizer=self.query_tokenizer,
+        )
+
+    def prune(self, m: int) -> "Engine":
+        """A new Engine serving each term's top-m postings only (static
+        champion-list cut, operators/prune.py); this engine is untouched."""
+        from jassv2_spark.operators.prune import prune_index
+
+        cut = Engine(prune_index(self.index, m))
+        cut.top_k, cut.rho = self.top_k, self.rho
+        cut.postings_budget, cut.postings_min = self.postings_budget, self.postings_min
+        cut.query_tokenizer = self.query_tokenizer
+        return cut
+
     def search_metrics(self, queries: DataFrame) -> DataFrame:
         return search_metrics(
             self.index, queries, rho=self.rho, postings_budget=self.postings_budget,

@@ -367,6 +367,42 @@ def registry() -> dict[str, tuple]:
         _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
     )
 
+    # Static pruning / champion lists (operators/prune.py): serve only each
+    # term's top-m postings by (impact DESC, doc_id ASC). Spark slices at
+    # the segment level (no postings window); the oracle states the
+    # postings-level definition directly and re-runs the ordinary query
+    # chain over the cut — the equivalence IS the claim verified.
+    _PRUNE_M = 120
+
+    def _topk_pruned(spark, sf):
+        from jassv2_spark.operators.prune import prune_index
+
+        idx = prune_index(get_index(spark, sf), _PRUNE_M, cache=False)
+        return search(idx, _queries_df(spark), k=K, with_keys=False).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _PRUNE_CTES = f"""
+pimp AS (SELECT term, doc_id, impact FROM (
+           SELECT term, doc_id, impact,
+                  row_number() OVER (PARTITION BY term
+                                     ORDER BY impact DESC, doc_id ASC) AS rn
+           FROM imp) WHERE rn <= {_PRUNE_M}),
+pseg AS (SELECT term, impact, count(*)::BIGINT AS seg_freq FROM pimp GROUP BY term, impact)
+"""
+    _qc_pruned = _query_ctes(1.0).replace(
+        "JOIN seg s USING (term)", "JOIN pseg s USING (term)"
+    )
+    _tc_pruned = _TOPK_CTES.replace("JOIN imp i ON", "JOIN pimp i ON")
+    assert "pseg s" in _qc_pruned and "pimp i" in _tc_pruned
+    r["jass_topk_pruned"] = (
+        _topk_pruned,
+        _sql(_BASE, _PRUNE_CTES, _qc_pruned, _tc_pruned) + _topk_select,
+    )
+
     # Result snippets over the exhaustive top-k: best window-of-10 tokens
     # covering the most distinct query terms, anchored at a match.
     _SNIP_W = 10
@@ -718,6 +754,47 @@ rankedA AS (SELECT h.query_id, h.doc_id, h.rsv,
                                             ORDER BY rsv_micro DESC, doc_id DESC))::BIGINT AS rank
                        FROM hitsF)
            SELECT query_id, doc_id, rsv_micro, rank FROM rankedF WHERE rank <= {K}""",
+    )
+
+    # Vocabulary prefix autocompletion (operators/complete.py): per prefix
+    # the top-k terms by df DESC, term ASC; OOV prefix yields no rows.
+    _PREFIXES = ["s", "ha", "jo", "t", "zz"]
+
+    def _complete(spark, sf):
+        from jassv2_spark.operators.complete import complete_terms
+
+        px = spark.createDataFrame([(p,) for p in _PREFIXES], ["prefix"])
+        return complete_terms(get_index(spark, sf), px, k=K)
+
+    _px_values = ", ".join(f"('{p}')" for p in _PREFIXES)
+    r["jass_complete_terms"] = (
+        _complete,
+        _sql(_BASE)
+        + f""" SELECT prefix, term, df, rank FROM (
+             SELECT p.prefix, d.term, d.df,
+                    (row_number() OVER (PARTITION BY p.prefix
+                                        ORDER BY d.df DESC, d.term ASC))::BIGINT AS rank
+             FROM dfx d JOIN (VALUES {_px_values}) p(prefix)
+                  ON d.term LIKE p.prefix || '%')
+           WHERE rank <= {K}""",
+    )
+
+    # Human-readable index dump (tools/JASSv1_to_human.cpp): one line per
+    # term, `term <doc,impact>...`, segments highest-impact-first, docids
+    # ascending within a segment.
+    def _dump(spark, sf):
+        from jassv2_spark.plans.export import index_to_human
+
+        return index_to_human(get_index(spark, sf))
+
+    r["jass_index_dump"] = (
+        _dump,
+        _sql(_BASE)
+        + """ SELECT term, term || ' ' || string_agg(seg_str, '' ORDER BY impact DESC) AS line
+           FROM (SELECT term, impact,
+                        string_agg('<' || doc_id || ',' || impact || '>', '' ORDER BY doc_id) AS seg_str
+                 FROM imp GROUP BY term, impact)
+           GROUP BY term""",
     )
 
     # LM Dirichlet query likelihood (operators/lmdir.py): the second

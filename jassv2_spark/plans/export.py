@@ -55,6 +55,52 @@ def forward_index(index: Index) -> DataFrame:
     )
 
 
+def index_to_human(index: Index, dictionary_only: bool = False) -> DataFrame:
+    """One `line` per vocabulary term, the `tools/JASSv1_to_human.cpp`
+    dump: ``term <doc,impact><doc,impact>...`` — segments walked
+    highest-impact-first (this engine's canonical stored order), docids
+    ascending within a segment (`walk_index_v1`, JASSv1_to_human.cpp:
+    124-152; posting rendering `printer::add_rsv`, :103-113). With
+    ``dictionary_only`` only the vocabulary is printed (the tool's `-d`).
+    Entirely JVM-side: shard merge + two string folds per term."""
+    if dictionary_only:
+        return index.term_stats.select(
+            "term", F.col("term").alias("line")
+        )
+    per_seg = (
+        index.segments.groupBy("term", "impact")
+        .agg(F.array_sort(F.flatten(F.collect_list("doc_ids"))).alias("ds"))
+        .select(
+            "term",
+            "impact",
+            F.aggregate(
+                "ds",
+                F.lit(""),
+                lambda acc, d: F.concat(
+                    acc, F.lit("<"), d.cast("string"), F.lit(","),
+                    F.col("impact").cast("string"), F.lit(">"),
+                ),
+            ).alias("seg_str"),
+        )
+    )
+    return (
+        per_seg.groupBy("term")
+        .agg(
+            F.reverse(F.array_sort(F.collect_list(F.struct("impact", "seg_str")))).alias("segs")
+        )
+        .select(
+            "term",
+            F.concat(
+                F.col("term"),
+                F.lit(" "),
+                F.aggregate(
+                    "segs", F.lit(""), lambda acc, s: F.concat(acc, s["seg_str"])
+                ),
+            ).alias("line"),
+        )
+    )
+
+
 def integer_segments(index: Index) -> DataFrame:
     """Per (term, impact) segment: `length` and ascending 0-based
     `doc_ids`, ordered impact DESC within term (the reference's reversed

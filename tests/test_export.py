@@ -51,3 +51,47 @@ def test_integer_segments_dump(spark, ten_index):
         r["doc_id"] - 1 for r in ten_index.postings.where("term = 'one'").collect()
     )
     assert one == expect
+
+
+def test_index_to_human_dump(spark, ten_index):
+    from jassv2_spark.plans.export import index_to_human
+
+    lines = {r["term"]: r["line"] for r in index_to_human(ten_index).collect()}
+    # every vocabulary term appears exactly once
+    terms = {r["term"] for r in ten_index.term_stats.collect()}
+    assert set(lines) == terms
+    # rebuild each line from the impacts table: segments impact DESC,
+    # docids ascending within a segment (JASSv1_to_human.cpp:124-152)
+    imp = {}
+    for r in ten_index.impacts.collect():
+        imp.setdefault(r["term"], []).append((r["impact"], r["doc_id"]))
+    for t, pairs in imp.items():
+        segs = {}
+        for i, d in pairs:
+            segs.setdefault(i, []).append(d)
+        want = t + " " + "".join(
+            "".join(f"<{d},{i}>" for d in sorted(segs[i]))
+            for i in sorted(segs, reverse=True)
+        )
+        assert lines[t] == want, t
+    # dictionary-only mode prints the vocabulary alone
+    dico = {r["line"] for r in index_to_human(ten_index, dictionary_only=True).collect()}
+    assert dico == terms
+
+
+def test_complete_terms(spark, ten_index):
+    from jassv2_spark.operators.complete import complete_terms
+
+    px = spark.createDataFrame([("t",), ("on",), ("zz",)], ["prefix"])
+    rows = complete_terms(ten_index, px, k=3).collect()
+    by_prefix = {}
+    for r in rows:
+        by_prefix.setdefault(r["prefix"], []).append((r["rank"], r["term"], r["df"]))
+    assert all(t.startswith(p) for p, v in by_prefix.items() for _, t, _ in v)
+    assert "zz" not in by_prefix  # no vocabulary match → no rows
+    # ranking: df DESC then term ASC, rank dense from 1
+    for v in by_prefix.values():
+        v.sort()
+        assert [r for r, _, _ in v] == list(range(1, len(v) + 1))
+        dfs = [(-d, t) for _, t, d in v]
+        assert dfs == sorted(dfs)
