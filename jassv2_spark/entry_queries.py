@@ -403,6 +403,52 @@ pseg AS (SELECT term, impact, count(*)::BIGINT AS seg_freq FROM pimp GROUP BY te
         _sql(_BASE, _PRUNE_CTES, _qc_pruned, _tc_pruned) + _topk_select,
     )
 
+    # Two-tier serving (operators/tiered.py): champion tier = the pruned
+    # index above; a query escalates to the full index iff it filled all k
+    # slots with k-th rsv ≥ τ is NOT met. The oracle runs BOTH chains (the
+    # pruned chain's CTEs renamed *_t) plus the same integer escalation
+    # predicate — the merged output is the claim verified.
+    _TIER_TAU = 150
+
+    def _tiered_entry(spark, sf):
+        from jassv2_spark.operators.prune import prune_index
+        from jassv2_spark.operators.tiered import search_tiered
+
+        idx = get_index(spark, sf)
+        champ = prune_index(idx, _PRUNE_M, cache=False)
+        return search_tiered(
+            idx, champ, _queries_df(spark), k=K, min_kth_rsv=_TIER_TAU
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+            "tier",
+        )
+
+    import re as _re
+
+    # pruned chain again, CTE names suffixed _t; the shared query-parse
+    # CTEs (q/qtok/qt/qm) are stripped — the full chain defines them once.
+    _qc_t = "mseg_ties AS" + _qc_pruned.split("mseg AS", 1)[1]
+    _qc_t = _re.sub(r"\b(mseg|pterm|qagg|sseg|kept)\b", r"\1_ties", _qc_t)
+    _tc_t = _re.sub(r"\b(hits|ranked|kept)\b", r"\1_ties", _tc_pruned)
+    assert "ranked_ties" in _tc_t and "kept_ties" in _qc_t
+
+    r["jass_topk_tiered"] = (
+        _tiered_entry,
+        _sql(_BASE, _PRUNE_CTES, _query_ctes(1.0), _TOPK_CTES, _qc_t, _tc_t)
+        + f""" SELECT query_id, doc_id, rsv, rank, 'champion' AS tier
+           FROM ranked_ties
+           WHERE rank <= {K} AND query_id IN
+                 (SELECT query_id FROM ranked_ties WHERE rank = {K} AND rsv >= {_TIER_TAU})
+           UNION ALL
+           SELECT query_id, doc_id, rsv, rank, 'full' AS tier
+           FROM ranked
+           WHERE rank <= {K} AND query_id NOT IN
+                 (SELECT query_id FROM ranked_ties WHERE rank = {K} AND rsv >= {_TIER_TAU})""",
+    )
+
     # Result snippets over the exhaustive top-k: best window-of-10 tokens
     # covering the most distinct query terms, anchored at a match.
     _SNIP_W = 10
