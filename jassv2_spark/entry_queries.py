@@ -802,6 +802,24 @@ rankedA AS (SELECT h.query_id, h.doc_id, h.rsv,
            SELECT query_id, doc_id, rsv_micro, rank FROM rankedF WHERE rank <= {K}""",
     )
 
+    # Build-end collection statistics (tools/JASS_index.cpp:342-343 prints
+    # Documents/Terms; plus vocabulary/postings/segments/max-impact sizes).
+    def _idx_stats(spark, sf):
+        from jassv2_spark.plans.export import index_statistics
+
+        return index_statistics(get_index(spark, sf))
+
+    r["jass_index_stats"] = (
+        _idx_stats,
+        _sql(_BASE)
+        + """ SELECT nn.n AS documents, cl.clen AS terms,
+                 (SELECT count(*) FROM dfx)::BIGINT AS unique_terms,
+                 (SELECT sum(df) FROM dfx)::BIGINT AS postings,
+                 (SELECT count(*) FROM seg)::BIGINT AS segments,
+                 (SELECT max(impact) FROM imp)::BIGINT AS max_impact
+           FROM nn, cl""",
+    )
+
     # Vocabulary prefix autocompletion (operators/complete.py): per prefix
     # the top-k terms by df DESC, term ASC; OOV prefix yields no rows.
     _PREFIXES = ["s", "ha", "jo", "t", "zz"]

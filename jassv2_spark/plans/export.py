@@ -55,6 +55,36 @@ def forward_index(index: Index) -> DataFrame:
     )
 
 
+def index_statistics(index: Index) -> DataFrame:
+    """One row of build-end collection statistics — the numbers
+    `tools/JASS_index.cpp:342-343` prints (`Documents:`, `Terms:` = the
+    collection length, i.e. total term occurrences) plus the derived
+    sizes a capacity planner asks for: vocabulary size, posting count
+    (Σ df), segment-row count, max impact. All from the (tiny) stats
+    tables; no corpus scan."""
+    spark = index.spark
+    vocab = index.term_stats.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.max("max_impact").alias("max_impact"),
+    ).collect()[0]
+    n_segments = index.seg_stats.count()
+    return spark.createDataFrame(
+        [
+            (
+                int(index.n_docs),
+                int(index.collection_length),
+                int(vocab["n_terms"]),
+                int(vocab["n_postings"]),
+                int(n_segments),
+                int(vocab["max_impact"]),
+            )
+        ],
+        "documents bigint, terms bigint, unique_terms bigint, "
+        "postings bigint, segments bigint, max_impact bigint",
+    )
+
+
 def index_to_human(index: Index, dictionary_only: bool = False) -> DataFrame:
     """One `line` per vocabulary term, the `tools/JASSv1_to_human.cpp`
     dump: ``term <doc,impact><doc,impact>...`` — segments walked

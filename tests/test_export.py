@@ -95,3 +95,18 @@ def test_complete_terms(spark, ten_index):
         assert [r for r, _, _ in v] == list(range(1, len(v) + 1))
         dfs = [(-d, t) for _, t, d in v]
         assert dfs == sorted(dfs)
+
+
+def test_index_statistics(spark, ten_index):
+    from jassv2_spark.plans.export import index_statistics
+
+    row = index_statistics(ten_index).collect()[0]
+    assert row["documents"] == 10
+    assert row["terms"] == ten_index.collection_length
+    n_terms = ten_index.term_stats.count()
+    assert row["unique_terms"] == n_terms
+    assert row["postings"] == sum(
+        r["df"] for r in ten_index.term_stats.collect()
+    )
+    assert row["segments"] == ten_index.seg_stats.count()
+    assert 1 <= row["max_impact"] <= 1024
