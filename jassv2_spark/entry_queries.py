@@ -1631,6 +1631,53 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
 
     r["ann_pq_topk"] = (_pq, _pq_sql())
 
+    # SemDeDup (Abbas et al. 2023): semantic dedup scoped to k-means
+    # clusters — keep the member LEAST similar to its centroid from every
+    # within-cluster duplicate pair. Entry uses the same seed-derived unit
+    # centroids as ann_ivf_topk so the oracle carries identical literals;
+    # the data-trained quantizer path is pytest-verified instead.
+    # eps tuned so the keep decision is exercised at the driver's sf0.01
+    # (14 within-cluster removals there; 3+ at sf0.001)
+    SEM_EPS = 0.4
+
+    def _semdedup(spark, sf):
+        from jassv2_spark.operators.ann import semdedup
+
+        return semdedup(
+            _emb(spark, sf), dim=EMB_DIM, eps=SEM_EPS, n_lists=IVF_LISTS,
+            centroids=_ivf_cent(),
+        )
+
+    def _semdedup_sql() -> str:
+        cent = _ivf_cent()
+        sels = []
+        for c_idx in range(IVF_LISTS):
+            arr = "[" + ", ".join(_flit(x) for x in cent[c_idx]) + "]"
+            sels.append(
+                f"SELECT vec_id, {c_idx + 1} AS list_id, "
+                f"list_dot_product(ve, {arr}) / sqrt(list_dot_product(ve, ve)) AS cdot FROM e"
+            )
+        return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+ad AS ({" UNION ALL ".join(sels)}),
+assign AS (SELECT vec_id, list_id, round(cdot, 4) AS centroid_cos FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cdot DESC, list_id ASC) AS rn
+             FROM ad) WHERE rn = 1),
+rm AS (SELECT DISTINCT b.vec_id
+       FROM assign a JOIN assign b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+       WHERE (a.centroid_cos < b.centroid_cos
+              OR (a.centroid_cos = b.centroid_cos AND a.vec_id < b.vec_id))
+         AND round(list_dot_product(ea.ve, eb.ve)
+                   / (sqrt(list_dot_product(ea.ve, ea.ve))
+                      * sqrt(list_dot_product(eb.ve, eb.ve))), 4) >= {_flit(SEM_EPS)})
+SELECT a.vec_id, a.list_id::BIGINT AS list_id, a.centroid_cos,
+       (rm.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN rm ON rm.vec_id = a.vec_id"""
+
+    r["dedup_semantic"] = (_semdedup, _semdedup_sql())
+
     # ---- multimodal binary-column plumbing (pandas-UDF kernels) ----
     # Oracles reconstruct the synthesized payload (utf-8 bytes of `text`,
     # multimodal.synthesize_media) in DuckDB via encode()/hex(): byte values

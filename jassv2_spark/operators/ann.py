@@ -482,3 +482,83 @@ def pq_adc_topk(
         .where(F.col("rank") <= F.lit(int(k)))
         .select("qid", "vec_id", "cos", "rank")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    dim: int,
+    eps: float = 0.45,
+    n_lists: int = 8,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+    n_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """(vec_id, list_id, centroid_cos, keep): SemDeDup semantic dedup
+    (Abbas et al. 2023, arXiv:2303.09540) — cluster the embeddings with the
+    spherical k-means coarse quantizer, then look for near-duplicates
+    WITHIN each cluster only, keeping the member least similar to its
+    centroid from every duplicate pair.
+
+    keep(v) = false  iff  some same-cluster u has
+        round(cos(u, v), round_dp) >= eps  AND  u precedes v in the keep
+    order (centroid_cos ASC, vec_id ASC) — the paper's
+    keep-the-lowest-centroid-similarity policy (retains the "hard",
+    diversity-preserving member), made deterministic with the id
+    tie-break. Like the paper's implementation the test is pairwise per
+    cluster, not a transitive closure: u removes v even when u itself is
+    removed by some third vector.
+
+    Scale shape: centroid assignment is a map-only pass against broadcast
+    centroid literals (`_ivf_dots_expr`); the duplicate probe is an
+    EQUI-join on list_id — never an all-pairs corpus join — so with
+    n_lists grown ~ sqrt(N) (the paper uses 50k clusters for LAION-440M)
+    expected candidate work stays near-linear and each cluster's pairs fit
+    one task. Priority comparisons use the ROUNDED centroid_cos so the
+    keep decision is reproducible across engines and parallelism levels.
+
+    The reference engine has no embedding stage (out of its scope); this
+    is the training-data-pipeline family's semantic tier above
+    `embedding_near_dups` (which finds global pairs; SemDeDup scopes the
+    search to semantic clusters and emits a per-vector keep decision).
+    """
+    cent = centroids if centroids is not None else ivf_centroids(
+        embeddings, dim, n_lists, seed, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    e = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("ve"))
+    dots = _ivf_dots_expr(cent)
+    assigned = e.select(
+        "vec_id",
+        "ve",
+        F.expr(f"array_position({dots}, array_max({dots}))").cast("long").alias("list_id"),
+        F.round(F.expr(f"array_max({dots})"), round_dp).alias("centroid_cos"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("ve").alias("va"),
+        "list_id", F.col("centroid_cos").alias("ccos_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("ve").alias("vb"),
+        "list_id", F.col("centroid_cos").alias("ccos_b"),
+    )
+    a_beats_b = (F.col("ccos_a") < F.col("ccos_b")) | (
+        (F.col("ccos_a") == F.col("ccos_b")) & (F.col("a_id") < F.col("b_id"))
+    )
+    cos = _dot("va", "vb") / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb")))
+    removed = (
+        a.join(b, "list_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .where(a_beats_b)
+        .where(F.round(cos, round_dp) >= F.lit(float(eps)))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("rm", F.lit(True))
+    )
+    return assigned.join(removed, "vec_id", "left").select(
+        "vec_id",
+        "list_id",
+        "centroid_cos",
+        F.coalesce(~F.col("rm"), F.lit(True)).alias("keep"),
+    )

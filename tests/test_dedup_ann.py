@@ -156,3 +156,45 @@ def test_pq_codes_and_adc_refine_recall(spark):
         for r in pq_adc_topk(emb, qids, k=10, codebooks=books, refine_to=100).collect()
     }
     assert len(exact & refined) / len(exact) >= 0.8
+
+
+def test_semdedup_matches_bruteforce(spark):
+    """Trained-quantizer SemDeDup vs a NumPy re-derivation of the paper's
+    pairwise within-cluster rule (the entry's seed-centroid path is
+    oracle-verified in test_entry_parity; this pins the k-means path)."""
+    from jassv2_spark.operators.ann import ivf_centroids, semdedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    eps = 0.4
+    cent = ivf_centroids(emb, dim=64, n_lists=8, seed=42)
+    got = {r.vec_id: (r.list_id, r.centroid_cos, r.keep)
+           for r in semdedup(emb, dim=64, eps=eps, centroids=cent).collect()}
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cdots = Xn @ cent.T
+    lists = np.argmax(cdots, axis=1)  # first max, same tie rule
+    ccos = np.round(cdots[np.arange(len(ids)), lists], 4)
+    cos = np.round(Xn @ Xn.T, 4)
+    for i, vid in enumerate(ids):
+        same = [j for j in range(len(ids)) if lists[j] == lists[i] and j != i]
+        beaten = any(
+            cos[i, j] >= eps
+            and (ccos[j] < ccos[i] or (ccos[j] == ccos[i] and ids[j] < vid))
+            for j in same
+        )
+        assert got[vid][0] == lists[i] + 1, vid
+        assert got[vid][2] == (not beaten), vid
+    # the rule must actually fire on this corpus
+    assert any(not keep for (_, _, keep) in got.values())
+
+
+def test_semdedup_no_cartesian_plan(spark):
+    from jassv2_spark.operators.ann import semdedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = semdedup(emb, dim=64, eps=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
