@@ -188,6 +188,7 @@ _INDEX_CACHE: dict[str, Index] = {}
 _MERGED_CACHE: dict[str, Index] = {}
 _DELETED_CACHE: dict[str, Index] = {}
 _BIGRAM_CACHE: dict[str, Index] = {}
+_CURATED_CACHE: dict[str, Index] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2219,6 +2220,123 @@ rankedF AS (SELECT query_id, doc_id, rsv_micro,
                    AND sr <= 0.1 AND fb <= 0.9 AND fe <= 0.3 AND fa >= 0.8
                    AND nstop >= 2) AS keep_gopher
            FROM f""",
+    )
+
+    # ---- end-to-end curation pipeline (operators/curation.py:curate_*) ----
+    # lang gate → configurable quality gate → MinHash-LSH near-dup dedup
+    # (clusters computed among gate survivors, keep min id per cluster),
+    # with a per-stage funnel report and a top-k search over an index
+    # built on the curated corpus. The oracle rebuilds the identical
+    # funnel: lang/quality SQL reused from the verified entries above,
+    # the cluster chain from dedup_clusters re-scoped to the survivors,
+    # and (for the topk entry) the whole _BASE index chain re-run with
+    # `documents` swapped for the curated set.
+    _QUAL_PRED = (
+        "n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 2.0e0 "
+        "AND mean_word_len <= 12.0e0 AND n_stop_hits >= 1 "
+        "AND frac_alpha_words >= 0.5e0 AND symbol_word_ratio <= 0.1e0"
+    )
+
+    def _curate_ctes() -> str:
+        lsql = r["text_lang_guess"][1]
+        gsql = r["text_gopher_quality"][1]
+        sigs = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+        bands = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"md5(h{4*b} || h{4*b+1} || h{4*b+2} || h{4*b+3}) AS band_hash FROM csig"
+            for b in range(4)
+        )
+        return f"""
+cflags AS (SELECT l.doc_id, (l.lang_guess IN ('en')) AS lang_ok,
+                  ({_QUAL_PRED}) AS quality_ok
+           FROM ({lsql}) l JOIN ({gsql}) g USING (doc_id)),
+curated AS MATERIALIZED (SELECT d.* FROM documents d JOIN cflags USING (doc_id)
+            WHERE lang_ok AND quality_ok),
+cdtoks AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+           FROM curated),
+csh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+               ELSE list_transform(range(1, len(tk) - 1),
+                                   i -> array_to_string(tk[i:i+2], ' '))
+          END) AS shingle
+        FROM cdtoks)),
+csig AS (SELECT doc_id, {sigs} FROM csh GROUP BY doc_id),
+cbanded AS ({bands}),
+cpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cbanded a JOIN cbanded b ON a.band_idx = b.band_idx
+             AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+ceg AS (SELECT doc_a AS src, doc_b AS dst FROM cpr
+        UNION ALL SELECT doc_b, doc_a FROM cpr),
+cwalk(node, label) AS (
+    SELECT doc_id, doc_id FROM curated
+    UNION
+    SELECT ceg.src, cwalk.label FROM cwalk JOIN ceg ON ceg.dst = cwalk.node),
+ccl AS (SELECT node, min(label) AS cluster_id FROM cwalk GROUP BY node),
+cdk AS MATERIALIZED (SELECT node AS doc_id, (cluster_id = node) AS dup_keep FROM ccl)"""
+
+    def _funnel(spark, sf):
+        from jassv2_spark.operators.curation import curate_funnel
+
+        return curate_funnel(_docs(spark, sf)).select(
+            "stage",
+            F.col("n_in").cast("long").alias("n_in"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            F.col("n_out").cast("long").alias("n_out"),
+        )
+
+    r["pipeline_curate_funnel"] = (
+        _funnel,
+        "WITH RECURSIVE "
+        + _curate_ctes()
+        + """,
+cagg AS (SELECT count(*) AS n0,
+  count(*) FILTER (NOT lang_ok) AS d_lang,
+  count(*) FILTER (lang_ok AND NOT quality_ok) AS d_quality,
+  count(*) FILTER (lang_ok AND quality_ok AND NOT coalesce(dup_keep, TRUE)) AS d_dup
+ FROM cflags LEFT JOIN cdk USING (doc_id))
+SELECT 'lang' AS stage, n0::BIGINT AS n_in, d_lang::BIGINT AS n_dropped,
+       (n0-d_lang)::BIGINT AS n_out FROM cagg
+UNION ALL SELECT 'quality', (n0-d_lang)::BIGINT, d_quality::BIGINT,
+       (n0-d_lang-d_quality)::BIGINT FROM cagg
+UNION ALL SELECT 'near_dup', (n0-d_lang-d_quality)::BIGINT, d_dup::BIGINT,
+       (n0-d_lang-d_quality-d_dup)::BIGINT FROM cagg""",
+    )
+
+    def _curated_topk(spark, sf):
+        from jassv2_spark.operators.curation import curate_corpus
+
+        idx = _CURATED_CACHE.get(sf)
+        if idx is None:
+            cur = curate_corpus(_docs(spark, sf))
+            idx = build_index(
+                cur, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+                conf=BuildConf(k1=K1, b=B, tokenizer="parity"),
+            )
+            _CURATED_CACHE[sf] = idx
+        return search(idx, _queries_df(spark), k=K, rho=1.0, with_keys=False).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _base_curated = (
+        _curate_ctes()
+        + """,
+final_docs AS MATERIALIZED (SELECT curated.* FROM curated
+               JOIN (SELECT doc_id FROM cdk WHERE dup_keep) k USING (doc_id)),"""
+        + _BASE.replace("FROM documents", "FROM final_docs")
+    )
+    r["pipeline_curate_topk"] = (
+        _curated_topk,
+        "WITH RECURSIVE "
+        + ",".join(
+            p.strip().strip(",")
+            for p in (_base_curated, _query_ctes(1.0), _TOPK_CTES)
+        )
+        + _topk_select,
     )
 
     # ---- training-data pipeline: curation (decontaminate / pack / cap) ----

@@ -375,3 +375,130 @@ def collocations(
         .orderBy(F.col("pmi_bits").desc(), F.col("n_ab").desc(), F.col("bigram").asc())
         .limit(int(top_k))
     )
+
+
+def curate_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] = ("en",),
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_stop_hits: int = 1,
+    min_frac_alpha: float = 0.5,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """(doc_id, lang_ok, quality_ok): the two map-only curation gates as
+    boolean flags — script-range language ID (textstats.lang_guess) against
+    an allow-list, and the Gopher/C4 quality signals
+    (textstats.gopher_quality) against CONFIGURABLE thresholds (the paper
+    defaults live on `keep_gopher`; pipelines tune per corpus). One scan,
+    no shuffle: both gates are pure column expressions joined on the id
+    Catalyst collapses back into a single projection."""
+    from jassv2_spark.operators.textstats import gopher_quality, lang_guess
+
+    g = gopher_quality(docs, text_col, id_col)
+    quality_ok = (
+        (F.col("n_words") >= int(min_words))
+        & (F.col("n_words") <= int(max_words))
+        & (F.col("mean_word_len") >= float(min_mean_word_len))
+        & (F.col("mean_word_len") <= float(max_mean_word_len))
+        & (F.col("n_stop_hits") >= int(min_stop_hits))
+        & (F.col("frac_alpha_words") >= float(min_frac_alpha))
+        & (F.col("symbol_word_ratio") <= float(max_symbol_ratio))
+    )
+    lang = lang_guess(docs, text_col, id_col)
+    return (
+        lang.join(g, id_col)
+        .select(
+            F.col(id_col),
+            F.col("lang_guess").isin(*langs).alias("lang_ok"),
+            quality_ok.alias("quality_ok"),
+        )
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_shingle: int = 3,
+    dedup_hashes: int = 16,
+    dedup_bands: int = 4,
+    **gate_kwargs,
+) -> DataFrame:
+    """The curated corpus: docs passing the language gate, the quality
+    gate, and near-dup dedup — MinHash-LSH candidate pairs over the gate
+    survivors, transitive closure, keep the smallest doc id per cluster
+    (operators.dedup.dedup_cluster_assign). Funnel order matters and is
+    fixed (lang → quality → dedup): dedup runs on the smallest set, and
+    its cluster structure is computed among survivors only, exactly like
+    a production pipeline (dropping a low-quality duplicate must not
+    delete its high-quality twin's whole cluster).
+
+    Returns the input rows (all columns) of the surviving docs. Shuffle
+    budget: the gates are map-only; dedup adds the MinHash band
+    shuffle + the closure's per-iteration id-keyed joins — all on the
+    post-gate survivor set."""
+    from jassv2_spark.operators.dedup import dedup_cluster_assign
+
+    flags = curate_flags(docs, text_col, id_col, **gate_kwargs)
+    gated = docs.join(
+        flags.where(F.col("lang_ok") & F.col("quality_ok")).select(id_col), id_col
+    )
+    clusters = dedup_cluster_assign(
+        gated, text_col, id_col, n=dedup_shingle,
+        num_hashes=dedup_hashes, bands=dedup_bands,
+    )
+    keep = clusters.where(F.col("cluster_id") == F.col(id_col)).select(id_col)
+    return docs.join(keep, id_col)
+
+
+def curate_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_shingle: int = 3,
+    dedup_hashes: int = 16,
+    dedup_bands: int = 4,
+    **gate_kwargs,
+) -> DataFrame:
+    """(stage, n_in, n_dropped, n_out): the per-stage curation funnel
+    report — the pipeline observability artifact (how many documents each
+    gate removed, chained in the fixed lang → quality → near_dup order).
+    Stage counts follow funnel semantics: a doc is charged to the FIRST
+    gate that rejects it. The whole report is one aggregate row reshaped
+    with stack(); at any corpus size the result is 3 rows."""
+    from jassv2_spark.operators.dedup import dedup_cluster_assign
+
+    flags = curate_flags(docs, text_col, id_col, **gate_kwargs)
+    gated = docs.join(
+        flags.where(F.col("lang_ok") & F.col("quality_ok")).select(id_col), id_col
+    )
+    clusters = dedup_cluster_assign(
+        gated, text_col, id_col, n=dedup_shingle,
+        num_hashes=dedup_hashes, bands=dedup_bands,
+    )
+    dup_keep = clusters.select(
+        F.col(id_col), (F.col("cluster_id") == F.col(id_col)).alias("dup_keep")
+    )
+    full = flags.join(dup_keep, id_col, "left")
+    one = full.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum((~F.col("lang_ok")).cast("long")).cast("long").alias("d_lang"),
+        F.sum((F.col("lang_ok") & ~F.col("quality_ok")).cast("long"))
+        .cast("long").alias("d_quality"),
+        F.sum(
+            (F.col("lang_ok") & F.col("quality_ok")
+             & ~F.coalesce(F.col("dup_keep"), F.lit(True))).cast("long")
+        ).cast("long").alias("d_dup"),
+    )
+    return one.selectExpr(
+        "stack(3, "
+        " 'lang',     n0,                     d_lang,    n0 - d_lang, "
+        " 'quality',  n0 - d_lang,            d_quality, n0 - d_lang - d_quality, "
+        " 'near_dup', n0 - d_lang - d_quality, d_dup,    n0 - d_lang - d_quality - d_dup"
+        ") AS (stage, n_in, n_dropped, n_out)"
+    )
