@@ -1679,6 +1679,51 @@ FROM assign a LEFT JOIN rm ON rm.vec_id = a.vec_id"""
 
     r["dedup_semantic"] = (_semdedup, _semdedup_sql())
 
+    # Hybrid retrieval: reciprocal-rank fusion of the lexical BM25 top-k
+    # and the dense ANN cosine top-k (operators/fusion.py). ANN query
+    # vec_ids 0..4 map onto query_ids q01..q05 (q06..q10 fuse the BM25 run
+    # alone). Exact integer contributions scale//(κ+rank) make the fused
+    # scores engine-portable; the oracle reuses the already-verified BM25
+    # `ranked` chain and the ann_cosine_topk SQL as a derived table.
+    RRF_KAPPA, RRF_DEPTH = 60, K
+
+    def _rrf(spark, sf):
+        from jassv2_spark.operators.fusion import rrf_fuse
+
+        bm25 = search(
+            get_index(spark, sf), _queries_df(spark), k=K, rho=1.0, with_keys=False
+        ).select("query_id", "doc_id", "rank")
+        ann = cosine_topk(_emb(spark, sf), ANN_QUERY_IDS, k=K, round_dp=4).select(
+            F.format_string("q%02d", (F.col("qid") + 1).cast("int")).alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rank",
+        )
+        return rrf_fuse([bm25, ann], k=K, kappa=RRF_KAPPA, depth=RRF_DEPTH)
+
+    def _rrf_sql() -> str:
+        from jassv2_spark.operators.fusion import rrf_scale
+
+        scale = rrf_scale(RRF_KAPPA, RRF_DEPTH)
+        ann_sql = r["ann_cosine_topk"][1]
+        return (
+            _sql(_BASE, _query_ctes(1.0), _TOPK_CTES)
+            + f""",
+annr AS (SELECT printf('q%02d', qid + 1) AS query_id, vec_id AS doc_id, rank
+         FROM ({ann_sql})),
+bmr AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {K}),
+u AS (SELECT * FROM bmr UNION ALL SELECT * FROM annr),
+fz AS (SELECT query_id, doc_id, sum({scale} // ({RRF_KAPPA} + rank))::BIGINT AS rrf,
+              count(*)::BIGINT AS n_runs
+       FROM u GROUP BY 1, 2),
+fr AS (SELECT query_id, doc_id, rrf, n_runs,
+        (row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, n_runs DESC, doc_id DESC))::BIGINT AS rank
+       FROM fz)
+SELECT query_id, doc_id, rrf, n_runs, rank FROM fr WHERE rank <= {K}"""
+        )
+
+    r["hybrid_rrf_topk"] = (_rrf, _rrf_sql())
+
     # ---- multimodal binary-column plumbing (pandas-UDF kernels) ----
     # Oracles reconstruct the synthesized payload (utf-8 bytes of `text`,
     # multimodal.synthesize_media) in DuckDB via encode()/hex(): byte values
