@@ -99,18 +99,34 @@ def amplified_docs(spark, sf_dir: str, factor: int):
     )
 
 
+CORPUS_FILES = 32  # fixed file count — see materialized_corpus
+
+
 def materialized_corpus(spark, sf_dir: str, factor: int, cores: int):
     """Amplified corpus written ONCE to parquet (untimed setup), then read
     back — the timed build consumes an on-disk table exactly like a
     production run over a real corpus (a 100 TB build never starts from an
     in-JVM generator). Scan width comes from parquet splits, so no
-    repartition shuffle enters the timed path."""
+    repartition shuffle enters the timed path.
+
+    The corpus is written as a FIXED CORPUS_FILES part files regardless of
+    which level materializes it first. Without this, the layout depends on
+    the creating session's parallelism: a 1-core level writes ONE file
+    whose single fat row group cannot be split, so every later level scans
+    it serially — measured as the 4-core build running at 1-core speed
+    (efficiency 0.66 instead of 0.87). The file count rides in the path so
+    a stale differently-laid-out corpus is never silently reused."""
     import os as _os
 
-    path = f"/tmp/jass_bench_corpus_sf{_os.path.basename(sf_dir)}_x{factor}"
+    path = (
+        f"/tmp/jass_bench_corpus_sf{_os.path.basename(sf_dir)}"
+        f"_x{factor}_f{CORPUS_FILES}"
+    )
     marker = _os.path.join(path, "_SUCCESS")
     if not _os.path.exists(marker):
-        amplified_docs(spark, sf_dir, factor).write.mode("overwrite").parquet(path)
+        amplified_docs(spark, sf_dir, factor).repartition(CORPUS_FILES).write.mode(
+            "overwrite"
+        ).parquet(path)
     # one scan task per core (A/B-measured best for the Arrow-UDF stage)
     n_bytes = sum(
         _os.path.getsize(_os.path.join(path, f))
