@@ -62,7 +62,7 @@ SCALE_AMPLIFY = int(os.environ.get("BENCH_SCALE_AMPLIFY", str(AMPLIFY * 8)))
 # (JASS_anytime streams query batches against a static index), so the
 # scaling workload weights the query batch accordingly; per-phase times
 # for build and search are reported separately either way.
-SCALE_QUERIES = int(os.environ.get("BENCH_SCALE_QUERIES", "6000"))
+SCALE_QUERIES = int(os.environ.get("BENCH_SCALE_QUERIES", "12000"))
 SCALE_REPS = int(os.environ.get("BENCH_SCALE_REPS", "3"))
 PHASES = os.environ.get("BENCH_PHASES", "all")  # 'all' | 'core' (build+saat)
 
