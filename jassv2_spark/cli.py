@@ -226,10 +226,45 @@ def jass_eval_main(argv: list[str]) -> int:
     return 0
 
 
+# ----------------------------------------------------------------- curate
+
+def jass_curate_main(argv: list[str]) -> int:
+    """Training-data curation front-end (beyond the reference's binaries —
+    the pipeline family): run the lang → quality → near-dup funnel over a
+    parquet documents table, print the per-stage report, and optionally
+    write the surviving corpus for `index` to consume."""
+    p = argparse.ArgumentParser(prog="jass curate", description="Curate a document corpus")
+    p.add_argument("-f", "--filename", required=True, help="documents parquet path")
+    p.add_argument("-o", "--out", default=None, help="write surviving docs parquet here")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--langs", default="en", help="comma-separated language allow-list")
+    p.add_argument("--min-words", type=int, default=20)
+    p.add_argument("--max-words", type=int, default=100_000)
+    p.add_argument("--min-stop-hits", type=int, default=1)
+    a = p.parse_args(argv)
+
+    from jassv2_spark.operators.curation import curate_corpus, curate_funnel
+
+    spark = _spark("jass-curate")
+    docs = spark.read.parquet(a.filename)
+    kw = dict(
+        text_col=a.text_col, id_col=a.id_col,
+        langs=tuple(a.langs.split(",")), min_words=a.min_words,
+        max_words=a.max_words, min_stop_hits=a.min_stop_hits,
+    )
+    for r in curate_funnel(docs, **kw).collect():
+        print(f"{r.stage:10s} in={r.n_in:>10} dropped={r.n_dropped:>10} out={r.n_out:>10}")
+    if a.out:
+        curate_corpus(docs, **kw).write.mode("overwrite").parquet(a.out)
+        print(f"survivors written to {a.out}")
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help", "-?"):
-        print("usage: python -m jassv2_spark.cli {index|anytime|eval} [flags]\n"
-              "       (JASS_index / JASS_anytime / JASS_eval parity)")
+        print("usage: python -m jassv2_spark.cli {index|anytime|eval|curate} [flags]\n"
+              "       (JASS_index / JASS_anytime / JASS_eval parity + curation pipeline)")
         return 0 if len(sys.argv) >= 2 else 1
     cmd, rest = sys.argv[1], sys.argv[2:]
     if cmd == "index":
@@ -238,6 +273,8 @@ def main() -> int:
         return jass_anytime_main(rest)
     if cmd == "eval":
         return jass_eval_main(rest)
+    if cmd == "curate":
+        return jass_curate_main(rest)
     print(f"unknown subcommand {cmd!r}", file=sys.stderr)
     return 1
 

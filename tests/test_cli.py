@@ -56,3 +56,22 @@ def test_cli_index_anytime_eval_roundtrip(spark, tmp_path, capsys):
     assert jass_eval_main(["-a", str(qrels_p), "-r", run]) == 0
     out_p = capsys.readouterr().out
     assert any("mean_buying_power" in l for l in out_p.splitlines())
+
+
+def test_cli_curate(tmp_path, capsys):
+    import subprocess, sys
+    out = str(tmp_path / "survivors")
+    r = subprocess.run(
+        [sys.executable, "-m", "jassv2_spark.cli", "curate",
+         "-f", "/root/testdata/sf0.001/documents.parquet", "-o", out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.split() and l.split()[0] in
+             ("lang", "quality", "near_dup")]
+    assert len(lines) == 3
+    assert "survivors written" in r.stdout
+    import duckdb
+    n_out = duckdb.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    final = int(lines[-1].rsplit("out=", 1)[1])
+    assert n_out == final > 0
