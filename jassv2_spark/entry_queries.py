@@ -2669,6 +2669,92 @@ final_docs AS MATERIALIZED (SELECT curated.* FROM curated
         FROM sx JOIN ex ON ex.lang = sx.lang""",
     )
 
+    # ---- count-min sketch (operators/sketch.py) ----
+    # Term-occurrence point estimates from a 4×512 grid; exact counts ride
+    # along. Same fully-specified md5 hash family on both engines, so the
+    # grid — and therefore every estimate — matches bitwise.
+    _CMS_PROBES = ["the", "data", "merge", "query", "zzzqx_absent"]
+
+    def _cms(spark, sf):
+        from jassv2_spark.functions.tokenizer import spark_tokens
+        from jassv2_spark.operators.sketch import cms_grid, cms_point_query
+
+        toks = _docs(spark, sf).select(
+            F.explode(spark_tokens("text", mode="parity")).alias("term")
+        )
+        grid = cms_grid(toks, [], "term")
+        probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], ["term"])
+        est = cms_point_query(grid, probes, [], "term")
+        exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+        return est.join(exact, "term", "left").select(
+            "term",
+            F.col("est").cast("long").alias("est"),
+            F.coalesce(F.col("exact_cnt"), F.lit(0)).cast("long").alias("exact_cnt"),
+        )
+
+    _cms_vals = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+    r["sketch_cms_terms"] = (
+        _cms,
+        f"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+                 FROM documents),
+        p(term) AS (VALUES {_cms_vals}),
+        cells AS (SELECT r.j,
+                   CAST('0x' || substr(md5(r.j::VARCHAR || ':' || t.term), 1, 8) AS UBIGINT)::BIGINT % 512 AS bucket,
+                   count(*)::BIGINT AS cnt
+                  FROM toks t CROSS JOIN range(4) r(j) GROUP BY 1, 2),
+        pb AS (SELECT p.term, r.j,
+                   CAST('0x' || substr(md5(r.j::VARCHAR || ':' || p.term), 1, 8) AS UBIGINT)::BIGINT % 512 AS bucket
+               FROM p CROSS JOIN range(4) r(j)),
+        est AS (SELECT pb.term,
+                   (CASE WHEN count(c.cnt) = 4 THEN min(c.cnt) ELSE 0 END)::BIGINT AS est
+                FROM pb LEFT JOIN cells c ON c.j = pb.j AND c.bucket = pb.bucket
+                GROUP BY pb.term),
+        ex AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM toks GROUP BY term)
+        SELECT est.term, est.est, coalesce(ex.exact_cnt, 0)::BIGINT AS exact_cnt
+        FROM est LEFT JOIN ex ON ex.term = est.term""",
+    )
+
+    # ---- Bloom filter (operators/sketch.py) ----
+    # Membership prefilter over document ids: 4096 bits / 5 hashes packed
+    # into 63-bit int64 words (sign bit clear — DuckDB raises on an
+    # overflowing shift). No false negatives by construction; the exact
+    # membership column rides along.
+    _BLOOM_PROBES = ["1", "17", "333", "absent-a", "absent-b"]
+
+    def _bloom(spark, sf):
+        from jassv2_spark.operators.sketch import bloom_probe, bloom_words
+
+        ids = _docs(spark, sf).select(F.col("doc_id").cast("string").alias("v"))
+        words = bloom_words(ids, "v")
+        probes = spark.createDataFrame([(v,) for v in _BLOOM_PROBES], ["v"])
+        mp = bloom_probe(words, probes, "v")
+        ex = ids.distinct().withColumn("present", F.lit(True))
+        return mp.join(ex, "v", "left").select(
+            "v", "maybe_present", F.coalesce(F.col("present"), F.lit(False)).alias("present")
+        )
+
+    _bloom_vals = ", ".join(f"('{v}')" for v in _BLOOM_PROBES)
+    r["sketch_bloom_ids"] = (
+        _bloom,
+        f"""WITH ids AS (SELECT doc_id::VARCHAR AS v FROM documents),
+        bits AS (SELECT CAST('0x' || substr(md5(r.i::VARCHAR || ';' || ids.v), 1, 8) AS UBIGINT)::BIGINT % 4096 AS bit
+                 FROM ids CROSS JOIN range(5) r(i)),
+        words AS (SELECT bit // 63 AS word_idx,
+                         bit_or(1::BIGINT << (bit % 63)::INT) AS word
+                  FROM bits GROUP BY 1),
+        p(v) AS (VALUES {_bloom_vals}),
+        pb AS (SELECT p.v, r.i,
+                   CAST('0x' || substr(md5(r.i::VARCHAR || ';' || p.v), 1, 8) AS UBIGINT)::BIGINT % 4096 AS bit
+               FROM p CROSS JOIN range(5) r(i)),
+        hits AS (SELECT pb.v,
+                    (coalesce(w.word, 0) & (1::BIGINT << (pb.bit % 63)::INT)) != 0 AS hit
+                 FROM pb LEFT JOIN words w ON w.word_idx = pb.bit // 63),
+        mp AS (SELECT v, (sum(hit::INT) = 5) AS maybe_present FROM hits GROUP BY v),
+        ex AS (SELECT DISTINCT v FROM ids)
+        SELECT mp.v, mp.maybe_present, (ex.v IS NOT NULL) AS present
+        FROM mp LEFT JOIN ex ON ex.v = mp.v""",
+    )
+
     # ---- relational sanity (TPC-H Q1 shape over lineitem) ----
     def _q1(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")

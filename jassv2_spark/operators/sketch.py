@@ -1,4 +1,4 @@
-"""HyperLogLog distinct-count sketch, engine-portable and mergeable.
+"""Mergeable sketches (HyperLogLog, count-min, Bloom), engine-portable.
 
 A 100 TB curation pipeline constantly needs cheap cardinalities —
 distinct terms per language, distinct urls per host, vocabulary growth
@@ -113,3 +113,173 @@ def hll_distinct(
 ) -> DataFrame:
     """One-call convenience: registers → estimate."""
     return hll_estimate(hll_registers(df, group_cols, value_col), group_cols)
+
+
+# --------------------------------------------------------------- count-min
+#
+# Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005): a
+# depth×width counter grid; row j counts occurrences under hash_j, a point
+# query reads min_j grid[j][h_j(x)] — an overestimate, never an under-
+# estimate. The 100 TB use: term/url frequency tables whose exact form is
+# vocabulary-sized, kept instead as a fixed 4×width grid that is MERGEABLE
+# across shards by cell-wise sum (linear sketch).
+#
+# Hash family, fully specified so any engine reproduces the grid:
+#   h_j(x) = (32-bit md5 prefix of  j || ':' || x)  mod  width
+# Building the grid is one explode(depth) map pass + a (group, row, bucket)
+# partial-agg count — at most depth·width rows per group reach the shuffle.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_grid(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(group..., row, bucket, cnt): the populated count-min cells per
+    group (absent cells are zero). One partial-agg shuffle."""
+    rows = df.select(
+        *group_cols,
+        F.col(value_col).cast("string").alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    h = _h32(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_v")))
+    return (
+        rows.select(*group_cols, "row", (h % width).alias("bucket"))
+        .groupBy(*group_cols, "row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*grids: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Sketch union: cell-wise sum across shards (count-min is linear)."""
+    out = grids[0]
+    for other in grids[1:]:
+        out = out.unionByName(other)
+    return out.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_point_query(
+    grid: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(group..., <value_col>, est): min-over-rows point estimate for each
+    probe value. The probe side is tiny → broadcast into the grid."""
+    p = probes.select(
+        *[c for c in group_cols if c in probes.columns],
+        F.col(value_col).cast("string").alias(value_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    h = _h32(F.concat(F.col("row").cast("string"), F.lit(":"), F.col(value_col)))
+    p = p.withColumn("bucket", h % width)
+    # LEFT join from the probe side: an absent cell means count 0 for that
+    # hash row, so the min naturally returns 0 — a probe never seen by the
+    # sketch estimates 0 instead of disappearing. The grid is the bounded
+    # sketch artifact (≤ depth·width·n_groups rows) → broadcast it.
+    keys = [*[c for c in group_cols if c in p.columns], "row", "bucket"]
+    joined = p.join(F.broadcast(grid), keys, "left")
+    return (
+        joined.groupBy(*[c for c in group_cols if c in p.columns], value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .select(
+            *[c for c in group_cols if c in p.columns],
+            value_col,
+            F.col("est").cast("long").alias("est"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- Bloom
+#
+# Bloom filter (Bloom, CACM 1970) as k bit positions in an m-bit array,
+# stored as 63-bit int64 words (the sign bit stays clear so `1 << b` is
+# portable — DuckDB raises on a 64-bit overflow shift) built with a
+# bitwise-OR aggregate — the
+# shuffle carries at most (words-touched) rows, and filters from different
+# shards merge by word-wise OR. The 100 TB use: membership prefilter for
+# decontamination / URL-seen tests where the exact key set is corpus-sized.
+#
+#   bit_i(x) = (32-bit md5 prefix of  i || ';' || x)  mod  m,  i ∈ [0, k)
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 5
+_WORD = 63  # usable bits per int64 word (sign bit never set)
+
+
+def bloom_words(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(word_idx, word): the populated int64 words of the filter (absent
+    words are zero). One (word_idx)-keyed partial-agg shuffle of ≤ m/63
+    result rows."""
+    rows = df.select(
+        F.col(value_col).cast("string").alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i"),
+    )
+    bit = (
+        _h32(F.concat(F.col("i").cast("string"), F.lit(";"), F.col("_v"))) % m_bits
+    )
+    return (
+        rows.select(bit.alias("bit"))
+        .select(
+            (F.col("bit") / _WORD).cast("long").alias("word_idx"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(bit % {_WORD} as int))").alias("w"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("w").alias("word"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Filter union: word-wise OR across shards."""
+    out = filters[0]
+    for other in filters[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_probe(
+    words: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    m_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(<value_col>, maybe_present): true iff all k bits are set — no
+    false negatives, bounded false positives. Probe side broadcast."""
+    p = probes.select(
+        F.col(value_col).cast("string").alias(value_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i"),
+    )
+    bit = (
+        _h32(F.concat(F.col("i").cast("string"), F.lit(";"), F.col(value_col))) % m_bits
+    )
+    p = p.select(
+        value_col,
+        (bit / _WORD).cast("long").alias("word_idx"),
+        (bit % _WORD).cast("int").alias("bit_in_word"),
+    )
+    # the filter itself is the bounded artifact (≤ m/63 words) → broadcast
+    # it under the probe-side left join
+    j = p.join(F.broadcast(words), "word_idx", "left")
+    hit = (
+        F.expr("(coalesce(word, 0) & shiftleft(cast(1 as bigint), bit_in_word)) != 0")
+    )
+    return (
+        j.select(value_col, hit.alias("hit"))
+        .groupBy(value_col)
+        .agg((F.sum(F.col("hit").cast("int")) == k_hashes).alias("maybe_present"))
+    )

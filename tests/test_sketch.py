@@ -68,3 +68,99 @@ def test_estimate_accuracy(spark):
     df = spark.createDataFrame([("g", f"item-{i}") for i in range(n)], ["g", "v"])
     est = hll_distinct(df, ["g"], "v").collect()[0]["est"]
     assert abs(est - n) / n < 0.35  # raw HLL, m=64 → ~13% stddev
+
+
+# ----------------------------------------------------------------- count-min
+
+
+def _py_cms(values, depth=4, width=512):
+    grid = {}
+    for v in values:
+        for j in range(depth):
+            h = int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:8], 16)
+            grid[(j, h % width)] = grid.get((j, h % width), 0) + 1
+    return grid
+
+
+def test_cms_grid_matches_python(spark, vals):
+    from jassv2_spark.operators.sketch import cms_grid
+
+    got = {
+        (r["g"], r["row"], r["bucket"]): r["cnt"]
+        for r in cms_grid(vals, ["g"], "v").collect()
+    }
+    rows = [(r["g"], r["v"]) for r in vals.collect()]
+    for g in ("g1", "g2"):
+        want = _py_cms([v for gg, v in rows if gg == g])
+        assert {(g, j, b): c for (j, b), c in want.items()} == {
+            k: v for k, v in got.items() if k[0] == g
+        }
+
+
+def test_cms_point_query_never_underestimates(spark):
+    from jassv2_spark.operators.sketch import cms_grid, cms_point_query
+
+    # heavy skew: value-0 appears 500x, the rest once
+    rows = [("g", "value-0")] * 500 + [("g", f"value-{i}") for i in range(1, 300)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    grid = cms_grid(df, ["g"], "v")
+    probes = spark.createDataFrame(
+        [("g", "value-0"), ("g", "value-7"), ("g", "never-seen")], ["g", "v"]
+    )
+    est = {r["v"]: r["est"] for r in cms_point_query(grid, probes, ["g"], "v").collect()}
+    assert est["value-0"] >= 500
+    assert est["value-7"] >= 1
+    assert est["never-seen"] >= 0
+    # depth-4/width-512 on 800 items: overestimates stay tiny
+    assert est["value-0"] <= 500 + 10 and est["value-7"] <= 11
+
+
+def test_cms_merge_equals_whole(spark, vals):
+    from jassv2_spark.operators.sketch import cms_grid, cms_merge
+
+    lo = vals.where(F.col("v") < "value-1")
+    hi = vals.where(~(F.col("v") < "value-1"))
+    merged = cms_merge(
+        cms_grid(lo, ["g"], "v"), cms_grid(hi, ["g"], "v"), group_cols=["g"]
+    )
+    canon = lambda df: sorted(map(tuple, df.select("g", "row", "bucket", "cnt").collect()))
+    assert canon(merged) == canon(cms_grid(vals, ["g"], "v"))
+
+
+# --------------------------------------------------------------------- Bloom
+
+
+def _py_bloom_words(values, m=4096, k=5):
+    words = {}
+    for v in values:
+        for i in range(k):
+            bit = int(hashlib.md5(f"{i};{v}".encode()).hexdigest()[:8], 16) % m
+            words[bit // 63] = words.get(bit // 63, 0) | (1 << (bit % 63))
+    return words
+
+
+def test_bloom_words_match_python(spark):
+    from jassv2_spark.operators.sketch import bloom_words
+
+    vs = [f"url-{i}" for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in vs], ["v"])
+    got = {r["word_idx"]: r["word"] for r in bloom_words(df, "v").collect()}
+    assert got == _py_bloom_words(vs)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from jassv2_spark.operators.sketch import bloom_merge, bloom_probe, bloom_words
+
+    vs = [f"url-{i}" for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in vs], ["v"])
+    lo, hi = df.where(F.col("v") < "url-3"), df.where(~(F.col("v") < "url-3"))
+    words = bloom_merge(bloom_words(lo, "v"), bloom_words(hi, "v"))
+    canon = lambda d: sorted(map(tuple, d.collect()))
+    assert canon(words) == canon(bloom_words(df, "v"))
+    probes = spark.createDataFrame(
+        [(v,) for v in vs[:50]] + [(f"absent-{i}",) for i in range(50)], ["v"]
+    )
+    got = {r["v"]: r["maybe_present"] for r in bloom_probe(words, probes, "v").collect()}
+    assert all(got[v] for v in vs[:50])  # no false negatives, ever
+    # m=4096/k=5/n=400 → fp rate ~2.6e-3; 50 absent probes: expect ~all false
+    assert sum(got[f"absent-{i}"] for i in range(50)) <= 2
