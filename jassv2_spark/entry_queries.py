@@ -94,6 +94,21 @@ RAW_QUERIES = [
     ("r05", "spark	join"),
 ]
 
+# Typo query set (operators/fuzzy.py): distance-1 insertions/deletions,
+# a typo that merges with a typed duplicate of its correction (q_tf sum),
+# a hopeless OOV (query drops entirely), and multi-typo queries. Whether a
+# given string is in-vocabulary is decided against the CORPUS vocabulary on
+# both engines, so the entry is self-consistent at any scale factor.
+FUZZY_QUERIES = [
+    ("f01", "spark joinn"),
+    ("f02", "hsh table scan"),
+    ("f03", "the fast quer"),
+    ("f04", "merg merge sort"),
+    ("f05", "zzzqqqxxx"),
+    ("f06", "windoww"),
+    ("f07", "vectr stream bg key"),
+]
+
 # ---------------------------------------------------------------- SQL CTEs
 
 _BASE = f"""
@@ -125,15 +140,15 @@ def _values_clause() -> str:
     return ", ".join(f"('{qid}', '{q}')" for qid, q in ENTRY_QUERIES)
 
 
-def _query_ctes(rho: float) -> str:
+def _post_qt_ctes(rho: float) -> str:
+    """Everything downstream of a `qt(query_id, term, q_tf)` CTE — split
+    out so oracles that construct qt differently (fuzzy correction, MLT,
+    RM3) reuse the identical segment/rescale/budget chain."""
     if rho < 1.0:
         keep = f"cum_postings <= floor(total_postings::DOUBLE * {repr(float(rho))})"
     else:
         keep = "TRUE"
     return f"""
-q(query_id, query) AS (VALUES {_values_clause()}),
-qtok AS (SELECT query_id, unnest(regexp_extract_all(lower(query), '{TOKEN_PATTERN}')) AS term FROM q),
-qt AS (SELECT query_id, term, count(*)::BIGINT AS q_tf FROM qtok GROUP BY query_id, term),
 qm AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM qt GROUP BY query_id),
 mseg AS (SELECT qt.query_id, qt.term, s.impact, s.seg_freq,
                 (s.impact * qt.q_tf)::BIGINT AS simpact
@@ -154,6 +169,13 @@ sseg AS (SELECT m.query_id, m.term, m.impact, m.seg_freq, m.simpact,
   FROM mseg m JOIN qagg qa USING (query_id) JOIN qm USING (query_id)),
 kept AS (SELECT * FROM sseg WHERE {keep})
 """
+
+
+def _query_ctes(rho: float) -> str:
+    return f"""
+q(query_id, query) AS (VALUES {_values_clause()}),
+qtok AS (SELECT query_id, unnest(regexp_extract_all(lower(query), '{TOKEN_PATTERN}')) AS term FROM q),
+qt AS (SELECT query_id, term, count(*)::BIGINT AS q_tf FROM qtok GROUP BY query_id, term),""" + _post_qt_ctes(rho)
 
 
 _TOPK_CTES = """
@@ -366,6 +388,89 @@ def registry() -> dict[str, tuple]:
     r["jass_topk_sharded"] = (
         _topk_sharded,
         _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
+    )
+
+    # SymSpell-style spelling correction (operators/fuzzy.py): OOV query
+    # terms replaced by their best distance-1 vocabulary term (df DESC,
+    # term ASC tie-break) before the ordinary segment pipeline. Spark
+    # generates candidates with a deletion-neighborhood EQUI-join (never a
+    # quadratic vocab scan); the oracle states the brute-force
+    # levenshtein<=1 definition directly — their equivalence is the claim
+    # verified (the deletion-variant sharing test is complete for dist<=1).
+    def _fuzzy_topk(spark, sf):
+        from jassv2_spark.operators.fuzzy import search_fuzzy
+
+        return search_fuzzy(
+            get_index(spark, sf),
+            spark.createDataFrame(FUZZY_QUERIES, ["query_id", "query"]),
+            k=K,
+            with_keys=False,
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _fuzzy_values = ", ".join(f"('{qid}', '{q}')" for qid, q in FUZZY_QUERIES)
+    _FUZZY_QT = f"""
+q(query_id, query) AS (VALUES {_fuzzy_values}),
+qtok AS (SELECT query_id, unnest(regexp_extract_all(lower(query), '{TOKEN_PATTERN}')) AS term FROM q),
+qt0 AS (SELECT query_id, term, count(*)::BIGINT AS q_tf FROM qtok GROUP BY query_id, term),
+iv AS (SELECT * FROM qt0 WHERE term IN (SELECT term FROM dfx)),
+oov AS (SELECT * FROM qt0 WHERE term NOT IN (SELECT term FROM dfx)),
+fcand AS (SELECT o.term AS probe, v.term AS corrected, v.df
+          FROM (SELECT DISTINCT term FROM oov) o
+          JOIN dfx v ON levenshtein(o.term, v.term) <= 1),
+fbest AS (SELECT probe, corrected FROM (
+            SELECT probe, corrected,
+                   row_number() OVER (PARTITION BY probe
+                                      ORDER BY df DESC, corrected ASC) AS rn
+            FROM fcand) WHERE rn = 1),
+qt AS (SELECT query_id, term, sum(q_tf)::BIGINT AS q_tf FROM (
+         SELECT query_id, term, q_tf FROM iv
+         UNION ALL
+         SELECT o.query_id, b.corrected AS term, o.q_tf
+         FROM oov o JOIN fbest b ON b.probe = o.term)
+       GROUP BY query_id, term),""" + _post_qt_ctes(1.0)
+    r["jass_fuzzy_topk"] = (
+        _fuzzy_topk,
+        _sql(_BASE, _FUZZY_QT, _TOPK_CTES) + _topk_select,
+    )
+
+    # The candidate generator itself, against the real corpus vocabulary:
+    # top-5 distance<=1 candidates per probe, (dist ASC, df DESC, term ASC).
+    _FUZZY_PROBES = ["joinn", "hsh", "quer", "merg", "windoww", "spark", "bg"]
+
+    def _fuzzy_cand(spark, sf):
+        from jassv2_spark.operators.fuzzy import fuzzy_term_candidates
+
+        idx = get_index(spark, sf)
+        probes = spark.createDataFrame([(p,) for p in _FUZZY_PROBES], ["probe"])
+        return fuzzy_term_candidates(
+            idx.term_stats.select("term", "df"), probes, n=5
+        ).select(
+            "probe",
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("dist").cast("long").alias("dist"),
+            F.col("cand_rank").cast("long").alias("cand_rank"),
+        )
+
+    _probe_values = ", ".join(f"('{p}')" for p in _FUZZY_PROBES)
+    _FUZZY_CAND_CTES = f"""
+probes(probe) AS (VALUES {_probe_values}),
+pcand AS (SELECT p.probe, v.term, v.df, levenshtein(p.probe, v.term)::BIGINT AS dist
+          FROM probes p JOIN dfx v ON levenshtein(p.probe, v.term) <= 1),
+pranked AS (SELECT probe, term, df, dist,
+                   (row_number() OVER (PARTITION BY probe
+                                       ORDER BY dist ASC, df DESC, term ASC))::BIGINT AS cand_rank
+            FROM pcand)
+"""
+    r["jass_fuzzy_candidates"] = (
+        _fuzzy_cand,
+        _sql(_BASE, _FUZZY_CAND_CTES)
+        + " SELECT probe, term, df, dist, cand_rank FROM pranked WHERE cand_rank <= 5",
     )
 
     # Static pruning / champion lists (operators/prune.py): serve only each

@@ -1,0 +1,129 @@
+"""Fuzzy vocabulary lookup via deletion neighborhoods (SymSpell-style).
+
+The reference drops out-of-vocabulary query terms silently
+(`anytime/JASS_anytime_api.cpp:493-495` — a vocab miss contributes
+nothing), so a typo simply loses its term. Real serving stacks layer
+spelling correction in front of the vocabulary; the standard
+index-friendly method is the deletion neighborhood (Garbe's SymSpell,
+public domain): for edit distance ≤ 1, two strings s, t with
+levenshtein(s, t) ≤ 1 ALWAYS share a member of
+    D(x) = {x} ∪ {x with one character deleted}
+(equal → x itself; deletion/insertion → the shorter string; substitution
+→ both sides deleting the differing position). So candidate generation is
+an EQUI-join on deletion variants — never a quadratic all-pairs
+levenshtein scan over the vocabulary — followed by an exact levenshtein
+verification that kills the false positives the shared-variant test
+admits (e.g. transpositions at distance 2).
+
+Scale shape: the vocab side explodes to (len+1) variants per term — a
+vocabulary-sized map pass feeding one equi-join keyed on the variant
+string; the probe side is tiny and broadcast. No postings are touched
+until a corrected term enters the ordinary serve path
+(`search_from_terms`), where segment pruning/ρ/WAND all apply unchanged.
+
+Everything is JVM expressions (higher-order `transform` over a
+`sequence`, `levenshtein`) — no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from jassv2_spark.operators.build import Index
+from jassv2_spark.operators.search import DEFAULT_K, parse_queries, search_from_terms
+
+N_CANDIDATES_DEFAULT = 5
+
+
+def deletion_variants(col: str) -> Column:
+    """array<string>: the named column's value plus every single-character
+    deletion, de-duplicated (e.g. 'aa' yields ['aa', 'a'])."""
+    return F.expr(
+        f"array_distinct(concat(array({col}), "
+        f"transform(sequence(1, length({col})), p -> "
+        f"concat(substring({col}, 1, p - 1), substring({col}, p + 1, length({col}) - p)))))"
+    )
+
+
+def _variants_of(df: DataFrame, col: str) -> DataFrame:
+    """Explode df[col] into (variant, <other cols>)."""
+    return df.select(
+        F.explode(deletion_variants(col)).alias("variant"), *df.columns
+    )
+
+
+def fuzzy_term_candidates(
+    term_stats: DataFrame,
+    probes: DataFrame,
+    n: int = N_CANDIDATES_DEFAULT,
+) -> DataFrame:
+    """(probe, term, df, dist, cand_rank): for each probe string, the top-n
+    vocabulary terms within levenshtein distance 1, ranked by
+    (dist ASC, df DESC, term ASC) — exact match first, then the most
+    frequent correction, deterministic tie-break.
+
+    `term_stats` is the index's (term, df) table; `probes` carries a
+    `probe` string column (tiny — broadcast)."""
+    vocab_v = _variants_of(term_stats.select("term", "df"), "term")
+    probe_v = _variants_of(probes.select("probe"), "probe").select("variant", "probe")
+    cand = (
+        vocab_v.join(F.broadcast(probe_v), "variant")
+        .select("probe", "term", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein("probe", "term").cast("long"))
+        .where(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("probe").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("cand_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("cand_rank") <= n)
+        .select("probe", "term", F.col("df").cast("long").alias("df"), "dist", "cand_rank")
+    )
+
+
+def correct_query_terms(index: Index, q_terms: DataFrame) -> DataFrame:
+    """(query_id, term, q_tf) with each OOV term replaced by its best
+    in-vocabulary correction at distance 1 (df DESC, term ASC tie-break);
+    OOV terms with no candidate drop, exactly like the reference's silent
+    vocab-miss. Corrections landing on a term the query already holds
+    merge their q_tf."""
+    stats = index.term_stats.select("term", "df")
+    in_vocab = q_terms.join(stats.select("term"), "term", "left_semi")
+    oov = q_terms.join(stats.select("term"), "term", "left_anti")
+    cand = fuzzy_term_candidates(
+        stats, oov.select(F.col("term").alias("probe")).distinct(), n=1
+    ).where(F.col("cand_rank") == 1).select(
+        "probe", F.col("term").alias("corrected")
+    )
+    fixed = (
+        oov.withColumnRenamed("term", "probe")
+        .join(F.broadcast(cand), "probe")
+        .select("query_id", F.col("corrected").alias("term"), "q_tf")
+    )
+    return (
+        in_vocab.select("query_id", "term", "q_tf")
+        .unionByName(fixed)
+        .groupBy("query_id", "term")
+        .agg(F.sum("q_tf").cast("long").alias("q_tf"))
+    )
+
+
+def search_fuzzy(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    rho: float = 1.0,
+    with_keys: bool = True,
+) -> DataFrame:
+    """Anytime top-k with OOV query terms spell-corrected (distance ≤ 1)
+    before the ordinary segment pipeline. In-vocabulary terms are served
+    exactly as typed — corrections never override the user."""
+    q_terms, _ = parse_queries(
+        queries, tokenizer=index.conf.tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    qt2 = correct_query_terms(index, q_terms)
+    qm2 = qt2.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    return search_from_terms(index, qt2, qm2, k=k, rho=rho, with_keys=with_keys)

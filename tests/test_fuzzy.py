@@ -1,0 +1,118 @@
+"""Fuzzy vocabulary lookup: deletion-neighborhood completeness vs brute
+levenshtein, correction semantics in search, OOV-drop parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jassv2_spark.operators.build import BuildConf, build_index
+from jassv2_spark.operators.fuzzy import (
+    correct_query_terms,
+    fuzzy_term_candidates,
+    search_fuzzy,
+)
+from jassv2_spark.operators.search import parse_queries, search
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+VOCAB = [
+    ("spark", 40), ("spa", 2), ("sprk", 1), ("join", 30), ("joint", 5),
+    ("coin", 7), ("table", 25), ("cable", 9), ("tale", 3), ("ab", 2),
+    ("ba", 2), ("query", 12),
+]
+
+
+@pytest.fixture(scope="module")
+def stats(spark):
+    return spark.createDataFrame(VOCAB, ["term", "df"])
+
+
+def test_candidates_complete_vs_brute_force(spark, stats):
+    probes = ["spakr", "spark", "jon", "tabel", "queryy", "zzzzz", "ab"]
+    got = fuzzy_term_candidates(
+        stats, spark.createDataFrame([(p,) for p in probes], ["probe"]), n=100
+    ).collect()
+    got_pairs = {(r["probe"], r["term"], r["dist"]) for r in got}
+    want_pairs = {
+        (p, t, _lev(p, t)) for p in probes for t, _ in VOCAB if _lev(p, t) <= 1
+    }
+    assert got_pairs == want_pairs
+    # transposition 'ab' vs 'ba' is distance 2 → must NOT appear
+    assert ("ab", "ba", 2) not in got_pairs and all(d <= 1 for _, _, d in got_pairs)
+
+
+def test_candidate_ranking(spark, stats):
+    got = fuzzy_term_candidates(
+        stats, spark.createDataFrame([("joinx",)], ["probe"]), n=2
+    ).collect()
+    ranked = sorted(got, key=lambda r: r["cand_rank"])
+    # dist-1 candidates 'join'(30) and 'joint'(5): df DESC
+    assert [r["term"] for r in ranked] == ["join", "joint"]
+
+
+def test_exact_match_ranks_first(spark, stats):
+    got = fuzzy_term_candidates(
+        stats, spark.createDataFrame([("spark",)], ["probe"]), n=3
+    ).collect()
+    first = min(got, key=lambda r: r["cand_rank"])
+    assert first["term"] == "spark" and first["dist"] == 0
+
+
+@pytest.fixture(scope="module")
+def tiny_index(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join table"),
+            (2, "spark spark query"),
+            (3, "join query table table"),
+            (4, "cable coin"),
+        ],
+        ["doc_id", "text"],
+    )
+    return build_index(
+        docs, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+        conf=BuildConf(tokenizer="parity"),
+    )
+
+
+def test_correction_merges_qtf_and_drops_hopeless(spark, tiny_index):
+    q = spark.createDataFrame([("q1", "spark sparkk zzzzzzz")], ["query_id", "query"])
+    qt, _ = parse_queries(q, tokenizer="parity")
+    got = {r["term"]: r["q_tf"] for r in correct_query_terms(tiny_index, qt).collect()}
+    # 'sparkk' corrects to 'spark' (dist 1) and merges with the typed 'spark'
+    assert got == {"spark": 2}
+
+
+def test_fuzzy_search_equals_corrected_plain_search(spark, tiny_index):
+    typo = spark.createDataFrame(
+        [("q1", "sparkk joim"), ("q2", "tabl"), ("q3", "zzzzzzz")],
+        ["query_id", "query"],
+    )
+    fixed = spark.createDataFrame(
+        [("q1", "spark join"), ("q2", "table")], ["query_id", "query"]
+    )
+    got = sorted(
+        map(tuple, search_fuzzy(tiny_index, typo, k=5, with_keys=False).collect())
+    )
+    want = sorted(
+        map(tuple, search(tiny_index, fixed, k=5, with_keys=False).collect())
+    )
+    assert got == want  # q3 has no correction → no rows, like plain OOV
+
+
+def test_in_vocab_term_is_never_overridden(spark, tiny_index):
+    # 'coin' is in-vocab (dist 1 from 'join') → must be served as typed
+    q = spark.createDataFrame([("q1", "coin")], ["query_id", "query"])
+    got = sorted(
+        map(tuple, search_fuzzy(tiny_index, q, k=5, with_keys=False).collect())
+    )
+    want = sorted(map(tuple, search(tiny_index, q, k=5, with_keys=False).collect()))
+    assert got == want and len(got) == 1  # only doc 4 holds 'coin'
