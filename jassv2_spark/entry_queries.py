@@ -473,6 +473,125 @@ pranked AS (SELECT probe, term, df, dist,
         + " SELECT probe, term, df, dist, cand_rank FROM pranked WHERE cand_rank <= 5",
     )
 
+    # More-like-this (operators/mlt.py): the query is DERIVED from a seed
+    # document — its top-25 terms by tf·idf (ln driver-side, repo
+    # determinism standard) — then served through the unchanged segment
+    # pipeline with q_tf=1, seed excluded from its own results.
+    _MLT_SEEDS = [3, 57, 111]
+
+    def _mlt_topk(spark, sf):
+        from jassv2_spark.operators.mlt import more_like_this
+
+        return more_like_this(
+            get_index(spark, sf), _MLT_SEEDS, k=K, with_keys=False
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _seed_list = ", ".join(str(s) for s in _MLT_SEEDS)
+    _MLT_QT = f"""
+mltw AS (SELECT t.doc_id AS seed, t.term,
+                t.tf::DOUBLE * ln(nn.n::DOUBLE / f.df::DOUBLE) AS w
+         FROM tfx t JOIN dfx f USING (term), nn
+         WHERE t.doc_id IN ({_seed_list})),
+mlts AS (SELECT seed, term FROM (
+           SELECT seed, term,
+                  row_number() OVER (PARTITION BY seed
+                                     ORDER BY w DESC, term ASC) AS rn
+           FROM mltw) WHERE rn <= 25),
+qt AS (SELECT 'm' || seed::VARCHAR AS query_id, term, 1::BIGINT AS q_tf FROM mlts),
+seedmap AS (SELECT DISTINCT 'm' || seed::VARCHAR AS query_id, seed FROM mlts),""" + _post_qt_ctes(1.0)
+    _MLT_TOPK_CTES = """
+hits AS (SELECT k.query_id, i.doc_id, sum(k.scaled)::BIGINT AS rsv
+         FROM kept k JOIN imp i ON i.term = k.term AND i.impact = k.impact
+         JOIN seedmap sm ON sm.query_id = k.query_id
+         WHERE i.doc_id <> sm.seed
+         GROUP BY k.query_id, i.doc_id),
+ranked AS (SELECT query_id, doc_id, rsv,
+                  (row_number() OVER (PARTITION BY query_id ORDER BY rsv DESC, doc_id DESC))::BIGINT AS rank
+           FROM hits)
+"""
+    r["jass_mlt_topk"] = (
+        _mlt_topk,
+        _sql(_BASE, _MLT_QT, _MLT_TOPK_CTES) + _topk_select,
+    )
+
+    # Faceted result counts (operators/facets.py): per-(query, facet)
+    # roll-up of EVERY document the anytime pipeline touches (rsv > 0),
+    # not just the served page — counts, rsv mass, and facet rank.
+    def _facets_fn(col):
+        def fn(spark, sf):
+            from jassv2_spark.operators.facets import facet_counts
+
+            return facet_counts(
+                get_index(spark, sf), _queries_df(spark), _docs(spark, sf), col
+            )
+
+        return fn
+
+    def _facets_sql(col: str) -> str:
+        return (
+            _sql(
+                _BASE,
+                _query_ctes(1.0),
+                _TOPK_CTES,
+                f"""
+fac AS (SELECT h.query_id, d.{col} AS facet, count(*)::BIGINT AS n_hits,
+               sum(h.rsv)::BIGINT AS sum_rsv, max(h.rsv)::BIGINT AS max_rsv
+        FROM hits h JOIN documents d USING (doc_id)
+        GROUP BY h.query_id, d.{col}),
+franked AS (SELECT query_id, facet, n_hits, sum_rsv, max_rsv,
+                   (row_number() OVER (PARTITION BY query_id
+                                       ORDER BY n_hits DESC, facet ASC))::BIGINT AS facet_rank
+            FROM fac)
+""",
+            )
+            + " SELECT query_id, facet, n_hits, sum_rsv, max_rsv, facet_rank FROM franked"
+        )
+
+    r["jass_facets_lang"] = (_facets_fn("lang"), _facets_sql("lang"))
+    r["jass_facets_source"] = (_facets_fn("source"), _facets_sql("source"))
+
+    # LTR feature extraction (operators/ltr.py): one row per (query, top-k
+    # candidate) with exact-integer match features from the index's own
+    # postings/vocab (idf as floor-micros fixed point, ln driver-side).
+    def _ltr(spark, sf):
+        from jassv2_spark.operators.ltr import ltr_features
+
+        return ltr_features(get_index(spark, sf), _queries_df(spark), k=K)
+
+    _LTR_CTES = """
+cand AS (SELECT query_id, doc_id, rsv, rank FROM ranked WHERE rank <= 10),
+idfm AS (SELECT df, floor(1e6 * ln(nn.n::DOUBLE / df::DOUBLE))::BIGINT AS idf_micros
+         FROM (SELECT DISTINCT df FROM dfx), nn),
+mt AS (SELECT c.query_id, c.doc_id, q.q_tf, t.tf, f.df, im.idf_micros
+       FROM cand c
+       JOIN qt q ON q.query_id = c.query_id
+       JOIN tfx t ON t.doc_id = c.doc_id AND t.term = q.term
+       JOIN dfx f ON f.term = q.term
+       JOIN idfm im ON im.df = f.df),
+fagg AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_matched,
+                sum(tf)::BIGINT AS sum_tf, max(tf)::BIGINT AS max_tf,
+                sum(q_tf * tf)::BIGINT AS sum_qtf_tf,
+                sum(idf_micros)::BIGINT AS idf_micros_sum,
+                min(df)::BIGINT AS min_df
+         FROM mt GROUP BY query_id, doc_id)
+"""
+    r["jass_ltr_features"] = (
+        _ltr,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _LTR_CTES)
+        + """ SELECT c.query_id, c.doc_id, c.rsv, c.rank, d.dl::BIGINT AS dl,
+                     qm.n_terms, g.n_matched, g.sum_tf, g.max_tf, g.sum_qtf_tf,
+                     g.idf_micros_sum, g.min_df
+              FROM cand c
+              JOIN fagg g USING (query_id, doc_id)
+              JOIN dlx d USING (doc_id)
+              JOIN qm USING (query_id)""",
+    )
+
     # Static pruning / champion lists (operators/prune.py): serve only each
     # term's top-m postings by (impact DESC, doc_id ASC). Spark slices at
     # the segment level (no postings window); the oracle states the

@@ -1,0 +1,118 @@
+"""More-like-this: query-by-document over the impact-ordered index.
+
+The reference serves typed queries only (`anytime/JASS_anytime.cpp` reads a
+topic channel); "find documents like this one" is the standard
+search-engine companion (Lucene's MoreLikeThis). This engine derives the
+query FROM the index itself:
+
+1. Seed terms: the seed document's saturated tf rows (`Index.postings`)
+   weighted tf·idf with idf = ln(N/df); keep the top-m terms per seed by
+   (weight DESC, term ASC).
+2. Serve the m-term query through the UNCHANGED segment pipeline
+   (gather_segments → accumulate) with q_tf = 1 per selected term — the
+   impact scores already encode within-document salience, so boosting by
+   the seed's tf would double-count it (same reasoning as Lucene's default
+   boost=false).
+3. Exclude the seed itself from its own result list (it would otherwise
+   rank first by construction), then the ordinary (rsv DESC, doc_id DESC)
+   top-k.
+
+Determinism: the only float is the tf·idf selection weight; ln() is
+evaluated DRIVER-side per distinct df (CPython/glibc — bitwise equal to
+DuckDB's ln, the repo standard established in build.py:408-417) and
+tf·idf is a single IEEE multiply, so term selection is exactly
+reproducible by any engine with the same ln. Ties by term ASC.
+
+Scale shape: seeds are a tiny broadcast list probing `postings` (a
+semi-join that prunes to ≤ seeds·dl rows); the per-seed top-m window
+partitions by seed (thousands of seeds → thousands of partitions, no
+skew); everything downstream is the ordinary serve path, whose costs and
+pruning are unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jassv2_spark.operators.build import Index
+from jassv2_spark.operators.search import (
+    DEFAULT_K,
+    _accumulate_hits,
+    gather_segments,
+)
+
+DEFAULT_M = 25  # Lucene MoreLikeThis maxQueryTerms default
+
+
+def mlt_query_terms(
+    index: Index, seed_ids: list[int], m: int = DEFAULT_M
+) -> DataFrame:
+    """(query_id, seed, term, q_tf): the derived query for each seed doc —
+    its top-m terms by tf·idf (weight DESC, term ASC), q_tf = 1.
+    query_id is 'm<seed doc_id>'."""
+    spark = index.spark
+    seeds = [int(s) for s in seed_ids]
+    pool = index.postings.where(F.col("doc_id").isin(seeds)).join(
+        index.term_stats.select("term", "df"), "term"
+    )
+
+    # driver-side ln per distinct df (repo determinism standard)
+    df_vals = [r[0] for r in pool.select("df").distinct().collect()]
+    n = float(index.n_docs)
+    idf_rows = [(int(d), math.log(n / float(d))) for d in df_vals]
+    if not idf_rows:
+        return spark.createDataFrame(
+            [], schema="query_id string, seed long, term string, q_tf long"
+        )
+    idf_map = F.broadcast(
+        spark.createDataFrame(idf_rows, schema="df long, idf double")
+    )
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("term").asc()
+    )
+    return (
+        pool.join(idf_map, "df")
+        .withColumn("weight", F.col("tf").cast("double") * F.col("idf"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= m)
+        .select(
+            F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("query_id"),
+            F.col("doc_id").alias("seed"),
+            "term",
+            F.lit(1).cast("long").alias("q_tf"),
+        )
+    )
+
+
+def more_like_this(
+    index: Index,
+    seed_ids: list[int],
+    k: int = DEFAULT_K,
+    m: int = DEFAULT_M,
+    rho: float = 1.0,
+    with_keys: bool = True,
+) -> DataFrame:
+    """Top-k documents most similar to each seed document
+    (query_id='m<seed>', doc_id, [key,] rsv, rank), seed excluded."""
+    qt = mlt_query_terms(index, seed_ids, m=m).cache()
+    q_terms = qt.select("query_id", "term", "q_tf")
+    q_meta = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    seg = gather_segments(index, q_terms, q_meta, rho=rho)
+    seed_map = qt.select("query_id", "seed").distinct()
+    hits = _accumulate_hits(index, q_terms, seg).join(
+        F.broadcast(seed_map), "query_id"
+    ).where(F.col("doc_id") != F.col("seed"))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("doc_id").desc()
+    )
+    topk = hits.withColumn("rank", F.row_number().over(wk)).where(
+        F.col("rank") <= F.lit(k)
+    )
+    if with_keys:
+        topk = F.broadcast(topk).join(index.doc_map, "doc_id")
+        return topk.select("query_id", "doc_id", "key", "rsv", "rank")
+    return topk.select("query_id", "doc_id", "rsv", "rank")
