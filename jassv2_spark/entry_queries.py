@@ -519,6 +519,92 @@ ranked AS (SELECT query_id, doc_id, rsv,
         _sql(_BASE, _MLT_QT, _MLT_TOPK_CTES) + _topk_select,
     )
 
+    # Filtered search (operators/filtered.py): results restricted to a
+    # metadata-defined doc set (post-filter semantics: rsv unchanged,
+    # ranks within the filtered set).
+    def _topk_filtered(spark, sf):
+        from jassv2_spark.operators.filtered import search_filtered
+
+        docs = _docs(spark, sf)
+        return search_filtered(
+            get_index(spark, sf),
+            _queries_df(spark),
+            docs.where(F.col("lang") == "en"),
+            k=K,
+            with_keys=False,
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _FILTER_CTES = """
+fhits AS (SELECT h.query_id, h.doc_id, h.rsv
+          FROM hits h JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+frank AS (SELECT query_id, doc_id, rsv,
+                 (row_number() OVER (PARTITION BY query_id ORDER BY rsv DESC, doc_id DESC))::BIGINT AS rank
+          FROM fhits)
+"""
+    r["jass_topk_filtered"] = (
+        _topk_filtered,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _FILTER_CTES)
+        + f" SELECT query_id, doc_id, rsv, rank FROM frank WHERE rank <= {K}",
+    )
+
+    # Negated search (operators/filtered.py): '-term' strict NOT — docs
+    # containing ANY negated term are excluded; negated terms never count
+    # toward n_terms (the rescale divisor).
+    NEG_QUERIES = [
+        ("n01", "spark -join"),
+        ("n02", "table -hash -scan"),
+        ("n03", "query window"),
+        ("n04", "merge -zzznotaword"),
+        ("n05", "-spark"),
+    ]
+
+    def _topk_not(spark, sf):
+        from jassv2_spark.operators.filtered import search_negated
+
+        return search_negated(
+            get_index(spark, sf),
+            spark.createDataFrame(NEG_QUERIES, ["query_id", "query"]),
+            k=K,
+            with_keys=False,
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _neg_values = ", ".join(f"('{qid}', '{q}')" for qid, q in NEG_QUERIES)
+    _NEG_QT = f"""
+q(query_id, query) AS (VALUES {_neg_values}),
+qw AS (SELECT query_id, unnest(string_split_regex(query, ' +')) AS w FROM q),
+qpos AS (SELECT query_id, unnest(regexp_extract_all(lower(w), '{TOKEN_PATTERN}')) AS term
+         FROM qw WHERE w <> '' AND NOT starts_with(w, '-')),
+qt AS (SELECT query_id, term, count(*)::BIGINT AS q_tf FROM qpos GROUP BY query_id, term),
+qneg AS (SELECT DISTINCT query_id, term FROM (
+           SELECT query_id, unnest(regexp_extract_all(lower(substring(w, 2)), '{TOKEN_PATTERN}')) AS term
+           FROM qw WHERE starts_with(w, '-'))),""" + _post_qt_ctes(1.0)
+    _NEG_TOPK_CTES = """
+hits AS (SELECT k.query_id, i.doc_id, sum(k.scaled)::BIGINT AS rsv
+         FROM kept k JOIN imp i ON i.term = k.term AND i.impact = k.impact
+         GROUP BY k.query_id, i.doc_id),
+ex AS (SELECT DISTINCT n.query_id, i2.doc_id FROM qneg n JOIN imp i2 ON i2.term = n.term),
+nhits AS (SELECT h.* FROM hits h
+          WHERE NOT EXISTS (SELECT 1 FROM ex e
+                            WHERE e.query_id = h.query_id AND e.doc_id = h.doc_id)),
+ranked AS (SELECT query_id, doc_id, rsv,
+                  (row_number() OVER (PARTITION BY query_id ORDER BY rsv DESC, doc_id DESC))::BIGINT AS rank
+           FROM nhits)
+"""
+    r["jass_topk_not"] = (
+        _topk_not,
+        _sql(_BASE, _NEG_QT, _NEG_TOPK_CTES) + _topk_select,
+    )
+
     # Faceted result counts (operators/facets.py): per-(query, facet)
     # roll-up of EVERY document the anytime pipeline touches (rsv > 0),
     # not just the served page — counts, rsv mass, and facet rank.
