@@ -641,6 +641,69 @@ franked AS (SELECT query_id, facet, n_hits, sum_rsv, max_rsv,
     r["jass_facets_lang"] = (_facets_fn("lang"), _facets_sql("lang"))
     r["jass_facets_source"] = (_facets_fn("source"), _facets_sql("source"))
 
+    # MMR diversification (operators/mmr.py): greedy embedding-aware
+    # re-rank of the anytime top-30 pool. Exactness recipe: embeddings are
+    # integer-quantized so every dot product is a sum of integers — exact
+    # in float64 under ANY summation order — making cosines bitwise equal
+    # across numpy / DuckDB with no rounding hacks. The oracle unrolls the
+    # greedy loop as k chained CTE steps.
+    def _mmr(spark, sf):
+        from jassv2_spark.operators.mmr import mmr_rerank
+
+        return mmr_rerank(
+            get_index(spark, sf), _queries_df(spark), _emb(spark, sf), k=K, pool=30
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("step").cast("long").alias("step"),
+        )
+
+    def _mmr_sql(k: int = K, pool: int = 30) -> str:
+        lam = _flit(0.7)
+        oml = _flit(1.0 - 0.7)
+        parts = [
+            f"""
+cand AS MATERIALIZED (SELECT query_id, doc_id, rsv FROM ranked WHERE rank <= {pool}),
+qv AS (SELECT vec_id AS doc_id,
+              list_transform(embedding::DOUBLE[], x -> floor(x * 1e3 + 5e-1)) AS v
+       FROM embeddings),
+ce AS (SELECT c.query_id, c.doc_id, c.rsv, q.v FROM cand c JOIN qv q USING (doc_id)),
+nr AS (SELECT query_id, doc_id, rsv, v, sqrt(list_dot_product(v, v)) AS nv FROM ce),
+sims AS MATERIALIZED (SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+                list_dot_product(a.v, b.v) / (a.nv * b.nv) AS cos
+         FROM nr a JOIN nr b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+rel AS MATERIALIZED (SELECT query_id, doc_id, rsv, rsv::DOUBLE / 255e0 AS r FROM nr),
+sel1 AS MATERIALIZED (SELECT query_id, doc_id, 1::BIGINT AS step FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY r DESC, doc_id DESC) AS rn
+           FROM rel) WHERE rn = 1)"""
+        ]
+        prev = "sel1"
+        for i in range(2, k + 1):
+            parts.append(
+                f""",
+m{i} AS (SELECT s.query_id, s.da AS doc_id, max(s.cos) AS m
+        FROM sims s JOIN {prev} t ON t.query_id = s.query_id AND t.doc_id = s.db
+        GROUP BY s.query_id, s.da),
+p{i} AS (SELECT m.query_id, m.doc_id,
+               row_number() OVER (PARTITION BY m.query_id
+                                  ORDER BY ({lam} * r.r - {oml} * m.m) DESC, m.doc_id DESC) AS rn
+        FROM m{i} m JOIN rel r ON r.query_id = m.query_id AND r.doc_id = m.doc_id
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} t
+                          WHERE t.query_id = m.query_id AND t.doc_id = m.doc_id)),
+s{i} AS (SELECT query_id, doc_id, {i}::BIGINT AS step FROM p{i} WHERE rn = 1),
+sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM s{i})"""
+            )
+            prev = f"sel{i}"
+        return (
+            _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, "".join(parts))
+            + f""" SELECT s.query_id, s.doc_id, rel.rsv, s.step
+FROM {prev} s JOIN rel ON rel.query_id = s.query_id AND rel.doc_id = s.doc_id"""
+        )
+
+    r["jass_mmr_topk"] = (_mmr, _mmr_sql())
+
     # LTR feature extraction (operators/ltr.py): one row per (query, top-k
     # candidate) with exact-integer match features from the index's own
     # postings/vocab (idf as floor-micros fixed point, ln driver-side).
