@@ -641,6 +641,50 @@ franked AS (SELECT query_id, facet, n_hits, sum_rsv, max_rsv,
     r["jass_facets_lang"] = (_facets_fn("lang"), _facets_sql("lang"))
     r["jass_facets_source"] = (_facets_fn("source"), _facets_sql("source"))
 
+    # Query performance prediction (operators/qpp.py): pre-retrieval
+    # difficulty features per query from index stats alone (idf/SCQ in
+    # floor-micros fixed point, ln driver-side; scope as ppm of N).
+    def _qpp(spark, sf):
+        from jassv2_spark.operators.qpp import qpp_features
+
+        return qpp_features(get_index(spark, sf), _queries_df(spark))
+
+    _QPP_CTES = (
+        _QPARSE_CTES.format(values=_values_clause())
+        + f""",
+qm AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM qt GROUP BY query_id),
+ctfx AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tfx GROUP BY term),
+st AS (SELECT qt.query_id, qt.term, f.df, c.ctf
+       FROM qt JOIN dfx f USING (term) JOIN ctfx c USING (term)),
+lut AS (SELECT df, ctf,
+               floor(1e6 * ln(nn.n::DOUBLE / df::DOUBLE))::BIGINT AS idf_micros,
+               floor(1e6 * ((1e0 + ln(ctf::DOUBLE)) * ln(1e0 + nn.n::DOUBLE / df::DOUBLE)))::BIGINT AS scq_micros
+        FROM (SELECT DISTINCT df, ctf FROM st), nn),
+perq AS (SELECT query_id, count(*)::BIGINT AS n_vocab,
+                sum(idf_micros)::BIGINT AS sum_idf_micros,
+                max(idf_micros)::BIGINT AS max_idf_micros,
+                sum(scq_micros)::BIGINT AS sum_scq_micros,
+                max(scq_micros)::BIGINT AS max_scq_micros
+         FROM st JOIN lut USING (df, ctf) GROUP BY query_id),
+scp AS (SELECT s.query_id, floor(1e6 * s.n_union::DOUBLE / nn.n::DOUBLE)::BIGINT AS scope_ppm
+        FROM (SELECT qt.query_id, count(DISTINCT t.doc_id) AS n_union
+              FROM qt JOIN tfx t USING (term) GROUP BY qt.query_id) s, nn)
+"""
+    )
+    r["jass_qpp_features"] = (
+        _qpp,
+        _sql(_BASE, _QPP_CTES)
+        + """ SELECT qm.query_id, qm.n_terms,
+                     coalesce(p.n_vocab, 0) AS n_vocab,
+                     coalesce(p.sum_idf_micros, 0) AS sum_idf_micros,
+                     coalesce(p.max_idf_micros, 0) AS max_idf_micros,
+                     coalesce(p.sum_scq_micros, 0) AS sum_scq_micros,
+                     coalesce(p.max_scq_micros, 0) AS max_scq_micros,
+                     coalesce(s.scope_ppm, 0) AS scope_ppm
+              FROM qm LEFT JOIN perq p USING (query_id)
+              LEFT JOIN scp s USING (query_id)""",
+    )
+
     # MMR diversification (operators/mmr.py): greedy embedding-aware
     # re-rank of the anytime top-30 pool. Exactness recipe: embeddings are
     # integer-quantized so every dot product is a sum of integers — exact
