@@ -1725,6 +1725,25 @@ FROM nrel n FULL OUTER JOIN nret t ON t.query_id = n.query_id
         return dedup_cluster_assign(_docs(spark, sf), n=3, num_hashes=16, bands=4)
 
     r["dedup_clusters"] = (_clusters, _clusters_sql())
+
+    # Leakage-safe split (operators/textstats.py): split hashed from the
+    # near-dup CLUSTER id, so a val doc can never have a near-identical
+    # twin in train. Same md5-prefix rule as text_split_assign, applied to
+    # the dedup_clusters closure.
+    def _leak_split(spark, sf):
+        from jassv2_spark.operators.textstats import leakage_safe_split
+
+        return leakage_safe_split(_docs(spark, sf), val_frac=0.1)
+
+    _ls_thresh = int(0.1 * (1 << 32))
+    r["text_split_leakage_safe"] = (
+        _leak_split,
+        f"""SELECT doc_id, cluster_id, cluster_size,
+                  CAST('0x' || substr(md5(cluster_id::VARCHAR), 1, 8) AS UBIGINT)::BIGINT AS bucket,
+                  CASE WHEN CAST('0x' || substr(md5(cluster_id::VARCHAR), 1, 8) AS UBIGINT)
+                            < {_ls_thresh} THEN 'val' ELSE 'train' END AS split
+           FROM ({_clusters_sql()}) c""",
+    )
     # SimHash oracle: DuckDB rebuilds the fingerprint bit-exactly — per-term
     # hash h = first 8 bytes of md5 (hex-cast to UBIGINT == big-endian),
     # per-bit weighted votes, bit set iff vote > 0, signed-64 reinterpret.

@@ -423,3 +423,51 @@ def split_assign(
         bucket.alias("bucket"),
         F.when(bucket < F.lit(thresh), F.lit("val")).otherwise(F.lit("train")).alias("split"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    val_frac: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, bucket, split): train/val split
+    that can never leak a near-duplicate across the boundary — the split
+    is hashed from the document's near-dup CLUSTER id (the MinHash-LSH
+    transitive closure, dedup.dedup_cluster_assign), so every member of a
+    cluster lands in the same split by construction.
+
+    This is the standard fix for the classic eval bug where a val document
+    has a near-identical twin in train (`split_assign` on raw ids cannot
+    prevent it). Same md5-prefix bucket rule as `split_assign`, applied to
+    cluster_id — singletons therefore split exactly like `split_assign`
+    on their own id.
+
+    Scale shape: clustering cost is the LSH-pairs + O(log diameter)
+    label-propagation closure (see dedup.connected_components); the split
+    itself is a per-row projection, no extra shuffle."""
+    from jassv2_spark.operators.dedup import dedup_cluster_assign
+
+    if clusters is None:
+        clusters = dedup_cluster_assign(
+            docs, text_col=text_col, id_col=id_col, n=n,
+            num_hashes=num_hashes, bands=bands,
+        )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string").cast("binary")), 1, 8),
+        16, 10,
+    ).cast("long")
+    thresh = int(val_frac * (1 << 32))
+    return clusters.select(
+        F.col(id_col),
+        "cluster_id",
+        "cluster_size",
+        bucket.alias("bucket"),
+        F.when(bucket < F.lit(thresh), F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
