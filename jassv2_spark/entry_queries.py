@@ -641,6 +641,41 @@ franked AS (SELECT query_id, facet, n_hits, sum_rsv, max_rsv,
     r["jass_facets_lang"] = (_facets_fn("lang"), _facets_sql("lang"))
     r["jass_facets_source"] = (_facets_fn("source"), _facets_sql("source"))
 
+    # Percolation (operators/percolate.py): incoming docs routed to
+    # registered standing queries — the inverse of serving (alerting at
+    # ingest). tf·idf routing score in exact integer micros; idf from the
+    # base index vocabulary, raw (unsaturated) incoming tf.
+    def _percolate(spark, sf):
+        from jassv2_spark.operators.percolate import percolate
+
+        return percolate(
+            get_index(spark, sf), _queries_df(spark), _docs(spark, sf), m=3
+        )
+
+    _PERC_CTES = (
+        _QPARSE_CTES.format(values=_values_clause())
+        + """,
+qm AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM qt GROUP BY query_id),
+pidf AS (SELECT term, floor(1e6 * ln(nn.n::DOUBLE / df::DOUBLE))::BIGINT AS idf_micros
+         FROM dfx, nn),
+psc AS (SELECT c.doc_id, qt.query_id,
+               sum(qt.q_tf * c.cnt * i.idf_micros)::BIGINT AS score_micros,
+               count(*)::BIGINT AS n_matched
+        FROM cnt c JOIN qt ON qt.term = c.term JOIN pidf i ON i.term = c.term
+        GROUP BY c.doc_id, qt.query_id),
+prk AS (SELECT s.doc_id, s.query_id, s.score_micros, s.n_matched, qm.n_terms,
+               (row_number() OVER (PARTITION BY s.doc_id
+                                   ORDER BY s.score_micros DESC, s.query_id ASC))::BIGINT AS q_rank
+        FROM psc s JOIN qm USING (query_id))
+"""
+    )
+    r["jass_percolate"] = (
+        _percolate,
+        _sql(_BASE, _PERC_CTES)
+        + " SELECT doc_id, query_id, score_micros, n_matched, n_terms, q_rank"
+        " FROM prk WHERE q_rank <= 3",
+    )
+
     # Query performance prediction (operators/qpp.py): pre-retrieval
     # difficulty features per query from index stats alone (idf/SCQ in
     # floor-micros fixed point, ln driver-side; scope as ppm of N).
