@@ -641,6 +641,35 @@ franked AS (SELECT query_id, facet, n_hits, sum_rsv, max_rsv,
     r["jass_facets_lang"] = (_facets_fn("lang"), _facets_sql("lang"))
     r["jass_facets_source"] = (_facets_fn("source"), _facets_sql("source"))
 
+    # Significant terms (operators/sigterms.py): vocabulary
+    # overrepresented in each query's full match set vs the collection —
+    # exact integer lift (no transcendentals), rank-stable tie-breaks.
+    def _sigterms(spark, sf):
+        from jassv2_spark.operators.sigterms import significant_terms
+
+        return significant_terms(get_index(spark, sf), _queries_df(spark), m=10, min_fg=2)
+
+    _SIG_CTES = """
+fgn AS (SELECT query_id, count(*)::BIGINT AS fg_n FROM hits GROUP BY query_id),
+fgd AS (SELECT h.query_id, t.term, count(*)::BIGINT AS fg_df
+        FROM hits h JOIN tfx t USING (doc_id)
+        GROUP BY h.query_id, t.term
+        HAVING count(*) >= 2),
+sig AS (SELECT f.query_id, f.term, f.fg_df, g.fg_n, d.df AS bg_df,
+               floor((1e6 * (f.fg_df * nn.n)::DOUBLE) / (d.df * g.fg_n)::DOUBLE)::BIGINT AS lift_micros
+        FROM fgd f JOIN fgn g USING (query_id) JOIN dfx d ON d.term = f.term, nn),
+sigr AS (SELECT query_id, term, fg_df, fg_n, bg_df, lift_micros,
+                (row_number() OVER (PARTITION BY query_id
+                                    ORDER BY lift_micros DESC, fg_df DESC, term ASC))::BIGINT AS sig_rank
+         FROM sig)
+"""
+    r["jass_significant_terms"] = (
+        _sigterms,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _SIG_CTES)
+        + " SELECT query_id, term, fg_df, fg_n, bg_df, lift_micros, sig_rank"
+        " FROM sigr WHERE sig_rank <= 10",
+    )
+
     # Percolation (operators/percolate.py): incoming docs routed to
     # registered standing queries — the inverse of serving (alerting at
     # ingest). tf·idf routing score in exact integer micros; idf from the
