@@ -390,6 +390,45 @@ def registry() -> dict[str, tuple]:
         _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
     )
 
+    # Anytime quality-vs-budget harness (operators/evaluate.py:run_overlap):
+    # per-query top-k agreement between the ρ=0.35 budgeted run and the
+    # exhaustive run — the measurable form of the reference's anytime claim.
+    def _overlap(spark, sf):
+        from jassv2_spark.operators.evaluate import run_overlap
+
+        idx = get_index(spark, sf)
+        full = search(idx, _queries_df(spark), k=K, with_keys=False)
+        budgeted = search(idx, _queries_df(spark), k=K, rho=RHO_PARTIAL, with_keys=False)
+        return run_overlap(full, budgeted, k=K)
+
+    _OVL_CTES = f"""
+kept35 AS (SELECT * FROM sseg
+           WHERE cum_postings <= floor(total_postings::DOUBLE * {repr(float(RHO_PARTIAL))})),
+hits35 AS (SELECT k.query_id, i.doc_id, sum(k.scaled)::BIGINT AS rsv
+           FROM kept35 k JOIN imp i ON i.term = k.term AND i.impact = k.impact
+           GROUP BY k.query_id, i.doc_id),
+rank35 AS (SELECT query_id, doc_id,
+                  (row_number() OVER (PARTITION BY query_id ORDER BY rsv DESC, doc_id DESC))::BIGINT AS rank
+           FROM hits35),
+ta AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {K}),
+tb AS (SELECT query_id, doc_id FROM rank35 WHERE rank <= {K}),
+ona AS (SELECT query_id, count(*)::BIGINT AS n_a FROM ta GROUP BY query_id),
+onb AS (SELECT query_id, count(*)::BIGINT AS n_b FROM tb GROUP BY query_id),
+onc AS (SELECT query_id, count(*)::BIGINT AS n_common
+        FROM ta JOIN tb USING (query_id, doc_id) GROUP BY query_id)
+"""
+    r["jass_anytime_overlap"] = (
+        _overlap,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _OVL_CTES)
+        + """ SELECT query_id, coalesce(a.n_a, 0) AS n_a, coalesce(b.n_b, 0) AS n_b,
+                     coalesce(c.n_common, 0) AS n_common,
+                     floor(100e0 * coalesce(c.n_common, 0)::DOUBLE
+                           / greatest(coalesce(a.n_a, 0), 1)::DOUBLE)::BIGINT AS overlap_pct
+              FROM ona a
+              FULL OUTER JOIN onb b USING (query_id)
+              LEFT JOIN onc c USING (query_id)""",
+    )
+
     # SymSpell-style spelling correction (operators/fuzzy.py): OOV query
     # terms replaced by their best distance-1 vocabulary term (df DESC,
     # term ASC tie-break) before the ordinary segment pipeline. Spark

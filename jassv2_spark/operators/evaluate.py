@@ -488,3 +488,45 @@ def mean_metrics(per_query: DataFrame) -> DataFrame:
         F.avg("esl").alias("mean_esl"),
         F.avg("f1").alias("mean_f1"),  # over queries where F is defined
     )
+
+
+def run_overlap(run_a: DataFrame, run_b: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, n_a, n_b, n_common, overlap_pct): per-query agreement
+    between two runs' top-k doc sets — the anytime quality-vs-budget
+    harness. JASS's headline claim (Lin & Trotman, "Anytime Ranking for
+    Impact-Ordered Indexes", ICTIR'15 lineage; `anytime/` in the
+    reference) is that a small ρ postings budget loses almost nothing:
+    this metric makes that measurable as |topk(ρ) ∩ topk(1.0)| per query.
+
+    Inputs carry (query_id, doc_id, rank); rows with rank > k are
+    ignored. Queries present in EITHER run emit a row (full outer), so a
+    budget that empties a query is visible as n_b=0 rather than a missing
+    row. overlap_pct = floor(100·n_common / max(n_a, 1)) — exact integer.
+
+    Scale: two tiny (queries×k) inputs; one (query_id) agg each plus one
+    equi-join — driver-free, any-size query batch."""
+    a = run_a.where(F.col("rank") <= k).select("query_id", "doc_id")
+    b = run_b.where(F.col("rank") <= k).select("query_id", "doc_id")
+    na = a.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = b.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    common = (
+        a.join(b, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        na.join(nb, "query_id", "full")
+        .join(common, "query_id", "left")
+        .na.fill(0)
+        .select(
+            "query_id",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.floor(
+                F.lit(100.0)
+                * F.col("n_common").cast("double")
+                / F.greatest(F.col("n_a"), F.lit(1)).cast("double")
+            ).cast("long").alias("overlap_pct"),
+        )
+    )
