@@ -185,3 +185,95 @@ class Engine:
 
     def trec_run(self, results: DataFrame, run_name: str = "JASSv2spark") -> DataFrame:
         return trec_run(results, run_name)
+
+    # -- result-side extensions (beyond the reference API) --------------
+    def search_fuzzy(self, queries: DataFrame, k: int | None = None) -> DataFrame:
+        """OOV query terms spell-corrected (distance ≤ 1) before serving
+        (operators/fuzzy.py); in-vocabulary terms served as typed."""
+        from jassv2_spark.operators.fuzzy import search_fuzzy
+
+        return search_fuzzy(self.index, queries, k=k or self.top_k, rho=self.rho)
+
+    def search_filtered(
+        self, queries: DataFrame, allowed_docs: DataFrame, k: int | None = None
+    ) -> DataFrame:
+        """Results restricted to a (doc_id, ...) set; post-filter semantics."""
+        from jassv2_spark.operators.filtered import search_filtered
+
+        return search_filtered(
+            self.index, queries, allowed_docs, k=k or self.top_k, rho=self.rho,
+            tokenizer=self.query_tokenizer,
+        )
+
+    def search_negated(self, queries: DataFrame, k: int | None = None) -> DataFrame:
+        """'-term' boolean NOT exclusion (operators/filtered.py)."""
+        from jassv2_spark.operators.filtered import search_negated
+
+        return search_negated(
+            self.index, queries, k=k or self.top_k, rho=self.rho,
+            tokenizer=self.query_tokenizer,
+        )
+
+    def more_like_this(self, seed_ids: list[int], k: int | None = None) -> DataFrame:
+        """Top-k docs similar to each seed doc (operators/mlt.py)."""
+        from jassv2_spark.operators.mlt import more_like_this
+
+        return more_like_this(self.index, seed_ids, k=k or self.top_k, rho=self.rho)
+
+    def facet_counts(
+        self, queries: DataFrame, doc_facets: DataFrame, facet_col: str
+    ) -> DataFrame:
+        """Per-(query, facet) roll-up of the full match set (operators/facets.py)."""
+        from jassv2_spark.operators.facets import facet_counts
+
+        return facet_counts(
+            self.index, queries, doc_facets, facet_col, rho=self.rho,
+            tokenizer=self.query_tokenizer,
+        )
+
+    def significant_terms(self, queries: DataFrame, m: int = 10) -> DataFrame:
+        """Terms overrepresented in each query's match set (operators/sigterms.py)."""
+        from jassv2_spark.operators.sigterms import significant_terms
+
+        return significant_terms(
+            self.index, queries, m=m, rho=self.rho, tokenizer=self.query_tokenizer
+        )
+
+    def mmr_rerank(
+        self, queries: DataFrame, embeddings: DataFrame, k: int | None = None,
+        pool: int = 30, lam: float = 0.7,
+    ) -> DataFrame:
+        """Embedding-aware MMR diversified top-k (operators/mmr.py)."""
+        from jassv2_spark.operators.mmr import mmr_rerank
+
+        return mmr_rerank(
+            self.index, queries, embeddings, k=k or self.top_k, pool=pool, lam=lam,
+            tokenizer=self.query_tokenizer,
+        )
+
+    def ltr_features(self, queries: DataFrame, k: int | None = None) -> DataFrame:
+        """Exact-integer LTR feature rows per top-k candidate (operators/ltr.py)."""
+        from jassv2_spark.operators.ltr import ltr_features
+
+        return ltr_features(
+            self.index, queries, k=k or self.top_k, rho=self.rho,
+            tokenizer=self.query_tokenizer,
+        )
+
+    def qpp_features(self, queries: DataFrame) -> DataFrame:
+        """Pre-retrieval difficulty predictors (operators/qpp.py)."""
+        from jassv2_spark.operators.qpp import qpp_features
+
+        return qpp_features(self.index, queries, tokenizer=self.query_tokenizer)
+
+    def percolate(
+        self, registered: DataFrame, incoming: DataFrame, m: int = 5,
+        full_only: bool = False,
+    ) -> DataFrame:
+        """Route incoming docs to registered standing queries (operators/percolate.py)."""
+        from jassv2_spark.operators.percolate import percolate
+
+        return percolate(
+            self.index, registered, incoming, m=m, full_only=full_only,
+            tokenizer=self.query_tokenizer,
+        )
