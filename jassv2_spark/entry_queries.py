@@ -2683,6 +2683,34 @@ rankedF AS (SELECT query_id, doc_id, rsv_micro,
            FROM documents""",
     )
 
+    # Heaps'-law vocabulary growth (operators/textstats.py:heaps_profile):
+    # distinct-vocab and token counts over corpus prefixes — the
+    # tokenizer/dedup QA curve. Positions from dense doc_ids, no global sort.
+    def _heaps(spark, sf):
+        from jassv2_spark.operators.textstats import heaps_profile
+
+        return heaps_profile(_docs(spark, sf))
+
+    r["text_heaps_profile"] = (
+        _heaps,
+        f"""WITH b(lo, n) AS (SELECT min(doc_id), count(*) FROM documents),
+cuts AS (SELECT i AS decile, (b.n * i) // 10 AS cut
+         FROM range(1, 11) t(i), b),
+base AS (SELECT d.doc_id - b.lo + 1 AS pos,
+                unnest(regexp_extract_all(lower(d.text), '{TOKEN_PATTERN}')) AS term
+         FROM documents d, b),
+fo AS (SELECT term, min(pos) AS fpos FROM base GROUP BY term),
+vp AS (SELECT c.decile, count(*)::BIGINT AS vocab_size
+       FROM fo JOIN cuts c ON fo.fpos <= c.cut GROUP BY c.decile),
+dls AS (SELECT pos, count(*)::BIGINT AS dl FROM base GROUP BY pos),
+tp AS (SELECT c.decile, sum(dls.dl)::BIGINT AS n_tokens
+       FROM dls JOIN cuts c ON dls.pos <= c.cut GROUP BY c.decile)
+SELECT c.decile::BIGINT AS decile, c.cut::BIGINT AS n_docs,
+       coalesce(tp.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(vp.vocab_size, 0)::BIGINT AS vocab_size
+FROM cuts c LEFT JOIN tp USING (decile) LEFT JOIN vp USING (decile)""",
+    )
+
     # Gopher repetition filters (Rae et al. 2021): dup-line fractions and
     # n-gram coverage fractions. Positions are 1-based in both engines;
     # every ratio is one exact-integer division so hashes match bitwise.

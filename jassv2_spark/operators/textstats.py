@@ -471,3 +471,64 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def heaps_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10,
+) -> DataFrame:
+    """(decile, n_docs, n_tokens, vocab_size): vocabulary growth along the
+    corpus — Heaps'-law profile, the tokenizer/dedup QA curve (a healthy
+    crawl grows vocab ~ tokens^beta, beta<1; a dedup regression or
+    tokenizer bug bends it).
+
+    Corpus position = doc_id offset from the minimum id (the engine's
+    docid assignment is dense, sources/docids.py — no global sort needed);
+    checkpoint i covers the first floor(N·i/buckets) documents.
+    vocab_size(i) = distinct terms whose FIRST occurrence lies in the
+    prefix; n_tokens(i) = total token count of the prefix. All integers.
+
+    Scale shape: one tokenize pass → per-(term) min-position partial agg
+    (vocab) and per-doc length agg (tokens); the decile roll-up is
+    `buckets` rows. No global sort, no window over the corpus.
+    """
+    from jassv2_spark.functions.tokenizer import spark_tokens
+
+    bounds = docs.agg(
+        F.min(id_col).alias("lo"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    lo, n = int(bounds["lo"]), int(bounds["n"])
+    spark = docs.sparkSession
+
+    tok = spark_tokens(text_col, mode="parity", xml=False)
+    base = docs.select(
+        (F.col(id_col) - F.lit(lo) + F.lit(1)).alias("pos"),
+        F.explode(tok).alias("term"),
+    )
+    # decile of a position: smallest i with pos <= floor(n*i/buckets)
+    cuts = [(i, (n * i) // buckets) for i in range(1, buckets + 1)]
+    cut_df = F.broadcast(
+        spark.createDataFrame(cuts, schema="decile long, cut long")
+    )
+
+    first = base.groupBy("term").agg(F.min("pos").alias("fpos"))
+    vocab_per = (
+        first.join(cut_df, F.col("fpos") <= F.col("cut"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    dl = base.groupBy("pos").agg(F.count(F.lit(1)).alias("dl"))
+    tok_per = (
+        dl.join(cut_df, F.col("pos") <= F.col("cut"))
+        .groupBy("decile")
+        .agg(F.sum("dl").cast("long").alias("n_tokens"))
+    )
+    return (
+        cut_df.select("decile", F.col("cut").cast("long").alias("n_docs"))
+        .join(tok_per, "decile", "left")
+        .join(vocab_per, "decile", "left")
+        .na.fill(0)
+        .select("decile", "n_docs", "n_tokens", "vocab_size")
+    )

@@ -1,0 +1,35 @@
+"""Heaps profile: prefix vocab growth, token counts, decile cuts."""
+
+import pytest
+
+from jassv2_spark.operators.textstats import heaps_profile
+
+DOCS = [
+    (10, "a b c"),        # pos 1
+    (11, "a b"),          # pos 2
+    (12, "d"),            # pos 3
+    (13, "a d e f"),      # pos 4
+    (14, "g"),            # pos 5
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_heaps_hand_checked(spark, docs):
+    rows = {r["decile"]: r for r in heaps_profile(docs, buckets=5).collect()}
+    assert len(rows) == 5
+    # prefix 1: doc 10 → vocab {a,b,c}, 3 tokens
+    assert (rows[1]["n_docs"], rows[1]["n_tokens"], rows[1]["vocab_size"]) == (1, 3, 3)
+    # prefix 3: +doc 11 (no new), +doc 12 (d) → vocab 4, tokens 6
+    assert (rows[3]["n_docs"], rows[3]["n_tokens"], rows[3]["vocab_size"]) == (3, 6, 4)
+    # full corpus: vocab {a..g}=7, tokens 11
+    assert (rows[5]["n_docs"], rows[5]["n_tokens"], rows[5]["vocab_size"]) == (5, 11, 7)
+
+
+def test_heaps_monotone(spark, docs):
+    rows = sorted(heaps_profile(docs, buckets=10).collect(), key=lambda r: r["decile"])
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_tokens"] >= a["n_tokens"] and b["vocab_size"] >= a["vocab_size"]
