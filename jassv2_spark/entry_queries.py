@@ -558,6 +558,32 @@ ranked AS (SELECT query_id, doc_id, rsv,
         _sql(_BASE, _MLT_QT, _MLT_TOPK_CTES) + _topk_select,
     )
 
+    # Per-document key terms (operators/mlt.py doc_keyterms): MLT's
+    # seed-term stage generalized to the whole corpus — every document's
+    # top-5 terms by tf·idf (weight DESC, term ASC). weight_micros is the
+    # exact-integer witness tf·floor(10⁶·ln(N/df)).
+    def _keyterms(spark, sf):
+        from jassv2_spark.operators.mlt import doc_keyterms
+
+        return doc_keyterms(get_index(spark, sf), m=5)
+
+    _KEYTERM_CTES = """
+kw AS (SELECT t.doc_id, t.term, t.tf, f.df,
+              t.tf::DOUBLE * ln(nn.n::DOUBLE / f.df::DOUBLE) AS w,
+              (t.tf * (floor(1000000.0 * ln(nn.n::DOUBLE / f.df::DOUBLE)))::BIGINT)::BIGINT AS weight_micros
+       FROM tfx t JOIN dfx f USING (term), nn),
+kr AS (SELECT doc_id, term, tf, df, weight_micros,
+              (row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY w DESC, term ASC))::BIGINT AS term_rank
+       FROM kw)
+"""
+    r["jass_doc_keyterms"] = (
+        _keyterms,
+        _sql(_BASE, _KEYTERM_CTES)
+        + " SELECT doc_id, term, tf, df, weight_micros, term_rank"
+        " FROM kr WHERE term_rank <= 5",
+    )
+
     # Filtered search (operators/filtered.py): results restricted to a
     # metadata-defined doc set (post-filter semantics: rsv unchanged,
     # ranks within the filtered set).

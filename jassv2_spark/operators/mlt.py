@@ -116,3 +116,49 @@ def more_like_this(
         topk = F.broadcast(topk).join(index.doc_map, "doc_id")
         return topk.select("query_id", "doc_id", "key", "rsv", "rank")
     return topk.select("query_id", "doc_id", "rsv", "rank")
+
+
+def doc_keyterms(index: Index, m: int = 5) -> DataFrame:
+    """(doc_id, term, tf, df, weight_micros, term_rank): every document's
+    top-m terms by tf·idf — the corpus-wide document-tagging pass (MLT's
+    seed-term stage generalized from a seed list to the whole collection).
+
+    weight_micros = tf · floor(10⁶·ln(N/df)) keeps the emitted column an
+    exact integer (ln driver-side per distinct df, the repo standard);
+    the SELECTION, like `mlt_query_terms`, orders by the unfloored
+    tf·idf double (identical on any engine whose ln matches) with
+    term ASC ties.
+
+    Scale shape: idf lookup is a broadcast of one row per distinct df
+    (bounded by the distinct-df count, thousands at most at any corpus
+    size); the top-m window partitions by doc_id — perfectly uniform.
+    """
+    spark = index.spark
+    pool = index.postings.join(index.term_stats.select("term", "df"), "term")
+    df_vals = [r[0] for r in pool.select("df").distinct().collect()]
+    n = float(index.n_docs)
+    rows = [
+        (int(d), math.log(n / float(d)),
+         int(math.floor(1_000_000 * math.log(n / float(d)))))
+        for d in df_vals
+    ] or [(0, 0.0, 0)]
+    idf_map = F.broadcast(
+        spark.createDataFrame(rows, schema="df long, idf double, idf_micros long")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("term").asc()
+    )
+    return (
+        pool.join(idf_map, "df")
+        .withColumn("weight", F.col("tf").cast("double") * F.col("idf"))
+        .withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= m)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            (F.col("tf") * F.col("idf_micros")).cast("long").alias("weight_micros"),
+            "term_rank",
+        )
+    )

@@ -102,3 +102,23 @@ def test_ltr_rank_matches_search(spark, idx):
     feats = {(r["doc_id"]): (r["rsv"], r["rank"]) for r in ltr_features(idx, q, k=3).collect()}
     serve = {(r["doc_id"]): (r["rsv"], r["rank"]) for r in search(idx, q, k=3, with_keys=False).collect()}
     assert feats == serve
+
+
+def test_doc_keyterms_topm_per_doc(spark, idx):
+    from jassv2_spark.operators.mlt import doc_keyterms
+
+    got = doc_keyterms(idx, m=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["term_rank"])
+    # doc 1 "spark join table": spark ln(5/2) > join == table ln(5/3),
+    # tie broken term ASC -> join is rank 2
+    assert [r["term"] for r in by_doc[1]] == ["spark", "join"]
+    # doc 4 "cable coin coin": coin 2*ln(5/1) beats cable ln(5/2)
+    assert [r["term"] for r in by_doc[4]] == ["coin", "cable"]
+    # exact-integer witness: weight_micros = tf * floor(1e6 * ln(N/df))
+    r4 = by_doc[4][0]
+    assert r4["weight_micros"] == 2 * math.floor(1_000_000 * math.log(5 / 1))
+    assert all(len(rows) == 2 for rows in by_doc.values())
