@@ -429,6 +429,99 @@ onc AS (SELECT query_id, count(*)::BIGINT AS n_common
               LEFT JOIN onc c USING (query_id)""",
     )
 
+    # IR-evaluation run tooling (operators/evaluate.py): assessment-pool
+    # construction (pool_runs), order agreement (kendall_tau), and paired
+    # significance (paired_run_test) between the exhaustive and ρ=0.35
+    # anytime runs — the workflow downstream of JASS_eval.
+    def _two_runs(spark, sf):
+        idx = get_index(spark, sf)
+        full = search(idx, _queries_df(spark), k=K, with_keys=False)
+        budgeted = search(
+            idx, _queries_df(spark), k=K, rho=RHO_PARTIAL, with_keys=False
+        )
+        return full, budgeted
+
+    def _pool(spark, sf):
+        from jassv2_spark.operators.evaluate import pool_runs
+
+        return pool_runs(list(_two_runs(spark, sf)), depth=K)
+
+    def _tau(spark, sf):
+        from jassv2_spark.operators.evaluate import kendall_tau
+
+        return kendall_tau(*_two_runs(spark, sf), k=K)
+
+    def _ttest(spark, sf):
+        from jassv2_spark.operators.evaluate import paired_run_test, rsv_mass
+
+        full, budgeted = _two_runs(spark, sf)
+        return paired_run_test(rsv_mass(full, k=K), rsv_mass(budgeted, k=K))
+
+    _RUNS2_CTES = f"""
+kept35 AS (SELECT * FROM sseg
+           WHERE cum_postings <= floor(total_postings::DOUBLE * {repr(float(RHO_PARTIAL))})),
+hits35 AS (SELECT k.query_id, i.doc_id, sum(k.scaled)::BIGINT AS rsv
+           FROM kept35 k JOIN imp i ON i.term = k.term AND i.impact = k.impact
+           GROUP BY k.query_id, i.doc_id),
+ranked35 AS (SELECT query_id, doc_id, rsv,
+                    (row_number() OVER (PARTITION BY query_id ORDER BY rsv DESC, doc_id DESC))::BIGINT AS rank
+             FROM hits35),
+runa AS (SELECT query_id, doc_id, rsv, rank FROM ranked WHERE rank <= {K}),
+runb AS (SELECT query_id, doc_id, rsv, rank FROM ranked35 WHERE rank <= {K})
+"""
+    r["jass_pool"] = (
+        _pool,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _RUNS2_CTES)
+        + """ SELECT query_id, doc_id, count(*)::BIGINT AS n_runs,
+                     min(rank)::BIGINT AS best_rank
+              FROM (SELECT query_id, doc_id, rank FROM runa
+                    UNION ALL SELECT query_id, doc_id, rank FROM runb)
+              GROUP BY query_id, doc_id""",
+    )
+
+    _TAU_CTES = """
+tcommon AS (SELECT a.query_id, a.doc_id, a.rank AS xa, b.rank AS xb
+            FROM runa a JOIN runb b USING (query_id, doc_id)),
+tpairs AS (SELECT x.query_id,
+                  CASE WHEN (x.xa < y.xa) = (x.xb < y.xb) THEN 1 ELSE 0 END AS conc
+           FROM tcommon x JOIN tcommon y
+             ON x.query_id = y.query_id AND x.doc_id < y.doc_id)
+"""
+    r["jass_run_tau"] = (
+        _tau,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _RUNS2_CTES, _TAU_CTES)
+        + """ SELECT query_id, sum(conc)::BIGINT AS concordant,
+                     (count(*) - sum(conc))::BIGINT AS discordant,
+                     floor(1000000e0 * (2e0 * sum(conc) - count(*))::DOUBLE
+                           / count(*)::DOUBLE)::BIGINT AS tau_micros
+              FROM tpairs GROUP BY query_id""",
+    )
+
+    _TTEST_CTES = """
+tma AS (SELECT query_id, sum(rsv)::BIGINT AS mass FROM runa GROUP BY query_id),
+tmb AS (SELECT query_id, sum(rsv)::BIGINT AS mass FROM runb GROUP BY query_id),
+tdd AS (SELECT (a.mass - b.mass)::BIGINT AS delta
+        FROM tma a JOIN tmb b USING (query_id)),
+tst AS (SELECT count(*)::BIGINT AS n,
+               sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END)::BIGINT AS wins_a,
+               sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END)::BIGINT AS wins_b,
+               sum(CASE WHEN delta = 0 THEN 1 ELSE 0 END)::BIGINT AS ties,
+               sum(delta)::BIGINT AS sum_delta,
+               sum(delta * delta)::BIGINT AS sum_delta2
+        FROM tdd)
+"""
+    r["jass_run_ttest"] = (
+        _ttest,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _RUNS2_CTES, _TTEST_CTES)
+        + """ SELECT n, wins_a, wins_b, ties, sum_delta, sum_delta2,
+                     CASE WHEN n >= 2 AND (sum_delta2::DOUBLE - sum_delta::DOUBLE * sum_delta::DOUBLE / n::DOUBLE) > 0
+                          THEN floor(1000000e0 * ((sum_delta::DOUBLE / n::DOUBLE)
+                               / sqrt((sum_delta2::DOUBLE - sum_delta::DOUBLE * sum_delta::DOUBLE / n::DOUBLE)
+                                      / (n::DOUBLE - 1e0) / n::DOUBLE)))::BIGINT
+                          ELSE NULL END AS t_micros
+              FROM tst""",
+    )
+
     # SymSpell-style spelling correction (operators/fuzzy.py): OOV query
     # terms replaced by their best distance-1 vocabulary term (df DESC,
     # term ASC tie-break) before the ordinary segment pipeline. Spark

@@ -530,3 +530,136 @@ def run_overlap(run_a: DataFrame, run_b: DataFrame, k: int = 10) -> DataFrame:
             ).cast("long").alias("overlap_pct"),
         )
     )
+
+
+def pool_runs(runs: list[DataFrame], depth: int = 10) -> DataFrame:
+    """(query_id, doc_id, n_runs, best_rank): the TREC assessment pool —
+    the union of every run's top-`depth` documents per topic, with how
+    many runs retrieved each document and its best (lowest) rank across
+    runs. This is how qrels are built before JASS_eval-style scoring can
+    happen at all (pooling, Spärck Jones & van Rijsbergen 1975; every
+    TREC since): assessors judge the pool, not the collection.
+
+    Scale: each input is an already-top-k'd run (n_queries × depth rows);
+    the union + (query_id, doc_id) agg is one tiny keyed exchange with
+    map-side partial aggregation. Run count and depth are both bounded,
+    so the pool is ≤ n_queries · depth · n_runs rows regardless of
+    corpus size."""
+    pooled: DataFrame | None = None
+    for run in runs:
+        top = run.where(F.col("rank") <= F.lit(int(depth))).select(
+            "query_id", F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        pooled = top if pooled is None else pooled.unionByName(top)
+    if pooled is None:
+        raise ValueError("pool_runs needs at least one run")
+    return pooled.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.min("rank").cast("long").alias("best_rank"),
+    )
+
+
+def kendall_tau(run_a: DataFrame, run_b: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, n_common, concordant, discordant, tau_micros): Kendall's
+    τ between two runs' top-k orderings, per query, computed over the
+    documents BOTH runs retrieved (the standard treatment for comparing
+    system rankings with non-identical retrieved sets; `run_overlap`
+    measures set agreement, this measures ORDER agreement on the shared
+    set). Both inputs come from row_number windows, so neither ranking
+    has ties: every pair is concordant or discordant and
+    τ = (C − D) / (C + D), emitted as the exact integer
+    floor(10⁶·(2C − P)/P) with P = n_common·(n_common−1)/2. Queries with
+    n_common < 2 have no pairs and emit no row (τ undefined).
+
+    Scale: inputs are top-k'd runs; the pair join is an equi-join on
+    query_id whose per-query fan-out is capped at k(k−1)/2 — bounded by
+    the constant k, uniform across queries."""
+    ca = run_a.where(F.col("rank") <= k).select(
+        "query_id", F.col("doc_id").alias("doc_id"), F.col("rank").alias("ra")
+    )
+    cb = run_b.where(F.col("rank") <= k).select(
+        "query_id", F.col("doc_id").alias("doc_id"), F.col("rank").alias("rb")
+    )
+    common = ca.join(cb, ["query_id", "doc_id"])
+    x = common.select(
+        "query_id", F.col("doc_id").alias("da"),
+        F.col("ra").alias("xa"), F.col("rb").alias("xb"),
+    )
+    y = common.select(
+        "query_id", F.col("doc_id").alias("db"),
+        F.col("ra").alias("ya"), F.col("rb").alias("yb"),
+    )
+    conc = (
+        (F.col("xa") < F.col("ya")) == (F.col("xb") < F.col("yb"))
+    ).cast("long")
+    pairs = x.join(y, "query_id").where(F.col("da") < F.col("db"))
+    return (
+        pairs.select("query_id", conc.alias("conc"))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("conc").alias("concordant"),
+        )
+        .select(
+            "query_id",
+            F.col("concordant").cast("long").alias("concordant"),
+            (F.col("n_pairs") - F.col("concordant")).cast("long").alias("discordant"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * (2.0 * F.col("concordant") - F.col("n_pairs")).cast("double")
+                / F.col("n_pairs").cast("double")
+            ).cast("long").alias("tau_micros"),
+        )
+    )
+
+
+def rsv_mass(run: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, mass): Σ rsv over the run's top-k — the integer
+    per-query effectiveness proxy the anytime literature plots against
+    the ρ budget (total attained impact mass; exact, no qrels needed)."""
+    return (
+        run.where(F.col("rank") <= k)
+        .groupBy("query_id")
+        .agg(F.sum("rsv").cast("long").alias("mass"))
+    )
+
+
+def paired_run_test(metric_a: DataFrame, metric_b: DataFrame) -> DataFrame:
+    """One row (n, wins_a, wins_b, ties, sum_delta, sum_delta2, t_micros):
+    the paired comparison between two systems on a per-query integer
+    metric (query_id, mass) — the sign-test counts plus the paired
+    t statistic t = mean(d) / (s_d / √n), emitted as floor(10⁶·t).
+
+    The accumulated moments (Σd, Σd²) are exact int64 sums over the
+    joined queries, so the statistic is a fixed chain of IEEE double
+    ops (two divides, one sqrt — all correctly rounded) from exact
+    integers: bitwise-reproducible on any engine that writes the same
+    expression. t is NULL when n < 2 or s_d = 0 (no variance).
+    Significance thresholds are the caller's business; this emits the
+    statistic, not a verdict.
+
+    Scale: inputs are per-query scalars (one row per topic); one
+    equi-join + a single global aggregate."""
+    d = metric_a.select("query_id", F.col("mass").alias("ma")).join(
+        metric_b.select("query_id", F.col("mass").alias("mb")), "query_id"
+    ).select((F.col("ma") - F.col("mb")).cast("long").alias("delta"))
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("delta") > 0).cast("long")).cast("long").alias("wins_a"),
+        F.sum((F.col("delta") < 0).cast("long")).cast("long").alias("wins_b"),
+        F.sum((F.col("delta") == 0).cast("long")).cast("long").alias("ties"),
+        F.sum("delta").cast("long").alias("sum_delta"),
+        F.sum(F.col("delta") * F.col("delta")).cast("long").alias("sum_delta2"),
+    )
+    nn = F.col("n").cast("double")
+    s1 = F.col("sum_delta").cast("double")
+    s2 = F.col("sum_delta2").cast("double")
+    var_num = s2 - s1 * s1 / nn  # (n-1)·s_d²
+    t = (s1 / nn) / F.sqrt(var_num / (nn - F.lit(1.0)) / nn)
+    return agg.select(
+        "n", "wins_a", "wins_b", "ties", "sum_delta", "sum_delta2",
+        F.when(
+            (F.col("n") >= 2) & (var_num > 0), F.floor(F.lit(1_000_000.0) * t)
+        ).cast("long").alias("t_micros"),
+    )
