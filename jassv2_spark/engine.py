@@ -277,3 +277,33 @@ class Engine:
             self.index, registered, incoming, m=m, full_only=full_only,
             tokenizer=self.query_tokenizer,
         )
+
+    def doc_keyterms(self, m: int = 5) -> DataFrame:
+        """Every document's top-m terms by tf·idf (operators/mlt.py)."""
+        from jassv2_spark.operators.mlt import doc_keyterms
+
+        return doc_keyterms(self.index, m=m)
+
+    def pool_runs(self, runs: list[DataFrame], depth: int = 10) -> DataFrame:
+        """TREC-style assessment pool over runs (operators/evaluate.py)."""
+        from jassv2_spark.operators.evaluate import pool_runs
+
+        return pool_runs(runs, depth=depth)
+
+    def compare_runs(
+        self, run_a: DataFrame, run_b: DataFrame, k: int | None = None
+    ) -> DataFrame:
+        """Paired t/sign-test stats between two runs on top-k rsv mass
+        (operators/evaluate.py: paired_run_test over rsv_mass)."""
+        from jassv2_spark.operators.evaluate import paired_run_test, rsv_mass
+
+        kk = self.top_k if k is None else k
+        return paired_run_test(rsv_mass(run_a, k=kk), rsv_mass(run_b, k=kk))
+
+    def run_correlation(
+        self, run_a: DataFrame, run_b: DataFrame, k: int | None = None
+    ) -> DataFrame:
+        """Per-query Kendall τ between two runs (operators/evaluate.py)."""
+        from jassv2_spark.operators.evaluate import kendall_tau
+
+        return kendall_tau(run_a, run_b, k=self.top_k if k is None else k)

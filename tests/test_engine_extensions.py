@@ -39,3 +39,17 @@ def test_facade_methods_run(spark, eng):
     assert eng.qpp_features(qs).count() == 1
     inc = spark.createDataFrame([(99, "spark text")], ["doc_id", "text"])
     assert eng.percolate(qs, inc).count() == 1
+
+
+def test_run_tooling_facades(spark, eng):
+    q = spark.createDataFrame(
+        [("q1", "spark table"), ("q2", "window")], ["query_id", "query"]
+    )
+    full = eng.search(q, k=3)
+    assert eng.doc_keyterms(m=2).groupBy("doc_id").count().count() == 4
+    pool = eng.pool_runs([full, full], depth=3)
+    assert pool.where(F.col("n_runs") != 2).count() == 0  # same run twice
+    (cmp_row,) = eng.compare_runs(full, full, k=3).collect()
+    assert cmp_row["ties"] == cmp_row["n"] and cmp_row["t_micros"] is None
+    tau = eng.run_correlation(full, full, k=3).collect()
+    assert all(r["tau_micros"] == 1_000_000 for r in tau)
