@@ -307,3 +307,24 @@ class Engine:
         from jassv2_spark.operators.evaluate import kendall_tau
 
         return kendall_tau(run_a, run_b, k=self.top_k if k is None else k)
+
+    def shard_scores(self, queries: DataFrame, **kw) -> DataFrame:
+        """ReDDE resource selection: per-query shard ranking (operators/selective.py)."""
+        from jassv2_spark.operators.selective import shard_scores
+
+        return shard_scores(
+            self.index, queries, rho=self.rho,
+            tokenizer=self.query_tokenizer, **kw,
+        )
+
+    def search_selective(
+        self, queries: DataFrame, k: int | None = None, **kw
+    ) -> DataFrame:
+        """Selective search: top-k over the top ReDDE shards only
+        (operators/selective.py)."""
+        from jassv2_spark.operators.selective import search_selective
+
+        return search_selective(
+            self.index, queries, k=k or self.top_k, rho=self.rho,
+            tokenizer=self.query_tokenizer, **kw,
+        )

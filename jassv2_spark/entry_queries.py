@@ -390,6 +390,84 @@ def registry() -> dict[str, tuple]:
         _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
     )
 
+    # Selective search / ReDDE resource selection (operators/selective.py):
+    # a deterministic md5-sampled CSI votes for doc shards; only the top
+    # shards are searched. Both restricted passes prune the doc_ids arrays
+    # MAP-SIDE before the explode (the 10^12-doc requirement).
+    _SEL_N_SHARDS, _SEL_FRAC, _SEL_NCSI, _SEL_NSEL = 8, 0.25, 20, 2
+    _sel_thresh = int(_SEL_FRAC * (1 << 32))
+
+    def _shard_scores(spark, sf):
+        from jassv2_spark.operators.selective import shard_scores
+
+        return shard_scores(
+            get_index(spark, sf), _queries_df(spark),
+            n_shards=_SEL_N_SHARDS, sample_frac=_SEL_FRAC, n_csi=_SEL_NCSI,
+        )
+
+    def _topk_selective(spark, sf):
+        from jassv2_spark.operators.selective import search_selective
+
+        return search_selective(
+            get_index(spark, sf), _queries_df(spark), k=K,
+            n_shards=_SEL_N_SHARDS, n_select=_SEL_NSEL,
+            sample_frac=_SEL_FRAC, n_csi=_SEL_NCSI, with_keys=False,
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _SEL_CTES = f"""
+csihits AS (SELECT k.query_id, i.doc_id, sum(k.scaled)::BIGINT AS rsv
+            FROM kept k JOIN imp i ON i.term = k.term AND i.impact = k.impact
+            WHERE CAST('0x' || substr(md5(i.doc_id::VARCHAR), 1, 8) AS UBIGINT) < {_sel_thresh}
+            GROUP BY k.query_id, i.doc_id),
+csitop AS (SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rsv DESC, doc_id DESC) AS rn
+             FROM csihits) WHERE rn <= {_SEL_NCSI}),
+svotes AS (SELECT query_id, (doc_id % {_SEL_N_SHARDS})::BIGINT AS shard,
+                  count(*)::BIGINT AS votes
+           FROM csitop GROUP BY 1, 2),
+ssizes AS (SELECT (doc_id % {_SEL_N_SHARDS})::BIGINT AS shard,
+                  count(*)::BIGINT AS shard_size,
+                  sum(CASE WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS UBIGINT)
+                           < {_sel_thresh} THEN 1 ELSE 0 END)::BIGINT AS shard_sample
+           FROM documents GROUP BY 1),
+sranked AS (SELECT v.query_id, v.shard, v.votes,
+                   ((1000000 * v.votes * s.shard_size) // greatest(s.shard_sample, 1))::BIGINT AS score_micros,
+                   (row_number() OVER (PARTITION BY v.query_id
+                                       ORDER BY ((1000000 * v.votes * s.shard_size) // greatest(s.shard_sample, 1)) DESC,
+                                                v.shard ASC))::BIGINT AS shard_rank
+            FROM svotes v JOIN ssizes s USING (shard))
+"""
+    r["jass_shard_scores"] = (
+        _shard_scores,
+        _sql(_BASE, _query_ctes(1.0), _SEL_CTES)
+        + " SELECT query_id, shard, votes, score_micros, shard_rank FROM sranked",
+    )
+
+    _SELTOPK_CTES = f"""
+selsh AS (SELECT query_id, shard FROM sranked WHERE shard_rank <= {_SEL_NSEL}),
+selhits AS (SELECT k.query_id, i.doc_id, sum(k.scaled)::BIGINT AS rsv
+            FROM kept k JOIN imp i ON i.term = k.term AND i.impact = k.impact
+            JOIN selsh ss ON ss.query_id = k.query_id
+                         AND ss.shard = (i.doc_id % {_SEL_N_SHARDS})
+            GROUP BY k.query_id, i.doc_id),
+selranked AS (SELECT query_id, doc_id, rsv,
+                     (row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rsv DESC, doc_id DESC))::BIGINT AS rank
+              FROM selhits)
+"""
+    r["jass_topk_selective"] = (
+        _topk_selective,
+        _sql(_BASE, _query_ctes(1.0), _SEL_CTES, _SELTOPK_CTES)
+        + f" SELECT query_id, doc_id, rsv, rank FROM selranked WHERE rank <= {K}",
+    )
+
     # Anytime quality-vs-budget harness (operators/evaluate.py:run_overlap):
     # per-query top-k agreement between the ρ=0.35 budgeted run and the
     # exhaustive run — the measurable form of the reference's anytime claim.
