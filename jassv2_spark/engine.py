@@ -328,3 +328,17 @@ class Engine:
             self.index, queries, k=k or self.top_k, rho=self.rho,
             tokenizer=self.query_tokenizer, **kw,
         )
+
+    def search_fresh(
+        self, queries: DataFrame, doc_ts: DataFrame,
+        half_life_s: int = 86_400, k: int | None = None, **kw,
+    ) -> DataFrame:
+        """Recency-decayed top-k (operators/freshness.py): exact dyadic
+        half-life decay of rsv over a doc_id→timestamp table."""
+        from jassv2_spark.operators.freshness import search_fresh
+
+        return search_fresh(
+            self.index, queries, doc_ts, half_life_s=half_life_s,
+            k=k or self.top_k, rho=self.rho,
+            tokenizer=self.query_tokenizer, **kw,
+        )

@@ -468,6 +468,52 @@ selranked AS (SELECT query_id, doc_id, rsv,
         + f" SELECT query_id, doc_id, rsv, rank FROM selranked WHERE rank <= {K}",
     )
 
+    # Recency-boosted ranking (operators/freshness.py): exact-integer
+    # dyadic half-life decay over the input contract's warc_ts
+    # (timestamps per the webpages synthesis rule: 2024-01-01 + doc_id s;
+    # age measured from the corpus' newest page).
+    _FRESH_HL = 64
+
+    def _topk_fresh(spark, sf):
+        from jassv2_spark.operators.freshness import search_fresh
+
+        doc_ts = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)"
+            ).alias("ts"),
+        )
+        return search_fresh(
+            get_index(spark, sf), _queries_df(spark), doc_ts,
+            half_life_s=_FRESH_HL, k=K, with_keys=False,
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("fresh_micros").cast("long").alias("fresh_micros"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _FRESH_CTES = f"""
+fmax AS (SELECT max(doc_id)::BIGINT AS mx FROM documents),
+fdec AS (SELECT h.query_id, h.doc_id, h.rsv,
+                least((fmax.mx - h.doc_id) // {_FRESH_HL}, 40) AS shift
+         FROM hits h, fmax),
+ffre AS (SELECT query_id, doc_id, rsv,
+                ((1000000 * rsv) // (1::BIGINT << shift))::BIGINT AS fresh_micros
+         FROM fdec),
+frank AS (SELECT query_id, doc_id, rsv, fresh_micros,
+                 (row_number() OVER (PARTITION BY query_id
+                                     ORDER BY fresh_micros DESC, doc_id DESC))::BIGINT AS rank
+          FROM ffre)
+"""
+    r["web_topk_fresh"] = (
+        _topk_fresh,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _FRESH_CTES)
+        + f" SELECT query_id, doc_id, rsv, fresh_micros, rank"
+        f" FROM frank WHERE rank <= {K}",
+    )
+
     # Anytime quality-vs-budget harness (operators/evaluate.py:run_overlap):
     # per-query top-k agreement between the ρ=0.35 budgeted run and the
     # exhaustive run — the measurable form of the reference's anytime claim.
