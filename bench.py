@@ -64,6 +64,7 @@ SCALE_AMPLIFY = int(os.environ.get("BENCH_SCALE_AMPLIFY", str(AMPLIFY * 8)))
 # for build and search are reported separately either way.
 SCALE_QUERIES = int(os.environ.get("BENCH_SCALE_QUERIES", "12000"))
 SCALE_REPS = int(os.environ.get("BENCH_SCALE_REPS", "3"))
+TARGET_EFF = float(os.environ.get("BENCH_TARGET_EFF", "0.8"))  # north_rule bar
 PHASES = os.environ.get("BENCH_PHASES", "all")  # 'all' | 'core' (build+saat)
 
 VOCAB = (
@@ -305,7 +306,16 @@ def main():
                 {"lo": lo, "hi": hi4, "t_lo": t_lo, "t_hi": t_hi,
                  "eff": (t_lo / t_hi) / (SCALE_HI / SCALE_LO)}
             )
-        med = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]
+            # Early stop (a pair costs ~20 min wall): once ≥2 pairs are all
+            # ≥ TARGET_EFF, any 3-pair extension has median ≥ min(observed)
+            # ≥ target (sorted [x, a, b] with a,b ≥ t: the middle element is
+            # ≥ min(a, b) whatever x is), so more pairs cannot change the
+            # pass/fail verdict — only polish the number. The recorded
+            # median-of-2 is the LOWER middle = min(observed): the
+            # guaranteed lower bound of the full median-of-3.
+            if len(pairs) >= 2 and all(p["eff"] >= TARGET_EFF for p in pairs):
+                break
+        med = sorted(pairs, key=lambda p: p["eff"])[(len(pairs) - 1) // 2]
         lo, hi4, t_lo, t_hi = med["lo"], med["hi"], med["t_lo"], med["t_hi"]
         out["scaling"] = {
             "cores_lo": lo["cores"], "cores_hi": hi4["cores"],
@@ -318,7 +328,12 @@ def main():
             "speedup": round(t_lo / t_hi, 3),
             "efficiency": round(med["eff"], 3),
             "pair_efficiencies": [round(p["eff"], 3) for p in pairs],
-            "estimator": "median of per-pair efficiencies (pairs run back-to-back)",
+            "target_eff": TARGET_EFF,
+            "estimator": (
+                "lower-median of per-pair efficiencies (pairs run back-to-back; "
+                "early stop once all of >=2 pairs clear target_eff - the "
+                "recorded value is then a lower bound of the full median)"
+            ),
         }
     print(json.dumps(out))
 

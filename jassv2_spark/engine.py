@@ -342,3 +342,26 @@ class Engine:
             k=k or self.top_k, rho=self.rho,
             tokenizer=self.query_tokenizer, **kw,
         )
+
+    def search_authority(
+        self, queries: DataFrame, pr: DataFrame, k: int | None = None, **kw
+    ) -> DataFrame:
+        """BM25 × PageRank-prior blended top-k (operators/webgraph.py)."""
+        from jassv2_spark.operators.webgraph import search_authority
+
+        return search_authority(
+            self.index, queries, pr, k=k or self.top_k, rho=self.rho,
+            tokenizer=self.query_tokenizer, **kw,
+        )
+
+    def zipf_profile(self, top_r: int = 50) -> DataFrame:
+        """Rank-frequency head over the index (operators/textstats.py)."""
+        from jassv2_spark.operators.textstats import zipf_profile
+
+        return zipf_profile(self.index.postings, top_r=top_r)
+
+    def zipf_slope(self, top_r: int = 50) -> DataFrame:
+        """Log-log Zipf slope in floor-micros (operators/textstats.py)."""
+        from jassv2_spark.operators.textstats import zipf_slope
+
+        return zipf_slope(self.index.postings, top_r=top_r)

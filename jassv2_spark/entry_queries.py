@@ -2646,7 +2646,7 @@ lnk AS (SELECT d.src, d.dst, a.anchor FROM ded d JOIN atk a USING (dst))
     # and in any engine; the oracle unrolls the same 10 steps as CTEs.
     _PR_ITERS = 10
 
-    def _pr_sql() -> str:
+    def _pr_parts() -> list[str]:
         from jassv2_spark.operators.webgraph import PR_SCALE
 
         base = 15 * PR_SCALE // 100
@@ -2663,8 +2663,11 @@ r{i + 1} AS (SELECT d.doc_id,
                ({base}::BIGINT + (85 * coalesce(m{i}.m, 0)) // 100)::BIGINT AS r
              FROM documents d LEFT JOIN m{i} USING (doc_id))"""
             )
+        return parts
+
+    def _pr_sql() -> str:
         return (
-            _sql(_LINKS_CTES, *parts)
+            _sql(_LINKS_CTES, *_pr_parts())
             + f" SELECT doc_id, r AS pr FROM r{_PR_ITERS}"
         )
 
@@ -2676,6 +2679,47 @@ r{i + 1} AS (SELECT d.doc_id,
         return pagerank(docs.select("doc_id"), links, iterations=_PR_ITERS)
 
     r["web_pagerank"] = (_web_pagerank, _pr_sql())
+
+    # Authority-blended ranking (operators/webgraph.py:search_authority):
+    # BM25 rsv × PageRank prior, the canonical web combination. blend is
+    # an exact integer product — rsv · (pr DIV 10⁶).
+    def _web_authority(spark, sf):
+        from jassv2_spark.operators.webgraph import (
+            pagerank,
+            search_authority,
+            synthesize_links,
+        )
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        pr = pagerank(docs.select("doc_id"), links, iterations=_PR_ITERS)
+        return search_authority(
+            get_index(spark, sf), _queries_df(spark), pr, k=K, with_keys=False
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("pr").cast("long").alias("pr"),
+            F.col("blend").cast("long").alias("blend"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _AUTH_CTES = f"""
+aprio AS (SELECT doc_id, r AS pr FROM r{_PR_ITERS}),
+abl AS (SELECT h.query_id, h.doc_id, h.rsv, p.pr,
+               (h.rsv * (p.pr // 1000000))::BIGINT AS blend
+        FROM hits h JOIN aprio p USING (doc_id)),
+arank AS (SELECT query_id, doc_id, rsv, pr, blend,
+                 (row_number() OVER (PARTITION BY query_id
+                                     ORDER BY blend DESC, doc_id DESC))::BIGINT AS rank
+          FROM abl)
+"""
+    r["web_topk_authority"] = (
+        _web_authority,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _LINKS_CTES, *_pr_parts(), _AUTH_CTES)
+        + f" SELECT query_id, doc_id, rsv, pr, blend, rank"
+        f" FROM arank WHERE rank <= {K}",
+    )
 
     # Anchor-text retrieval: inbound anchors become a BM25F field at weight
     # 2 next to the body at weight 1 (Craswell et al. SIGIR'01: anchor text
@@ -2952,6 +2996,51 @@ SELECT c.decile::BIGINT AS decile, c.cut::BIGINT AS n_docs,
        coalesce(tp.n_tokens, 0)::BIGINT AS n_tokens,
        coalesce(vp.vocab_size, 0)::BIGINT AS vocab_size
 FROM cuts c LEFT JOIN tp USING (decile) LEFT JOIN vp USING (decile)""",
+    )
+
+    # Zipf rank-frequency head + log-log slope (operators/textstats.py):
+    # the corpus-QA scalar companion to the Heaps curve. ln driver-side
+    # over bounded domains (ranks 1..50, ≤50 distinct ctfs), moments as
+    # exact int64 sums, slope one int64→double division.
+    def _zipf(spark, sf):
+        from jassv2_spark.operators.textstats import zipf_profile
+
+        return zipf_profile(get_index(spark, sf).postings, top_r=50)
+
+    _ZIPF_CTES = """
+zf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tfx GROUP BY term),
+zr AS (SELECT term, ctf,
+              (row_number() OVER (ORDER BY ctf DESC, term ASC))::BIGINT AS rank
+       FROM zf),
+ztop AS (SELECT rank, term, ctf FROM zr WHERE rank <= 50)
+"""
+    r["text_zipf_profile"] = (
+        _zipf,
+        _sql(_BASE, _ZIPF_CTES) + " SELECT rank, term, ctf FROM ztop",
+    )
+
+    def _zipf_slope(spark, sf):
+        from jassv2_spark.operators.textstats import zipf_slope
+
+        return zipf_slope(get_index(spark, sf).postings, top_r=50)
+
+    _ZIPFS_CTES = _ZIPF_CTES.rstrip().rstrip(",") + """,
+zxy AS (SELECT floor(1000000 * ln(rank::DOUBLE))::BIGINT AS xm,
+               floor(1000000 * ln(ctf::DOUBLE))::BIGINT AS ym
+        FROM ztop),
+zs AS (SELECT count(*)::BIGINT AS n, sum(xm)::BIGINT AS sx, sum(ym)::BIGINT AS sy,
+              sum(xm * ym)::BIGINT AS sxy, sum(xm * xm)::BIGINT AS sxx
+       FROM zxy)
+"""
+    r["text_zipf_slope"] = (
+        _zipf_slope,
+        _sql(_BASE, _ZIPFS_CTES)
+        + """ SELECT n AS n_ranks,
+                     CASE WHEN (n * sxx - sx * sx) <> 0
+                          THEN floor(1000000e0 * (n * sxy - sx * sy)::DOUBLE
+                                     / (n * sxx - sx * sx)::DOUBLE)::BIGINT
+                          ELSE NULL END AS slope_micros
+              FROM zs""",
     )
 
     # Gopher repetition filters (Rae et al. 2021): dup-line fractions and

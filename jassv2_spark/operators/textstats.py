@@ -12,7 +12,7 @@ ratios, md5 over utf-8 bytes).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_PATTERN = "[a-z]+|[0-9]+"
@@ -531,4 +531,70 @@ def heaps_profile(
         .join(vocab_per, "decile", "left")
         .na.fill(0)
         .select("decile", "n_docs", "n_tokens", "vocab_size")
+    )
+
+
+def zipf_profile(postings: DataFrame, top_r: int = 50) -> DataFrame:
+    """(rank, term, ctf): the collection's rank-frequency head — the
+    Zipf curve over the index's saturated term frequencies
+    (`Index.postings`), ranked ctf DESC with term-ASC ties. The corpus-QA
+    companion to `heaps_profile`: a healthy natural-language crawl is
+    near-linear in log-log with slope ≈ −1; boilerplate floods or
+    tokenizer bugs bend or flatten the head.
+
+    Scale shape: one (term)-keyed partial agg over postings, then a
+    DISTRIBUTED top-`top_r` (orderBy+limit plans as TakeOrderedAndProject
+    — per-partition heaps, never a single-partition window over the
+    vocabulary); only the ≤ top_r surviving rows see the rank window."""
+    ctf = postings.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    head = ctf.orderBy(F.col("ctf").desc(), F.col("term").asc()).limit(int(top_r))
+    w = Window.orderBy(F.col("ctf").desc(), F.col("term").asc())
+    return head.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "term", "ctf"
+    )
+
+
+def zipf_slope(postings: DataFrame, top_r: int = 50) -> DataFrame:
+    """One row (n_ranks, slope_micros): least-squares slope of
+    ln(ctf) vs ln(rank) over the top-`top_r` Zipf head — the scalar QA
+    witness (≈ −1·10⁶ for Zipfian text).
+
+    Determinism: ln is evaluated DRIVER-side (CPython/glibc — the repo
+    standard, bitwise equal to DuckDB's ln) over the bounded domains of
+    ranks (literals 1..top_r) and distinct ctf values (≤ top_r rows
+    collected), quantized to floor-micros integers; all regression
+    moments are then exact int64 sums, and the slope is a single
+    int64→double division — bitwise-reproducible on any engine."""
+    import math
+
+    prof = zipf_profile(postings, top_r=top_r)
+    spark = prof.sparkSession
+    ctf_vals = [r[0] for r in prof.select("ctf").distinct().collect()]
+    if not ctf_vals:
+        return spark.createDataFrame(
+            [(0, None)], schema="n_ranks long, slope_micros long"
+        )
+    xm = spark.createDataFrame(
+        [(r, int(math.floor(1_000_000 * math.log(r)))) for r in range(1, top_r + 1)],
+        schema="rank long, xm long",
+    )
+    ym = spark.createDataFrame(
+        [(c, int(math.floor(1_000_000 * math.log(c)))) for c in ctf_vals],
+        schema="ctf long, ym long",
+    )
+    pts = prof.join(F.broadcast(xm), "rank").join(F.broadcast(ym), "ctf")
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xm").cast("long").alias("sx"),
+        F.sum("ym").cast("long").alias("sy"),
+        F.sum(F.col("xm") * F.col("ym")).cast("long").alias("sxy"),
+        F.sum(F.col("xm") * F.col("xm")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return agg.select(
+        F.col("n").alias("n_ranks"),
+        F.when(den != 0, F.floor(F.lit(1_000_000.0) * num / den))
+        .cast("long")
+        .alias("slope_micros"),
     )

@@ -204,3 +204,63 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("doc_id", F.col("r").alias("pr"))
+
+
+PR_PRIOR_DIV = 10**6  # pr is scale-10^12 fixed point; blend uses pr/10^6 units
+
+
+def search_authority(
+    index,
+    queries: DataFrame,
+    pr: DataFrame,
+    k: int | None = None,
+    rho: float = 1.0,
+    tokenizer: str | None = None,
+    with_keys: bool = True,
+) -> DataFrame:
+    """(query_id, doc_id, [key,] rsv, pr, blend, rank): BM25 relevance ×
+    link-authority prior — the canonical web ranking combination (Brin &
+    Page '98 §4.5.1 combine PageRank with text match; the reference
+    engine ranks on impact scores alone, no document priors at query
+    time).
+
+    blend = rsv · (pr DIV 10⁶): both factors are exact integers (rsv the
+    rescaled impact sum, pr the fixed-point PageRank at scale 10¹²), so
+    the product is deterministic on any engine; dropping pr's six lowest
+    digits keeps blend ≤ rsv·10⁶·headroom, far inside int64. Ordering
+    (blend DESC, doc_id DESC).
+
+    Scale shape: serve chain unchanged; the one new join is
+    hits ⋈ pr equi-keyed on doc_id (unique right side — the facets/
+    freshness shape). The pr table is corpus-sized but the join is
+    keyed and AQE-coalesced; nothing is collected or broadcast beyond
+    the query side."""
+    from jassv2_spark.operators.search import (
+        DEFAULT_K,
+        Window,
+        _accumulate_hits,
+        gather_segments,
+        parse_queries,
+    )
+
+    k = DEFAULT_K if k is None else k
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    seg = gather_segments(index, q_terms, q_meta, rho=rho)
+    hits = _accumulate_hits(index, q_terms, seg)
+    blended = hits.join(pr.select("doc_id", "pr"), "doc_id").withColumn(
+        "blend", F.expr(f"rsv * (pr DIV {PR_PRIOR_DIV})").cast("long")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("blend").desc(), F.col("doc_id").desc()
+    )
+    topk = blended.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= F.lit(int(k))
+    )
+    cols = ["query_id", "doc_id", "rsv", "pr", "blend", "rank"]
+    if with_keys:
+        topk = F.broadcast(topk).join(index.doc_map, "doc_id")
+        return topk.select(*cols[:2], "key", *cols[2:])
+    return topk.select(*cols)
