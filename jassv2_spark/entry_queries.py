@@ -390,6 +390,49 @@ def registry() -> dict[str, tuple]:
         _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
     )
 
+    # Pre-quantized serving (operators/build.py:build_prequantized_index,
+    # the quantize_none / uniCOIL learned-sparse path): per-(doc, term)
+    # integer impacts flow straight to the impact-ordered layout — BM25 and
+    # uniform quantization skipped; the serve chain (q_tf multiply, uint8
+    # rescale, ρ budget, tie-break) is otherwise identical. Impacts are
+    # synthesized deterministically (least(7·tf + len(term), 255)); string
+    # keys lpad-preserve numeric order, so internal-docid DESC ties equal
+    # key DESC in the oracle.
+    def _unicoil_topk(spark, sf):
+        from jassv2_spark.operators.build import build_prequantized_index
+
+        idx = get_index(spark, sf)
+        pre = idx.postings.select(
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("primary_key"),
+            "term",
+            F.least(F.col("tf") * 7 + F.length("term"), F.lit(255)).alias("impact"),
+        )
+        pidx = build_prequantized_index(pre, conf=BuildConf(tokenizer="parity"))
+        return search(pidx, _queries_df(spark), k=K, with_keys=True).select(
+            "query_id",
+            "key",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _UNI_BASE = f"""
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+         FROM documents),
+cnt AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM toks GROUP BY doc_id, term),
+tfx AS (SELECT doc_id, term, least(cnt, 1024)::BIGINT AS tf FROM cnt),
+ikey AS (SELECT doc_id, lpad(doc_id::VARCHAR, 8, '0') AS key FROM documents),
+imp AS (SELECT t.term, t.doc_id,
+               least(t.tf * 7 + length(t.term), 255)::BIGINT AS impact
+        FROM tfx t),
+seg AS (SELECT term, impact, count(*)::BIGINT AS seg_freq FROM imp GROUP BY term, impact)
+"""
+    r["jass_unicoil_topk"] = (
+        _unicoil_topk,
+        _sql(_UNI_BASE, _query_ctes(1.0), _TOPK_CTES)
+        + f""" SELECT r.query_id, k.key, r.rsv, r.rank
+               FROM ranked r JOIN ikey k USING (doc_id) WHERE r.rank <= {K}""",
+    )
+
     # Selective search / ReDDE resource selection (operators/selective.py):
     # a deterministic md5-sampled CSI votes for doc shards; only the top
     # shards are searched. Both restricted passes prune the doc_ids arrays
