@@ -365,3 +365,15 @@ class Engine:
         from jassv2_spark.operators.textstats import zipf_slope
 
         return zipf_slope(self.index.postings, top_r=top_r)
+
+    def search_sdm(
+        self, docs: DataFrame, queries: DataFrame, k: int | None = None, **kw
+    ) -> DataFrame:
+        """Sequential Dependence Model top-k (operators/phrase.py:sdm_topk):
+        unigram rsv + ordered/unordered bigram evidence, integer blend."""
+        from jassv2_spark.operators.phrase import sdm_topk
+
+        return sdm_topk(
+            self.index, docs, queries, k=k or self.top_k, rho=self.rho,
+            tokenizer=self.query_tokenizer or self.index.conf.tokenizer, **kw,
+        )

@@ -1507,6 +1507,53 @@ best AS (SELECT query_id, doc_id, anchor, n_terms,
                  WHERE len(ph) >= 1 AND list_has_all(tk, ph))"""
         ),
     )
+    # Sequential Dependence Model (operators/phrase.py:sdm_topk, Metzler &
+    # Croft SIGIR'05): unigram rsv + ordered-bigram + unordered-window-8
+    # count evidence as an exact-integer blend 85/10/5, counts capped 255.
+    _SDM_W = 8
+
+    def _sdm(spark, sf):
+        from jassv2_spark.operators.phrase import sdm_topk
+
+        return sdm_topk(
+            get_index(spark, sf), _docs(spark, sf), _queries_df(spark),
+            k=K, window=_SDM_W, with_keys=False,
+        )
+
+    _SDM_CTES = f"""
+sdqtk AS (SELECT query_id, regexp_extract_all(lower(query), '{TOKEN_PATTERN}') AS tk FROM q),
+sdbg AS (SELECT query_id, unnest(range(1, len(tk))) AS i, tk
+         FROM sdqtk WHERE len(tk) >= 2),
+sdpair AS (SELECT query_id, tk[i] AS t1, tk[i + 1] AS t2 FROM sdbg),
+sddoc AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS dtk
+          FROM documents),
+sdo AS (SELECT p.query_id, d.doc_id,
+               sum(len(list_filter(range(1, len(d.dtk)),
+                                   j -> d.dtk[j] = p.t1 AND d.dtk[j + 1] = p.t2)))::BIGINT AS otf
+        FROM sdpair p CROSS JOIN sddoc d GROUP BY 1, 2),
+sdu AS (SELECT p.query_id, d.doc_id,
+               sum(len(list_filter(range(1, len(d.dtk) + 1),
+                                   i -> list_has_all(d.dtk[i:i+{_SDM_W - 1}], [p.t1, p.t2]))))::BIGINT AS utf
+        FROM sdpair p CROSS JOIN sddoc d GROUP BY 1, 2),
+sdb AS (SELECT h.query_id, h.doc_id, h.rsv,
+               coalesce(o.otf, 0)::BIGINT AS otf, coalesce(u.utf, 0)::BIGINT AS utf,
+               (85 * h.rsv + 10 * least(coalesce(o.otf, 0), 255)
+                           + 5 * least(coalesce(u.utf, 0), 255))::BIGINT AS blend
+        FROM hits h
+        LEFT JOIN sdo o ON o.query_id = h.query_id AND o.doc_id = h.doc_id
+        LEFT JOIN sdu u ON u.query_id = h.query_id AND u.doc_id = h.doc_id),
+sdr AS (SELECT query_id, doc_id, rsv, otf, utf, blend,
+               (row_number() OVER (PARTITION BY query_id
+                                   ORDER BY blend DESC, doc_id DESC))::BIGINT AS rank
+        FROM sdb)
+"""
+    r["jass_sdm_topk"] = (
+        _sdm,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _SDM_CTES)
+        + f" SELECT query_id, doc_id, rsv, otf, utf, blend, rank"
+        f" FROM sdr WHERE rank <= {K}",
+    )
+
     # Strict-AND conjunctive mode (search_conjunctive): doc must match
     # EVERY query term (OOV term ⇒ empty query), ranked by the same rsv.
     def _topk_and(spark, sf):

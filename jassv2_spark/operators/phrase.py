@@ -362,3 +362,111 @@ def _bm25_pseudo_term_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "ptf", "score", "rank")
     )
+
+
+def sdm_topk(
+    index,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    window: int = 8,
+    w_t: int = 85,
+    w_o: int = 10,
+    w_u: int = 5,
+    cap: int = 255,
+    rho: float = 1.0,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str | None = None,
+    with_keys: bool = True,
+) -> DataFrame:
+    """Sequential Dependence Model ranking (Metzler & Croft, "A Markov
+    Random Field Model for Term Dependencies", SIGIR'05): the canonical
+    term-dependency retrieval model —
+
+        blend = w_T·rsv + w_O·Σ otf̂ + w_U·Σ utf̂
+
+    where rsv is the engine's unigram impact score, otf the ordered
+    (adjacent) occurrence count of each query bigram, utf the unordered
+    co-occurrence count within a `window`-token span, both capped at
+    `cap` (integer analogue of the paper's λ = 0.85/0.10/0.05 with count
+    evidence in place of smoothed LM features — every term is an exact
+    int64, bitwise on any engine). Candidates are the unigram match set:
+    a document matching a bigram necessarily matches both its unigrams,
+    so the LEFT joins lose nothing.
+
+    Scale shape: the serve chain is unchanged; the O/U passes are
+    `phrase_match_counts`/`proximity_match_counts`' map-only corpus scans
+    against the broadcast per-query bigram list (only MATCHING pairs are
+    shuffled), and the final blend adds two (query_id, doc_id) equi-joins
+    on the hits. Single-term queries have no bigrams and reduce to
+    w_T·rsv with identical ranks to `search`."""
+    from jassv2_spark.operators.search import (
+        DEFAULT_K,
+        _accumulate_hits,
+        gather_segments,
+        parse_queries,
+    )
+
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    seg = gather_segments(index, q_terms, q_meta, rho=rho)
+    hits = _accumulate_hits(index, q_terms, seg)
+
+    qtk = queries.select(
+        "query_id", spark_tokens("query", mode=tokenizer).alias("tk")
+    )
+    bigr = (
+        qtk.where(F.size("tk") >= 2)
+        .select(
+            "query_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                )
+            ).alias("phrase"),
+        )
+    )
+    o = (
+        phrase_match_counts(
+            docs, bigr, text_col=text_col, id_col=id_col, tokenizer=tokenizer
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("ptf").cast("long").alias("otf"))
+    )
+    u = (
+        proximity_match_counts(
+            docs, bigr.withColumnRenamed("phrase", "query"), window,
+            text_col=text_col, id_col=id_col, tokenizer=tokenizer,
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("ptf").cast("long").alias("utf"))
+    )
+    blended = (
+        hits.join(o, ["query_id", "doc_id"], "left")
+        .join(u, ["query_id", "doc_id"], "left")
+        .na.fill(0, ["otf", "utf"])
+        .withColumn(
+            "blend",
+            (
+                F.lit(int(w_t)) * F.col("rsv")
+                + F.lit(int(w_o)) * F.least(F.col("otf"), F.lit(int(cap)))
+                + F.lit(int(w_u)) * F.least(F.col("utf"), F.lit(int(cap)))
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("blend").desc(), F.col("doc_id").desc()
+    )
+    topk = blended.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= F.lit(int(k))
+    )
+    cols = ["query_id", "doc_id", "rsv", "otf", "utf", "blend", "rank"]
+    if with_keys:
+        topk = F.broadcast(topk).join(index.doc_map, "doc_id")
+        return topk.select(*cols[:2], "key", *cols[2:])
+    return topk.select(*cols)

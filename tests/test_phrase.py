@@ -145,3 +145,58 @@ def test_phrase_topk_tie_breaks_to_higher_docid_and_k_cuts(spark):
     out = phrase_topk(docs, _q(spark, ("t", "x y")), k=3).collect()
     ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ranked == [5, 4, 3]  # identical scores -> higher doc_id first, k=3
+
+
+def test_sdm_blend_hand_checked(spark):
+    from jassv2_spark.operators.build import BuildConf, build_index
+    from jassv2_spark.operators.phrase import sdm_topk
+    from jassv2_spark.operators.search import search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york city guide"),          # adjacent bigram
+            (2, "york is new to the new area"),  # both terms, never adjacent
+            (3, "new things"),                   # one term only
+        ],
+        ["doc_id", "text"],
+    )
+    idx = build_index(
+        docs, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+        conf=BuildConf(tokenizer="parity"),
+    )
+    q = spark.createDataFrame([("q1", "new york")], ["query_id", "query"])
+    rsv = {r["doc_id"]: r["rsv"]
+           for r in search(idx, q, k=5, with_keys=False).collect()}
+    got = {r["doc_id"]: r for r in sdm_topk(
+        idx, docs, q, k=5, with_keys=False).collect()}
+    # doc 1: "new york" adjacent once -> otf 1; window-8 co-occurrence:
+    # starts 1..4, windows containing both = start 1 only -> utf 1
+    assert (got[1]["otf"], got[1]["utf"]) == (1, 1)
+    # doc 2: both terms, never adjacent; tokens: york is new to the new
+    # area — 'york' sits at position 1, so only the start-1 window holds
+    # both -> otf 0, utf 1
+    assert (got[2]["otf"], got[2]["utf"]) == (0, 1)
+    assert (got[3]["otf"], got[3]["utf"]) == (0, 0)
+    for d in (1, 2, 3):
+        assert got[d]["blend"] == 85 * rsv[d] + 10 * got[d]["otf"] + 5 * got[d]["utf"]
+
+
+def test_sdm_single_term_matches_search_ranks(spark):
+    from jassv2_spark.operators.build import BuildConf, build_index
+    from jassv2_spark.operators.phrase import sdm_topk
+    from jassv2_spark.operators.search import search
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple"), (2, "apple pie"), (3, "pear")],
+        ["doc_id", "text"],
+    )
+    idx = build_index(
+        docs, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+        conf=BuildConf(tokenizer="parity"),
+    )
+    q = spark.createDataFrame([("q1", "apple")], ["query_id", "query"])
+    want = [(r["doc_id"], r["rank"])
+            for r in search(idx, q, k=5, with_keys=False).collect()]
+    got = [(r["doc_id"], r["rank"])
+           for r in sdm_topk(idx, docs, q, k=5, with_keys=False).collect()]
+    assert sorted(got) == sorted(want)  # no bigrams: pure w_T scaling
