@@ -377,3 +377,15 @@ class Engine:
             self.index, docs, queries, k=k or self.top_k, rho=self.rho,
             tokenizer=self.query_tokenizer or self.index.conf.tokenizer, **kw,
         )
+
+    def vocab_diff(self, other: "Engine", top_m: int = 50) -> DataFrame:
+        """Top df movers vs another engine's index (plans/merge.py)."""
+        from jassv2_spark.plans.merge import vocab_diff
+
+        return vocab_diff(self.index, other.index, top_m=top_m)
+
+    def dl_histogram(self) -> DataFrame:
+        """Power-of-two doc-length histogram (operators/textstats.py)."""
+        from jassv2_spark.operators.textstats import dl_histogram
+
+        return dl_histogram(self.index.doc_lengths)

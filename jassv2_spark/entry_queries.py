@@ -3088,6 +3088,59 @@ SELECT c.decile::BIGINT AS decile, c.cut::BIGINT AS n_docs,
 FROM cuts c LEFT JOIN tp USING (decile) LEFT JOIN vp USING (decile)""",
     )
 
+    # Index diff (plans/merge.py:vocab_diff): top df movers between two
+    # builds — crawl-drift / curation-regression QA. Here: full corpus vs
+    # the lang='en' subset (b ⊆ a, so deltas are the non-en df mass).
+    def _vocab_diff(spark, sf):
+        from jassv2_spark.plans.merge import vocab_diff
+
+        key = f"{sf}::en"
+        idx_b = _CURATED_CACHE.get(key)
+        if idx_b is None:
+            idx_b = build_index(
+                _docs(spark, sf).where(F.col("lang") == "en"),
+                text_col="text", key_col="doc_id", doc_id_col="doc_id",
+                conf=BuildConf(k1=K1, b=B, tokenizer="parity"),
+            )
+            _CURATED_CACHE[key] = idx_b
+        return vocab_diff(get_index(spark, sf), idx_b, top_m=50)
+
+    _VDIFF_CTES = """
+vda AS (SELECT term, count(*)::BIGINT AS df_a FROM tfx GROUP BY term),
+vdb AS (SELECT t.term, count(*)::BIGINT AS df_b
+        FROM tfx t JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en' GROUP BY t.term),
+vdj AS (SELECT term, coalesce(df_a, 0)::BIGINT AS df_a,
+               coalesce(df_b, 0)::BIGINT AS df_b,
+               (coalesce(df_b, 0) - coalesce(df_a, 0))::BIGINT AS delta
+        FROM vda FULL OUTER JOIN vdb USING (term)),
+vdr AS (SELECT term, df_a, df_b, delta,
+               (row_number() OVER (ORDER BY abs(delta) DESC, term ASC))::BIGINT AS move_rank
+        FROM vdj)
+"""
+    r["jass_vocab_diff"] = (
+        _vocab_diff,
+        _sql(_BASE, _VDIFF_CTES)
+        + " SELECT term, df_a, df_b, delta, move_rank FROM vdr WHERE move_rank <= 50",
+    )
+
+    # Doc-length histogram (operators/textstats.py:dl_histogram): exact
+    # power-of-two buckets via binary digit count — map-side projection +
+    # a ≤64-row aggregate, the scale-safe stand-in for exact percentiles.
+    def _dl_hist(spark, sf):
+        from jassv2_spark.operators.textstats import dl_histogram
+
+        return dl_histogram(get_index(spark, sf).doc_lengths)
+
+    r["text_dl_histogram"] = (
+        _dl_hist,
+        _sql(_BASE)
+        + """ SELECT (CASE WHEN dl <= 0 THEN -1
+                           ELSE length(bin(dl)) - 1 END)::BIGINT AS bucket,
+                     count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens
+              FROM dlx GROUP BY 1""",
+    )
+
     # Zipf rank-frequency head + log-log slope (operators/textstats.py):
     # the corpus-QA scalar companion to the Heaps curve. ln driver-side
     # over bounded domains (ranks 1..50, ≤50 distinct ctfs), moments as

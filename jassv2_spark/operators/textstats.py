@@ -598,3 +598,27 @@ def zipf_slope(postings: DataFrame, top_r: int = 50) -> DataFrame:
         .cast("long")
         .alias("slope_micros"),
     )
+
+
+def dl_histogram(doc_lengths: DataFrame) -> DataFrame:
+    """(bucket, n_docs, total_tokens): document-length distribution in
+    power-of-two buckets — bucket = floor(log2(dl)) computed EXACTLY as
+    length(bin(dl)) − 1 (binary digit count, pure integer/string math —
+    a float log2 could misbucket at power-of-two boundaries on some
+    engine); dl ≥ 1, empty docs land in bucket −1. The corpus QA
+    histogram that exact percentiles can't give at scale: a per-group
+    exact percentile buffers every value, while this is a map-side
+    projection plus a ≤64-row aggregate."""
+    bucket = (
+        F.when(F.col("dl") <= 0, F.lit(-1))
+        .otherwise(F.length(F.bin(F.col("dl"))) - 1)
+        .cast("long")
+    )
+    return (
+        doc_lengths.select(bucket.alias("bucket"), F.col("dl").cast("long").alias("dl"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+        )
+    )

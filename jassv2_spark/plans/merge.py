@@ -343,3 +343,33 @@ def merge_build_dirs(
     return build_index_persisted(
         docs, out_dir, text_col="text", key_col="key", conf=conf
     )
+
+
+def vocab_diff(index_a, index_b, top_m: int = 50):
+    """(term, df_a, df_b, delta, move_rank): the top-`top_m` document-
+    frequency movers between two builds — the index-diff crawl-drift /
+    regression QA tool (compare yesterday's index to today's, a full
+    corpus to a curated subset, a merged build to its shards). Terms
+    absent from one side carry df 0; delta = df_b − df_a; movers rank by
+    |delta| DESC with term-ASC ties. All exact integers.
+
+    Scale shape: one full-outer equi-join of two VOCABULARY-sized tables
+    (never corpus-sized) followed by a distributed orderBy+limit
+    (TakeOrderedAndProject per-partition heaps); only ≤ top_m rows see
+    the rank window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    a = index_a.term_stats.select("term", F.col("df").cast("long").alias("df_a"))
+    b = index_b.term_stats.select("term", F.col("df").cast("long").alias("df_b"))
+    joined = (
+        a.join(b, "term", "full")
+        .na.fill(0, ["df_a", "df_b"])
+        .withColumn("delta", (F.col("df_b") - F.col("df_a")).cast("long"))
+    )
+    order = [F.abs(F.col("delta")).desc(), F.col("term").asc()]
+    head = joined.orderBy(*order).limit(int(top_m))
+    w = Window.orderBy(*order)
+    return head.withColumn(
+        "move_rank", F.row_number().over(w).cast("long")
+    ).select("term", "df_a", "df_b", "delta", "move_rank")

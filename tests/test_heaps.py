@@ -33,3 +33,15 @@ def test_heaps_monotone(spark, docs):
     rows = sorted(heaps_profile(docs, buckets=10).collect(), key=lambda r: r["decile"])
     for a, b in zip(rows, rows[1:]):
         assert b["n_tokens"] >= a["n_tokens"] and b["vocab_size"] >= a["vocab_size"]
+
+
+def test_dl_histogram_buckets(spark):
+    from jassv2_spark.operators.textstats import dl_histogram
+
+    dls = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 8), (5, 0)], ["doc_id", "dl"]
+    )
+    got = {r["bucket"]: (r["n_docs"], r["total_tokens"])
+           for r in dl_histogram(dls).collect()}
+    # 1 -> bucket 0; 2,3 -> bucket 1; 8 -> bucket 3; 0 -> bucket -1
+    assert got == {0: (1, 1), 1: (2, 5), 3: (1, 8), -1: (1, 0)}

@@ -208,3 +208,28 @@ def test_merge_build_dirs_equals_direct_persisted(spark, corpus, tmp_path):
         spark, [str(tmp_path / "a"), str(tmp_path / "b")], str(tmp_path / "m")
     )
     assert _segments_sorted(again) == _segments_sorted(direct)
+
+
+def test_vocab_diff_hand_checked(spark):
+    from jassv2_spark.operators.build import BuildConf, build_index
+    from jassv2_spark.plans.merge import vocab_diff
+
+    conf = BuildConf(tokenizer="parity")
+    a = build_index(
+        spark.createDataFrame(
+            [(1, "x y"), (2, "x z"), (3, "x w")], ["doc_id", "text"]
+        ),
+        text_col="text", key_col="doc_id", doc_id_col="doc_id", conf=conf,
+    )
+    b = build_index(
+        spark.createDataFrame([(1, "x y q q")], ["doc_id", "text"]),
+        text_col="text", key_col="doc_id", doc_id_col="doc_id", conf=conf,
+    )
+    got = {r["term"]: r for r in vocab_diff(a, b, top_m=10).collect()}
+    # x: 3 -> 1 (delta -2); q: 0 -> 1 (+1, b-only term); w/z: 1 -> 0 (-1)
+    assert (got["x"]["df_a"], got["x"]["df_b"], got["x"]["delta"]) == (3, 1, -2)
+    assert (got["q"]["df_a"], got["q"]["delta"]) == (0, 1)
+    assert got["x"]["move_rank"] == 1  # |−2| is the biggest move
+    # |delta|=1 group ties break term ASC: q before w before z
+    assert [got[t]["move_rank"] for t in ("q", "w", "z")] == [2, 3, 4]
+    assert got["y"]["delta"] == 0
