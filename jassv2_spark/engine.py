@@ -389,3 +389,15 @@ class Engine:
         from jassv2_spark.operators.textstats import dl_histogram
 
         return dl_histogram(self.index.doc_lengths)
+
+    def search_synonyms(
+        self, queries: DataFrame, synonyms: DataFrame,
+        k: int | None = None, **kw,
+    ) -> DataFrame:
+        """Query-time synonym expansion (operators/fuzzy.py)."""
+        from jassv2_spark.operators.fuzzy import search_synonyms
+
+        return search_synonyms(
+            self.index, queries, synonyms, k=k or self.top_k, rho=self.rho,
+            tokenizer=self.query_tokenizer, **kw,
+        )

@@ -772,6 +772,49 @@ pranked AS (SELECT probe, term, df, dist,
         + " SELECT probe, term, df, dist, cand_rank FROM pranked WHERE cand_rank <= 5",
     )
 
+    # Query-time synonym expansion (operators/fuzzy.py:search_synonyms):
+    # synonyms inherit q_tf (q04's doubled 'merge' boosts 'join' to q_tf
+    # 2), OOV synonyms drop at the vocab join ('quick'), and q05's OOV
+    # 'zzz' is RESCUED by its in-vocab synonym 'spark'.
+    SYNONYMS = [
+        ("join", "merge"),
+        ("merge", "join"),
+        ("fast", "quick"),
+        ("scan", "filter"),
+        ("zzz", "spark"),
+    ]
+
+    def _topk_syn(spark, sf):
+        from jassv2_spark.operators.fuzzy import search_synonyms
+
+        return search_synonyms(
+            get_index(spark, sf), _queries_df(spark),
+            spark.createDataFrame(SYNONYMS, ["term", "synonym"]),
+            k=K, with_keys=False,
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _syn_values = ", ".join(f"('{t}', '{s}')" for t, s in SYNONYMS)
+    _SYN_QT = f"""
+q(query_id, query) AS (VALUES {_values_clause()}),
+qtok AS (SELECT query_id, unnest(regexp_extract_all(lower(query), '{TOKEN_PATTERN}')) AS term FROM q),
+qt0 AS (SELECT query_id, term, count(*)::BIGINT AS q_tf FROM qtok GROUP BY 1, 2),
+syn(term, synonym) AS (VALUES {_syn_values}),
+qt AS (SELECT query_id, term, sum(q_tf)::BIGINT AS q_tf FROM (
+         SELECT query_id, term, q_tf FROM qt0
+         UNION ALL
+         SELECT q0.query_id, s.synonym AS term, q0.q_tf
+         FROM qt0 q0 JOIN syn s USING (term))
+       GROUP BY 1, 2),""" + _post_qt_ctes(1.0)
+    r["jass_topk_synonyms"] = (
+        _topk_syn,
+        _sql(_BASE, _SYN_QT, _TOPK_CTES) + _topk_select,
+    )
+
     # More-like-this (operators/mlt.py): the query is DERIVED from a seed
     # document — its top-25 terms by tf·idf (ln driver-side, repo
     # determinism standard) — then served through the unchanged segment

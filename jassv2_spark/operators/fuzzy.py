@@ -127,3 +127,50 @@ def search_fuzzy(
     qt2 = correct_query_terms(index, q_terms)
     qm2 = qt2.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
     return search_from_terms(index, qt2, qm2, k=k, rho=rho, with_keys=with_keys)
+
+
+def search_synonyms(
+    index: Index,
+    queries: DataFrame,
+    synonyms: DataFrame,
+    k: int = DEFAULT_K,
+    rho: float = 1.0,
+    tokenizer: str | None = None,
+    with_keys: bool = True,
+) -> DataFrame:
+    """Query-time synonym expansion (the Elasticsearch synonym-filter /
+    Lucene SynonymQuery analogue; the reference serves literal terms only):
+    every parsed query term pulls in its `synonyms` rows (term → synonym,
+    directional — supply both directions for symmetric pairs), the
+    synonym INHERITS the original term's q_tf (a duplicated typed term
+    boosts its synonyms too), colliding terms sum q_tf, and the expanded
+    term set flows through the UNCHANGED serve chain. n_terms (the uint8
+    rescale divisor) counts the expanded set pre-vocab-drop, mirroring
+    `search`'s pre-drop count; out-of-vocabulary synonyms drop at the
+    vocab join exactly like typed OOV terms — and an OOV typed term with
+    an in-vocabulary synonym is thereby RESCUED (the query matches via
+    the synonym alone).
+
+    Scale shape: the synonym table is a broadcast probe of the tiny
+    parsed-terms set; everything downstream is the ordinary serve path
+    (costs and pruning unchanged, just more terms)."""
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, _ = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    syn = F.broadcast(synonyms.select("term", "synonym"))
+    extra = q_terms.join(syn, "term").select(
+        "query_id", F.col("synonym").alias("term"), "q_tf"
+    )
+    expanded = (
+        q_terms.select("query_id", "term", "q_tf")
+        .unionByName(extra)
+        .groupBy("query_id", "term")
+        .agg(F.sum("q_tf").cast("long").alias("q_tf"))
+    )
+    q_meta = expanded.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    from jassv2_spark.operators.search import search_from_terms
+
+    return search_from_terms(
+        index, expanded, q_meta, k=k, rho=rho, with_keys=with_keys
+    )

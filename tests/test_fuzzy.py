@@ -116,3 +116,37 @@ def test_in_vocab_term_is_never_overridden(spark, tiny_index):
     )
     want = sorted(map(tuple, search(tiny_index, q, k=5, with_keys=False).collect()))
     assert got == want and len(got) == 1  # only doc 4 holds 'coin'
+
+
+def test_synonym_expansion_semantics(spark):
+    from jassv2_spark.operators.build import BuildConf, build_index
+    from jassv2_spark.operators.fuzzy import search_synonyms
+    from jassv2_spark.operators.search import search
+
+    docs = spark.createDataFrame(
+        [(1, "car road"), (2, "automobile road"), (3, "road")],
+        ["doc_id", "text"],
+    )
+    idx = build_index(
+        docs, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+        conf=BuildConf(tokenizer="parity"),
+    )
+    syn = spark.createDataFrame(
+        [("car", "automobile"), ("zzz", "road"), ("car", "notaword")],
+        ["term", "synonym"],
+    )
+    # 'car' expands to 'automobile': doc 2 now matches query 'car'
+    q = spark.createDataFrame([("q1", "car")], ["query_id", "query"])
+    ids = {r["doc_id"] for r in search_synonyms(
+        idx, q, syn, k=5, with_keys=False).collect()}
+    assert ids == {1, 2}
+    plain = {r["doc_id"] for r in search(idx, q, k=5, with_keys=False).collect()}
+    assert plain == {1}
+    # OOV typed term rescued by an in-vocab synonym
+    q2 = spark.createDataFrame([("q2", "zzz")], ["query_id", "query"])
+    assert search(idx, q2, k=5, with_keys=False).count() == 0
+    assert search_synonyms(idx, q2, syn, k=5, with_keys=False).count() == 3
+    # OOV synonym ('notaword') drops silently — same results as without it
+    q3 = spark.createDataFrame([("q3", "car road")], ["query_id", "query"])
+    got = search_synonyms(idx, q3, syn, k=5, with_keys=False).count()
+    assert got == 3
