@@ -3184,6 +3184,48 @@ vdr AS (SELECT term, df_a, df_b, delta,
               FROM dlx GROUP BY 1""",
     )
 
+    # Trending terms (operators/events.py:trending_terms): per-time-bucket
+    # df risers vs the previous bucket over the warc_ts synthesis (doc_id
+    # seconds past the corpus start → bucket = (doc_id − min) DIV 120).
+    _TREND_B, _TREND_M = 120, 10
+
+    def _trending(spark, sf):
+        from jassv2_spark.operators.events import trending_terms
+
+        docs = _docs(spark, sf)
+        doc_ts = docs.select(
+            "doc_id",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)"
+            ).alias("ts"),
+        )
+        return trending_terms(docs, doc_ts, bucket_s=_TREND_B, top_m=_TREND_M)
+
+    _TREND_CTES = f"""
+trmin AS (SELECT min(doc_id)::BIGINT AS lo FROM documents),
+trtk AS (SELECT ((d.doc_id - trmin.lo) // {_TREND_B})::BIGINT AS bucket,
+                unnest(regexp_extract_all(lower(d.text), '{TOKEN_PATTERN}')) AS term,
+                d.doc_id
+         FROM documents d, trmin),
+trdf AS (SELECT bucket, term, count(DISTINCT doc_id)::BIGINT AS df
+         FROM trtk GROUP BY 1, 2),
+trj AS (SELECT c.bucket, c.term, c.df,
+               coalesce(p.df, 0)::BIGINT AS prev_df,
+               (c.df - coalesce(p.df, 0))::BIGINT AS delta
+        FROM trdf c LEFT JOIN trdf p
+          ON p.term = c.term AND p.bucket = c.bucket - 1),
+trr AS (SELECT bucket, term, df, prev_df, delta,
+               (row_number() OVER (PARTITION BY bucket
+                                   ORDER BY delta DESC, term ASC))::BIGINT AS trend_rank
+        FROM trj)
+"""
+    r["text_trending_terms"] = (
+        _trending,
+        _sql(_TREND_CTES)
+        + f" SELECT bucket, term, df, prev_df, delta, trend_rank"
+        f" FROM trr WHERE trend_rank <= {_TREND_M}",
+    )
+
     # Zipf rank-frequency head + log-log slope (operators/textstats.py):
     # the corpus-QA scalar companion to the Heaps curve. ln driver-side
     # over bounded domains (ranks 1..50, ≤50 distinct ctfs), moments as

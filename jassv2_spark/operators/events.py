@@ -101,3 +101,78 @@ def tumbling_counts(
             "sum_value_milli",
         )
     )
+
+
+def trending_terms(
+    docs: DataFrame,
+    doc_ts: DataFrame,
+    bucket_s: int = 3600,
+    top_m: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    tokenizer: str = "parity",
+) -> DataFrame:
+    """(bucket, term, df, prev_df, delta, trend_rank): the top-`top_m`
+    document-frequency RISERS per time bucket vs the previous bucket —
+    the trending-terms analytic every content platform runs over a
+    timestamped crawl (window-over-window df delta; `vocab_diff` is the
+    same comparison between two whole builds). All exact integers.
+
+    Buckets are RELATIVE to the corpus' earliest timestamp
+    (bucket = (epoch(ts) − epoch(min ts)) DIV bucket_s), so the layout is
+    a pure function of the inputs — session timezone and absolute epoch
+    cancel. The first bucket trends against an empty predecessor
+    (prev_df 0: everything is new, deterministically).
+
+    Scale shape: one tokenize pass → DISTINCT (bucket, term, doc) →
+    (bucket, term)-keyed partial-agg df (vocabulary×buckets rows, never
+    corpus-sized); prev_df is a self equi-join on (term, bucket−1); the
+    per-bucket top-m window partitions by bucket — parallel across
+    buckets, each task over one bucket's vocabulary."""
+    from jassv2_spark.functions.tokenizer import spark_tokens
+
+    ts = doc_ts.select(
+        F.col(id_col).alias("doc_id"),
+        F.unix_timestamp(F.col(ts_col)).alias("__epoch"),
+    )
+    ref = ts.agg(F.min("__epoch").alias("__ref"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(spark_tokens(text_col, mode=tokenizer)).alias("term"),
+    )
+    per_bucket = (
+        toks.join(ts, "doc_id")
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.expr(f"(__epoch - __ref) DIV {int(bucket_s)}").alias("bucket"),
+            "term",
+            "doc_id",
+        )
+        .distinct()
+        .groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    prev = per_bucket.select(
+        (F.col("bucket") + 1).alias("bucket"), "term",
+        F.col("df").alias("prev_df"),
+    )
+    joined = (
+        per_bucket.join(prev, ["bucket", "term"], "left")
+        .na.fill(0, ["prev_df"])
+        .withColumn("delta", (F.col("df") - F.col("prev_df")).cast("long"))
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("delta").desc(), F.col("term").asc()
+    )
+    return (
+        joined.withColumn("trend_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("trend_rank") <= F.lit(int(top_m)))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "term", "df",
+            F.col("prev_df").cast("long").alias("prev_df"),
+            "delta", "trend_rank",
+        )
+    )

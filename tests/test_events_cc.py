@@ -89,3 +89,36 @@ def test_tumbling_epoch_aligned(spark):
         (dt.datetime(2024, 1, 1, 0), 2, 2),
         (dt.datetime(2024, 1, 1, 1), 1, 1),
     }
+
+
+def test_trending_terms_hand_checked(spark):
+    import datetime
+
+    from jassv2_spark.operators.events import trending_terms
+
+    base = datetime.datetime(2024, 1, 1)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),          # bucket 0
+            (2, "alpha"),               # bucket 0
+            (3, "alpha gamma gamma"),   # bucket 1
+            (4, "gamma beta"),          # bucket 1
+        ],
+        ["doc_id", "text"],
+    )
+    ts = spark.createDataFrame(
+        [(i, base + datetime.timedelta(seconds=s))
+         for i, s in [(1, 0), (2, 30), (3, 60), (4, 90)]],
+        ["doc_id", "ts"],
+    )
+    got = {(r["bucket"], r["term"]): r for r in trending_terms(
+        docs, ts, bucket_s=60, top_m=5).collect()}
+    # bucket 0: alpha df2 (prev 0, delta 2), beta df1 (delta 1)
+    assert got[(0, "alpha")]["delta"] == 2
+    assert got[(0, "alpha")]["trend_rank"] == 1
+    # bucket 1: gamma df2 prev 0 delta +2 (dedup within doc 3: df not tf);
+    # alpha df1 prev 2 delta -1; beta df1 prev 1 delta 0
+    assert (got[(1, "gamma")]["df"], got[(1, "gamma")]["delta"]) == (2, 2)
+    assert got[(1, "gamma")]["trend_rank"] == 1
+    assert got[(1, "alpha")]["delta"] == -1
+    assert got[(1, "beta")]["delta"] == 0
