@@ -401,3 +401,12 @@ class Engine:
             self.index, queries, synonyms, k=k or self.top_k, rho=self.rho,
             tokenizer=self.query_tokenizer, **kw,
         )
+
+    def trending_terms(
+        self, docs: DataFrame, doc_ts: DataFrame,
+        bucket_s: int = 3600, top_m: int = 10, **kw,
+    ) -> DataFrame:
+        """Per-time-bucket df risers (operators/events.py:trending_terms)."""
+        from jassv2_spark.operators.events import trending_terms
+
+        return trending_terms(docs, doc_ts, bucket_s=bucket_s, top_m=top_m, **kw)
