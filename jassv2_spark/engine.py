@@ -410,3 +410,9 @@ class Engine:
         from jassv2_spark.operators.events import trending_terms
 
         return trending_terms(docs, doc_ts, bucket_s=bucket_s, top_m=top_m, **kw)
+
+    def suggest(self, queries: DataFrame) -> DataFrame:
+        """'Did you mean' query suggestions (operators/fuzzy.py)."""
+        from jassv2_spark.operators.fuzzy import suggest_queries
+
+        return suggest_queries(self.index, queries, tokenizer=self.query_tokenizer)

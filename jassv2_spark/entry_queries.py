@@ -815,6 +815,45 @@ qt AS (SELECT query_id, term, sum(q_tf)::BIGINT AS q_tf FROM (
         _sql(_BASE, _SYN_QT, _TOPK_CTES) + _topk_select,
     )
 
+    # "Did you mean" query suggestion (operators/fuzzy.py:suggest_queries):
+    # the typo query set reassembled in original token order with best
+    # distance-1 corrections; uncorrectable OOV tokens stay verbatim.
+    def _suggest(spark, sf):
+        from jassv2_spark.operators.fuzzy import suggest_queries
+
+        return suggest_queries(
+            get_index(spark, sf),
+            spark.createDataFrame(FUZZY_QUERIES, ["query_id", "query"]),
+        )
+
+    _SUGGEST_CTES = f"""
+fq(query_id, query) AS (VALUES {_fuzzy_values}),
+sqs AS (SELECT query_id, regexp_extract_all(lower(query), '{TOKEN_PATTERN}') AS tk FROM fq),
+sqp AS (SELECT query_id, unnest(range(1, len(tk) + 1)) AS pos, tk FROM sqs),
+sqt AS (SELECT query_id, pos, tk[pos] AS term FROM sqp),
+svcb AS (SELECT term, count(*)::BIGINT AS df FROM tfx GROUP BY term),
+soov AS (SELECT DISTINCT term AS probe FROM sqt
+         WHERE term NOT IN (SELECT term FROM svcb)),
+scand AS (SELECT probe, term AS corrected FROM (
+            SELECT o.probe, v.term,
+                   row_number() OVER (PARTITION BY o.probe
+                                      ORDER BY v.df DESC, v.term ASC) AS rn
+            FROM soov o JOIN svcb v ON levenshtein(o.probe, v.term) = 1)
+          WHERE rn = 1),
+sfix AS (SELECT t.query_id, t.pos,
+                coalesce(c.corrected, t.term) AS out_term,
+                CASE WHEN c.corrected IS NOT NULL THEN 1 ELSE 0 END AS fixed
+         FROM sqt t LEFT JOIN scand c ON c.probe = t.term)
+"""
+    r["jass_suggest"] = (
+        _suggest,
+        _sql(_BASE, _SUGGEST_CTES)
+        + """ SELECT query_id,
+                     string_agg(out_term, ' ' ORDER BY pos) AS suggestion,
+                     sum(fixed)::BIGINT AS n_corrected
+              FROM sfix GROUP BY query_id""",
+    )
+
     # More-like-this (operators/mlt.py): the query is DERIVED from a seed
     # document — its top-25 terms by tf·idf (ln driver-side, repo
     # determinism standard) — then served through the unchanged segment

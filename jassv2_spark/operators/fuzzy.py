@@ -174,3 +174,55 @@ def search_synonyms(
     return search_from_terms(
         index, expanded, q_meta, k=k, rho=rho, with_keys=with_keys
     )
+
+
+def suggest_queries(
+    index: Index,
+    queries: DataFrame,
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """(query_id, suggestion, n_corrected): the "did you mean" string —
+    the query's token sequence in ORIGINAL order with every
+    out-of-vocabulary token replaced by its best distance-1 correction
+    (df DESC, term ASC — `correct_query_terms`' rule); uncorrectable OOV
+    tokens stay verbatim and in-vocabulary tokens are never touched.
+    n_corrected counts replaced positions (0 ⇒ nothing to suggest).
+
+    Scale shape: per-query token rows (positions from posexplode, tiny);
+    the candidate join is the deletion-variant EQUI-join of
+    `fuzzy_term_candidates` over the distinct OOV probes — never a
+    quadratic vocabulary scan; reassembly is one per-query collect_list
+    over ≤ query-length rows."""
+    from jassv2_spark.functions.tokenizer import spark_tokens
+
+    tokenizer = tokenizer or index.conf.tokenizer
+    tok_col = spark_tokens("query", mode=tokenizer, xml=False)
+    toks = queries.select(
+        "query_id", F.posexplode(tok_col).alias("pos", "term")
+    )
+    stats = index.term_stats.select("term", "df")
+    oov = (
+        toks.join(stats.select("term"), "term", "left_anti")
+        .select(F.col("term").alias("probe"))
+        .distinct()
+    )
+    cand = (
+        fuzzy_term_candidates(stats, oov, n=1)
+        .where(F.col("cand_rank") == 1)
+        .select("probe", F.col("term").alias("corrected"))
+    )
+    fixed = toks.join(
+        F.broadcast(cand), toks["term"] == cand["probe"], "left"
+    ).select(
+        "query_id", "pos",
+        F.coalesce(F.col("corrected"), toks["term"]).alias("out_term"),
+        F.col("corrected").isNotNull().cast("long").alias("fixed"),
+    )
+    ordered = F.expr(
+        "array_join(transform(array_sort(collect_list(struct(pos, out_term))),"
+        " x -> x.out_term), ' ')"
+    )
+    return fixed.groupBy("query_id").agg(
+        ordered.alias("suggestion"),
+        F.sum("fixed").cast("long").alias("n_corrected"),
+    )

@@ -150,3 +150,32 @@ def test_synonym_expansion_semantics(spark):
     q3 = spark.createDataFrame([("q3", "car road")], ["query_id", "query"])
     got = search_synonyms(idx, q3, syn, k=5, with_keys=False).count()
     assert got == 3
+
+
+def test_suggest_queries_did_you_mean(spark):
+    from jassv2_spark.operators.build import BuildConf, build_index
+    from jassv2_spark.operators.fuzzy import suggest_queries
+
+    docs = spark.createDataFrame(
+        [(1, "spark join table"), (2, "spark query"), (3, "spark window")],
+        ["doc_id", "text"],
+    )
+    idx = build_index(
+        docs, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+        conf=BuildConf(tokenizer="parity"),
+    )
+    q = spark.createDataFrame(
+        [
+            ("q1", "sparkk joinn"),   # both corrected
+            ("q2", "spark join"),     # all in-vocab: untouched
+            ("q3", "zzzqqq join"),    # hopeless OOV stays verbatim
+        ],
+        ["query_id", "query"],
+    )
+    got = {r["query_id"]: r for r in suggest_queries(idx, q).collect()}
+    assert got["q1"]["suggestion"] == "spark join"
+    assert got["q1"]["n_corrected"] == 2
+    assert got["q2"]["suggestion"] == "spark join"
+    assert got["q2"]["n_corrected"] == 0
+    assert got["q3"]["suggestion"] == "zzzqqq join"
+    assert got["q3"]["n_corrected"] == 0
