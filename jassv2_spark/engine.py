@@ -416,3 +416,23 @@ class Engine:
         from jassv2_spark.operators.fuzzy import suggest_queries
 
         return suggest_queries(self.index, queries, tokenizer=self.query_tokenizer)
+
+    def dup_rate_over_time(
+        self, docs: DataFrame, doc_ts: DataFrame, bucket_s: int = 3600, **kw
+    ) -> DataFrame:
+        """Per-bucket exact-duplicate crawl rate (operators/dedup.py)."""
+        from jassv2_spark.operators.dedup import dup_rate_over_time
+
+        return dup_rate_over_time(docs, doc_ts, bucket_s=bucket_s, **kw)
+
+    def stopword_candidates(
+        self, min_df_ppm: int = 200_000, top_r: int = 50
+    ) -> DataFrame:
+        """High-df stoplist candidates from collection stats
+        (operators/textstats.py)."""
+        from jassv2_spark.operators.textstats import stopword_candidates
+
+        return stopword_candidates(
+            self.index.term_stats, self.index.n_docs,
+            min_df_ppm=min_df_ppm, top_r=top_r,
+        )

@@ -3265,6 +3265,62 @@ trr AS (SELECT bucket, term, df, prev_df, delta,
         f" FROM trr WHERE trend_rank <= {_TREND_M}",
     )
 
+    # Duplicate rate over crawl time (operators/dedup.py:dup_rate_over_time):
+    # per-bucket exact-dup fraction vs everything seen earlier in crawl
+    # order. With the warc_ts synthesis, crawl order == doc_id order, so
+    # the lexicographic (bucket, id) first-occurrence is min(doc_id).
+    def _dup_rate(spark, sf):
+        from jassv2_spark.operators.dedup import dup_rate_over_time
+
+        docs = _docs(spark, sf)
+        doc_ts = docs.select(
+            "doc_id",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)"
+            ).alias("ts"),
+        )
+        return dup_rate_over_time(docs, doc_ts, bucket_s=_TREND_B)
+
+    _DUPRATE_CTES = f"""
+drts AS (SELECT doc_id, md5(text) AS h,
+                ((doc_id - (SELECT min(doc_id) FROM documents)) // {_TREND_B})::BIGINT AS bucket
+         FROM documents),
+drf AS (SELECT h, min(doc_id) AS fid FROM drts GROUP BY h),
+drb AS (SELECT t.bucket, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN t.doc_id <> f.fid THEN 1 ELSE 0 END)::BIGINT AS n_dups
+        FROM drts t JOIN drf f USING (h) GROUP BY t.bucket)
+"""
+    r["dedup_rate_time"] = (
+        _dup_rate,
+        _sql(_DUPRATE_CTES)
+        + " SELECT bucket, n_docs, n_dups,"
+        " ((1000000 * n_dups) // n_docs)::BIGINT AS dup_ppm FROM drb",
+    )
+
+    # Stoplist generation (operators/textstats.py:stopword_candidates):
+    # the high-df head above 20% of docs — the knob the reference omits
+    # (parser.cpp indexes everything), derived from collection stats.
+    def _stopwords(spark, sf):
+        from jassv2_spark.operators.textstats import stopword_candidates
+
+        idx = get_index(spark, sf)
+        return stopword_candidates(
+            idx.term_stats, idx.n_docs, min_df_ppm=200_000, top_r=50
+        )
+
+    _STOPW_CTES = """
+swf AS (SELECT term, df, ((1000000 * df) // (SELECT n FROM nn))::BIGINT AS df_ppm
+        FROM dfx WHERE (1000000 * df) // (SELECT n FROM nn) >= 200000),
+swr AS (SELECT term, df, df_ppm,
+               (row_number() OVER (ORDER BY df DESC, term ASC))::BIGINT AS rank
+        FROM swf)
+"""
+    r["text_stopwords"] = (
+        _stopwords,
+        _sql(_BASE, _STOPW_CTES)
+        + " SELECT rank, term, df, df_ppm FROM swr WHERE rank <= 50",
+    )
+
     # Zipf rank-frequency head + log-log slope (operators/textstats.py):
     # the corpus-QA scalar companion to the Heaps curve. ln driver-side
     # over bounded domains (ranks 1..50, ≤50 distinct ctfs), moments as

@@ -434,3 +434,64 @@ def repeated_spans(
         "span_end",
         (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
     )
+
+
+def dup_rate_over_time(
+    docs: DataFrame,
+    doc_ts: DataFrame,
+    bucket_s: int = 3600,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(bucket, n_docs, n_dups, dup_ppm): per-time-bucket exact-duplicate
+    rate — "how much of this crawl window is content we already had" (the
+    crawl-health metric behind recrawl-policy tuning; CC-style crawls
+    routinely re-fetch unchanged pages). A document is a duplicate iff an
+    md5-identical document exists EARLIER in crawl order — (bucket,
+    doc_id) lexicographic, so exactly one member of every duplicate group
+    (its first occurrence) is original, deterministically. Buckets are
+    relative to the corpus' earliest timestamp (`trending_terms`' rule:
+    timezone/epoch cancel). dup_ppm = (10⁶·n_dups) DIV n_docs — exact.
+
+    Scale shape: one md5 map pass; one (hash)-keyed agg carrying the
+    group's min (bucket, doc_id) as a packed struct-min (partial-agg
+    friendly); one broadcast-sized reference time; one (bucket)-keyed
+    roll-up. Never corpus×corpus."""
+    ts = doc_ts.select(
+        F.col(id_col).alias("__id"),
+        F.unix_timestamp(F.col(ts_col)).alias("__epoch"),
+    )
+    ref = ts.agg(F.min("__epoch").alias("__ref"))
+    d = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.md5(F.col(text_col).cast("binary")).alias("h"),
+        )
+        .join(ts, "__id")
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "h", "__id",
+            F.expr(f"(__epoch - __ref) DIV {int(bucket_s)}").alias("bucket"),
+        )
+    )
+    first = d.groupBy("h").agg(
+        F.min(F.struct("bucket", "__id")).alias("first")
+    )
+    flagged = d.join(first, "h").select(
+        "bucket",
+        (
+            (F.col("bucket") != F.col("first.bucket"))
+            | (F.col("__id") != F.col("first.__id"))
+        ).cast("long").alias("is_dup"),
+    )
+    return flagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        "n_dups",
+        F.expr("(1000000 * n_dups) DIV n_docs").cast("long").alias("dup_ppm"),
+    )

@@ -622,3 +622,28 @@ def dl_histogram(doc_lengths: DataFrame) -> DataFrame:
             F.sum("dl").cast("long").alias("total_tokens"),
         )
     )
+
+
+def stopword_candidates(
+    term_stats: DataFrame, n_docs: int, min_df_ppm: int = 200_000, top_r: int = 50
+) -> DataFrame:
+    """(rank, term, df, df_ppm): vocabulary whose document frequency
+    exceeds `min_df_ppm` parts-per-million of the corpus — the
+    stoplist-generation tool (the reference indexes everything,
+    `parser.cpp` has no stoplist; consumers that want one derive it from
+    collection statistics exactly like this). df_ppm = (10⁶·df) DIV
+    n_docs, exact; ordered df DESC with term-ASC ties, capped at `top_r`
+    via distributed orderBy+limit.
+
+    Scale: VOCABULARY-sized input (term_stats), one filter + top-k —
+    never touches postings."""
+    cand = term_stats.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.expr(f"(1000000 * df) DIV {int(n_docs)}").cast("long").alias("df_ppm"),
+    ).where(F.col("df_ppm") >= F.lit(int(min_df_ppm)))
+    head = cand.orderBy(F.col("df").desc(), F.col("term").asc()).limit(int(top_r))
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return head.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "term", "df", "df_ppm"
+    )

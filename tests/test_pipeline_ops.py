@@ -163,3 +163,58 @@ def test_gopher_quality_hand_checked(spark):
     assert r4["frac_alpha_words"] == 0.0
     assert r4["n_stop_hits"] == 0
     assert not r4["keep_gopher"]
+
+
+def test_dup_rate_over_time_hand_checked(spark):
+    import datetime
+
+    from jassv2_spark.operators.dedup import dup_rate_over_time
+
+    base = datetime.datetime(2024, 1, 1)
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")],
+        ["doc_id", "text"],
+    )
+    # buckets of 60s: docs 1,2 in bucket 0; 3,4 in bucket 1; 5 in bucket 2
+    ts = spark.createDataFrame(
+        [(i, base + datetime.timedelta(seconds=s))
+         for i, s in [(1, 0), (2, 30), (3, 60), (4, 90), (5, 120)]],
+        ["doc_id", "ts"],
+    )
+    got = {r["bucket"]: r for r in dup_rate_over_time(
+        docs, ts, bucket_s=60).collect()}
+    assert (got[0]["n_docs"], got[0]["n_dups"]) == (2, 0)
+    assert (got[1]["n_docs"], got[1]["n_dups"]) == (2, 2)  # both re-crawls
+    assert got[1]["dup_ppm"] == 1_000_000
+    assert (got[2]["n_docs"], got[2]["n_dups"]) == (1, 0)
+
+
+def test_dup_within_bucket_keeps_first_by_id(spark):
+    import datetime
+
+    from jassv2_spark.operators.dedup import dup_rate_over_time
+
+    base = datetime.datetime(2024, 1, 1)
+    docs = spark.createDataFrame(
+        [(7, "same"), (8, "same")], ["doc_id", "text"]
+    )
+    ts = spark.createDataFrame(
+        [(7, base), (8, base)], ["doc_id", "ts"]
+    )
+    (r,) = dup_rate_over_time(docs, ts, bucket_s=60).collect()
+    # same bucket: the lower doc_id is the original, the other a dup
+    assert (r["n_docs"], r["n_dups"], r["dup_ppm"]) == (2, 1, 500_000)
+
+
+def test_stopword_candidates_threshold_and_order(spark):
+    from jassv2_spark.operators.textstats import stopword_candidates
+
+    stats = spark.createDataFrame(
+        [("the", 90), ("of", 50), ("and", 50), ("rare", 10)],
+        ["term", "df"],
+    )
+    got = stopword_candidates(stats, n_docs=100, min_df_ppm=200_000).collect()
+    rows = [(r["rank"], r["term"], r["df_ppm"]) for r in sorted(
+        got, key=lambda r: r["rank"])]
+    # rare (10% of docs) is below the 20% bar; df ties break term ASC
+    assert rows == [(1, "the", 900_000), (2, "and", 500_000), (3, "of", 500_000)]
