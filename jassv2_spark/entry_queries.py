@@ -2017,6 +2017,61 @@ FROM nrel n FULL OUTER JOIN m ON m.query_id = n.query_id"""
 
     r["jass_eval_metrics"] = (_eval_fn, _eval_sql())
 
+    # ---- graded nDCG@k (trec_eval convention; absent from JASS_eval's
+    # non-price metrics) — graded qrels: rel = #distinct query terms the
+    # doc contains, capped at 4, over the exhaustive top-k run ----
+    _NDCG_MAXREL = 4
+
+    def _ndcg_fn(spark, sf):
+        from jassv2_spark.operators.evaluate import evaluate_ndcg
+        from jassv2_spark.operators.search import parse_queries
+
+        idx = get_index(spark, sf)
+        run = search(idx, _queries_df(spark), k=K, rho=1.0, with_keys=False)
+        q_terms, _ = parse_queries(_queries_df(spark))
+        qrels = (
+            q_terms.select("query_id", "term")
+            .distinct()
+            .join(idx.postings.select("term", "doc_id"), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.countDistinct("term").cast("long").alias("rel"))
+        )
+        return evaluate_ndcg(run, qrels, depth=K, max_rel=_NDCG_MAXREL)
+
+    def _ndcg_sql() -> str:
+        from jassv2_spark.operators.evaluate import ndcg_discounts_fixed
+
+        w_rows, _scale = ndcg_discounts_fixed(K, _NDCG_MAXREL)
+        w_values = ", ".join(f"({pos}, {wi}::BIGINT)" for pos, wi in w_rows)
+        return (
+            _sql(_BASE, _query_ctes(1.0), _TOPK_CTES)
+            + f""",
+grel AS (SELECT qt.query_id, t.doc_id,
+                least(count(DISTINCT qt.term), {_NDCG_MAXREL})::BIGINT AS rel
+         FROM qt JOIN tfx t ON t.term = qt.term GROUP BY qt.query_id, t.doc_id),
+wts(pos, ndcg_wi) AS (VALUES {w_values}),
+dcg AS (SELECT r.query_id, sum(((1::BIGINT << g.rel) - 1) * w.ndcg_wi)::BIGINT AS dcg_int
+        FROM ranked r
+        JOIN grel g ON g.query_id = r.query_id AND g.doc_id = r.doc_id
+        JOIN wts w ON w.pos = r.rank
+        WHERE r.rank <= {K} GROUP BY r.query_id),
+ideal AS (SELECT query_id, rel,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, doc_id ASC) AS pos
+          FROM grel),
+idcg AS (SELECT i.query_id, sum(((1::BIGINT << i.rel) - 1) * w.ndcg_wi)::BIGINT AS idcg_int
+         FROM ideal i JOIN wts w ON w.pos = i.pos
+         WHERE i.pos <= {K} GROUP BY i.query_id)
+SELECT coalesce(ic.query_id, d.query_id) AS query_id,
+  coalesce(d.dcg_int, 0)::BIGINT AS dcg_int,
+  coalesce(ic.idcg_int, 0)::BIGINT AS idcg_int,
+  CASE WHEN ic.idcg_int IS NOT NULL AND ic.idcg_int > 0
+       THEN coalesce(d.dcg_int, 0)::DOUBLE / ic.idcg_int::DOUBLE END AS ndcg
+FROM idcg ic FULL OUTER JOIN dcg d ON d.query_id = ic.query_id"""
+        )
+
+    r["jass_eval_ndcg"] = (_ndcg_fn, _ndcg_sql())
+
     # ---- eCommerce eval (JASS_eval -p price mode) ----
     def _ecom_fn(spark, sf):
         from jassv2_spark.operators.evaluate import evaluate_run_priced

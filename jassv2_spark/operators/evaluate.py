@@ -184,6 +184,99 @@ def evaluate_run(
     )
 
 
+def ndcg_discounts_fixed(depth: int, max_rel: int) -> tuple[list[tuple[int, int]], int]:
+    """Driver-side nDCG discount table: [(rank, w_r)] with
+    w_r = round(scale / log2(rank+1)), scale the largest power of two such
+    that the worst-case DCG sum (2^max_rel − 1) · scale · depth stays below
+    2^62 — exact int64 accumulation at any depth/grade within the guard."""
+    if max_rel < 1 or max_rel > 20:
+        raise ValueError("max_rel must be in [1, 20]")
+    scale = 1 << 62
+    while ((1 << max_rel) - 1) * scale * depth >= 1 << 62:
+        scale >>= 1
+    if scale == 0:
+        raise ValueError(f"depth={depth} max_rel={max_rel} overflow int64")
+    return (
+        [(r, int(round(scale / math.log2(r + 1)))) for r in range(1, depth + 1)],
+        scale,
+    )
+
+
+def evaluate_ndcg(
+    run: DataFrame,
+    qrels: DataFrame,
+    depth: int = 10,
+    max_rel: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Graded nDCG@depth (Järvelin & Kekäläinen TOIS'02, exponential-gain
+    form gain = 2^rel − 1, the trec_eval/web-track convention) — the
+    standard metric the reference's JASS_eval family lacks (it ships only
+    the price-binned PBnDCG/BPnDCG variants,
+    `source/evaluate_price_based_normalized_discounted_cumulative_gain.cpp`).
+
+    `run(query_id, doc_id, rank)`, `qrels(query_id, doc_id, rel)` with
+    integer grades 0..max_rel (rows with rel ≤ 0 are non-relevant).
+
+    Float determinism: discounts 1/log2(rank+1) are precomputed driver-side
+    as integers w_r = round(scale/log2(r+1)) (see :func:`ndcg_discounts_fixed`),
+    so DCG and ideal-DCG accumulate as EXACT int64 sums Σ gain·w_r on any
+    engine/parallelism; ndcg is one final int64→double division. Ties in
+    the ideal ranking don't affect idcg (equal gains × whichever discounts).
+
+    Returns (query_id, dcg_int, idcg_int, ndcg); queries with no positively
+    graded assessment are omitted (0/0 — trec_eval's convention too).
+    Scale: one (query_id, doc_id) equi-join + per-query windows over
+    ≤ depth rows."""
+    spark = run.sparkSession
+    w_rows, _scale = ndcg_discounts_fixed(depth, max_rel)
+    weights = F.broadcast(spark.createDataFrame(w_rows, "pos long, ndcg_wi long"))
+
+    graded = (
+        qrels.select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            F.col("rel").cast("long").alias("rel"),
+        )
+        .where(F.col("rel") > 0)
+    )
+    # guard: grades beyond the scale bound would overflow the int64 sums
+    graded = graded.withColumn("rel", F.least(F.col("rel"), F.lit(int(max_rel))))
+    gain = F.expr("CAST(shiftleft(1L, CAST(rel AS INT)) - 1 AS BIGINT)")
+
+    dcg = (
+        run.where(F.col("rank") <= F.lit(depth))
+        .select("query_id", F.col(id_col).alias("doc_id"), F.col("rank").cast("long").alias("pos"))
+        .join(graded, ["query_id", "doc_id"], "inner")
+        .join(weights, "pos")
+        .groupBy("query_id")
+        .agg(F.sum(gain * F.col("ndcg_wi")).cast("long").alias("dcg_int"))
+    )
+
+    ideal_w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    idcg = (
+        graded.withColumn("pos", F.row_number().over(ideal_w).cast("long"))
+        .where(F.col("pos") <= F.lit(depth))
+        .join(weights, "pos")
+        .groupBy("query_id")
+        .agg(F.sum(gain * F.col("ndcg_wi")).cast("long").alias("idcg_int"))
+    )
+
+    out = idcg.join(dcg, "query_id", "full_outer")
+    dcg_c = F.coalesce(F.col("dcg_int"), F.lit(0)).cast("long")
+    return out.select(
+        "query_id",
+        dcg_c.alias("dcg_int"),
+        F.coalesce(F.col("idcg_int"), F.lit(0)).cast("long").alias("idcg_int"),
+        F.when(
+            F.col("idcg_int").isNotNull() & (F.col("idcg_int") > 0),
+            dcg_c.cast("double") / F.col("idcg_int").cast("double"),
+        ).alias("ndcg"),
+    )
+
+
 def evaluate_run_priced(
     run: DataFrame,
     qrels: DataFrame,

@@ -188,3 +188,47 @@ def test_deep_depth_float_fallback(spark, run_and_qrels):
     # shallow (fixed-point) and deep (float) agree on rank-limited metrics
     shallow = {r["query_id"]: r for r in evaluate_run(run, qrels, depth=10).collect()}
     assert rows["q1"]["map"] == pytest.approx(shallow["q1"]["map"], abs=1e-12)
+
+
+def test_ndcg_goldens(spark, run_and_qrels):
+    """Graded nDCG@10, exponential gains 2^rel - 1, hand-computed
+    (Järvelin & Kekäläinen TOIS'02; trec_eval convention — the metric the
+    reference's JASS_eval lacks outside its price-binned variants)."""
+    from jassv2_spark.operators.evaluate import evaluate_ndcg, ndcg_discounts_fixed
+
+    run, _ = run_and_qrels
+    qrels = spark.createDataFrame(
+        [("q1", 10, 2), ("q1", 12, 1), ("q1", 99, 3),
+         ("q3", 31, 1),
+         ("q1", 13, 0)],  # rel=0 rows are non-relevant: must be ignored
+        ["query_id", "doc_id", "rel"],
+    )
+    rows = {r["query_id"]: r for r in evaluate_ndcg(run, qrels, depth=10).collect()}
+
+    w, scale = ndcg_discounts_fixed(10, 4)
+    wi = dict(w)
+    assert scale == 1 << 54  # 15 * 2^54 * 10 < 2^62 <= 15 * 2^55 * 10
+    for r in (1, 5, 10):
+        assert wi[r] == round(scale / math.log2(r + 1))
+
+    # q1: run = [10(rel2)@1, 11@2, 12(rel1)@3, 13(rel0)@4]
+    dcg = 3 * wi[1] + 1 * wi[3]
+    idcg = 7 * wi[1] + 3 * wi[2] + 1 * wi[3]  # ideal: rel 3, 2, 1
+    assert rows["q1"]["dcg_int"] == dcg
+    assert rows["q1"]["idcg_int"] == idcg
+    assert rows["q1"]["ndcg"] == dcg / idcg  # exact: one int64→double divide
+
+    # q3: relevant exists (doc 31) but none retrieved
+    assert rows["q3"]["dcg_int"] == 0
+    assert rows["q3"]["idcg_int"] == 1 * wi[1]
+    assert rows["q3"]["ndcg"] == 0.0
+
+    # q2: no positively graded assessment → omitted entirely (0/0)
+    assert "q2" not in rows
+
+    # grades above max_rel clamp to it (overflow guard)
+    qrels_hot = spark.createDataFrame([("q1", 10, 9)], ["query_id", "doc_id", "rel"])
+    hot = evaluate_ndcg(run, qrels_hot, depth=10, max_rel=4).collect()[0]
+    assert hot["dcg_int"] == 15 * wi[1]
+    assert hot["idcg_int"] == 15 * wi[1]
+    assert hot["ndcg"] == 1.0
