@@ -3722,6 +3722,37 @@ final_docs AS MATERIALIZED (SELECT curated.* FROM curated
            FROM s""",
     )
 
+    # Passage chunking with overlap (DPR/RAG prep): per-doc sliding token
+    # windows — map-only, never crosses a document boundary.
+    _CHW, _CHS = 8, 6
+
+    def _chunks(spark, sf):
+        from jassv2_spark.operators.curation import chunk_passages
+
+        return chunk_passages(_docs(spark, sf), window=_CHW, stride=_CHS)
+
+    r["text_chunk_passages"] = (
+        _chunks,
+        f"""WITH dtoks AS (SELECT doc_id,
+                    regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+               FROM documents),
+           nch AS (SELECT doc_id, tk, len(tk)::BIGINT AS n,
+                          CASE WHEN len(tk) <= {_CHW} THEN 1
+                               ELSE 1 + ((len(tk) - {_CHW}) + {_CHS} - 1) // {_CHS}
+                          END AS n_chunks
+                   FROM dtoks),
+           ch AS (SELECT doc_id, tk, n,
+                         unnest(range(0, n_chunks)) AS chunk_idx
+                  FROM nch)
+           SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+                  (chunk_idx * {_CHS})::BIGINT AS tok_start,
+                  least({_CHW}, n - chunk_idx * {_CHS})::BIGINT AS n_tok,
+                  array_to_string(
+                    tk[(chunk_idx * {_CHS} + 1)::INT : (chunk_idx * {_CHS} + {_CHW})::INT],
+                    ' ') AS chunk_text
+           FROM ch""",
+    )
+
     # Unigram-LM surprisal (CCNet-style perplexity proxy) with exact
     # integer bit-length math: bits(x) = length(bin(x)) in both engines.
     def _surprisal(spark, sf):

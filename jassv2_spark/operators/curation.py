@@ -120,6 +120,61 @@ def pack_sequences(
     )
 
 
+def chunk_passages(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, tok_start, n_tok, chunk_text): per-document
+    sliding token windows with overlap — the passage-chunking prep for
+    retrieval/embedding training and RAG ingestion (DPR, Karpukhin et al.
+    2020 §4.1 splits pages into fixed-length passages; overlap via
+    stride < window is the standard recall hedge). Complements
+    :func:`pack_sequences`, which concatenates ACROSS documents for causal
+    LM training; this op never crosses a document boundary.
+
+    Chunk starts are 0, stride, 2·stride, …; each covers up to `window`
+    tokens; a start is emitted only while it adds unseen tokens, so
+    n_chunks = 1 + ceil((n − window)/stride) for n > window, else 1 —
+    every token lands in ≥ 1 chunk and the tail chunk may be short. Empty
+    documents emit one empty chunk (n_tok = 0) to keep per-doc
+    accountability.
+
+    Scale shape: MAP-ONLY — tokenize, per-row chunk-count arithmetic, one
+    explode over sequence(0, n_chunks−1), JVM `slice`/`array_join`; no
+    shuffle, no UDF, fan-out ≈ n_tokens/stride per doc. Deterministic pure
+    function of the row ⇒ the DuckDB oracle matches exactly."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    n_chunks = F.expr(
+        f"CASE WHEN size(__tk) <= {window} THEN 1"
+        f" ELSE 1 + ((size(__tk) - {window}) + {stride} - 1) DIV {stride} END"
+    )
+    return (
+        docs.select(F.col(id_col), _toks(text_col).alias("__tk"))
+        .select(
+            F.col(id_col),
+            F.col("__tk"),
+            F.size("__tk").cast("long").alias("__n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("long").alias("tok_start"),
+            F.least(
+                F.lit(window).cast("long"),
+                F.col("__n") - F.col("chunk_idx") * stride,
+            ).alias("n_tok"),
+            F.array_join(
+                F.expr(f"slice(__tk, chunk_idx * {stride} + 1, {window})"), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def unigram_surprisal(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -217,3 +217,54 @@ def test_domain_cap_sample_rank_is_dense_and_deterministic(spark):
     b = domain_cap_sample(docs.repartition(5), cap=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert sorted(r["rk"] for r in a) == [1, 2, 3, 4, 5, 6]
+
+
+def test_chunk_passages_goldens(spark):
+    """Sliding-window passage chunking: coverage, overlap, tail, empty doc."""
+    from jassv2_spark.operators.curation import chunk_passages
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ta tb tc td te tf tg th ti tj"),        # 10 tokens
+            (2, "a b c d e f g h i j k"),                 # 11 tokens
+            (3, "x y"),                                    # shorter than window
+            (4, ""),                                       # empty
+        ],
+        ["doc_id", "text"],
+    )
+    rows = chunk_passages(docs, window=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+
+    # doc 1: n=10 -> 1 + ceil(6/3) = 3 chunks at starts 0, 3, 6
+    c1 = by_doc[1]
+    assert [(r["tok_start"], r["n_tok"]) for r in c1] == [(0, 4), (3, 4), (6, 4)]
+    assert c1[0]["chunk_text"] == "ta tb tc td"
+    assert c1[1]["chunk_text"] == "td te tf tg"   # 1-token overlap
+    assert c1[2]["chunk_text"] == "tg th ti tj"
+
+    # doc 2: n=11 -> 4 chunks; tail is short but covers the last token
+    c2 = by_doc[2]
+    assert [(r["tok_start"], r["n_tok"]) for r in c2] == [
+        (0, 4), (3, 4), (6, 4), (9, 2)]
+    assert c2[3]["chunk_text"] == "j k"
+
+    # doc 3: single chunk shorter than window
+    assert [(r["tok_start"], r["n_tok"], r["chunk_text"]) for r in by_doc[3]] == [
+        (0, 2, "x y")]
+
+    # doc 4: empty doc -> one empty chunk (accountability row)
+    assert [(r["n_tok"], r["chunk_text"]) for r in by_doc[4]] == [(0, "")]
+
+    # every token of doc 2 is covered by at least one chunk
+    covered = set()
+    for r in c2:
+        covered.update(range(r["tok_start"], r["tok_start"] + r["n_tok"]))
+    assert covered == set(range(11))
+
+    # stride == window -> disjoint exact partition
+    dis = chunk_passages(docs.where("doc_id = 1"), window=5, stride=5).collect()
+    assert sorted((r["tok_start"], r["n_tok"]) for r in dis) == [(0, 5), (5, 5)]
