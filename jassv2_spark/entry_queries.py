@@ -3753,6 +3753,32 @@ final_docs AS MATERIALIZED (SELECT curated.* FROM curated
            FROM ch""",
     )
 
+    # BPE training statistics (Sennrich et al. 2016, first merge
+    # iteration): frequency-weighted adjacent character pairs over the
+    # word-count vocabulary — one corpus pass, then vocabulary-sized work.
+    def _bpe(spark, sf):
+        from jassv2_spark.operators.bpe import pair_counts, word_counts
+
+        pc = pair_counts(word_counts(_docs(spark, sf)))
+        return (
+            pc.orderBy(F.col("n").desc(), "left", "right")
+            .limit(20)
+            .select(F.col("left").alias("lhs"), F.col("right").alias("rhs"), "n")
+        )
+
+    r["text_bpe_pairs"] = (
+        _bpe,
+        f"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS word
+               FROM documents),
+           wc AS (SELECT word, count(*)::BIGINT AS freq FROM w GROUP BY word),
+           pr AS (SELECT substring(word, i::INT, 1) AS lhs,
+                         substring(word, (i + 1)::INT, 1) AS rhs, freq
+                  FROM (SELECT word, freq, unnest(range(1, length(word))) AS i
+                        FROM wc WHERE length(word) >= 2)),
+           agg AS (SELECT lhs, rhs, sum(freq)::BIGINT AS n FROM pr GROUP BY lhs, rhs)
+           SELECT lhs, rhs, n FROM agg ORDER BY n DESC, lhs, rhs LIMIT 20""",
+    )
+
     # Unigram-LM surprisal (CCNet-style perplexity proxy) with exact
     # integer bit-length math: bits(x) = length(bin(x)) in both engines.
     def _surprisal(spark, sf):
