@@ -1256,6 +1256,58 @@ fagg AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_matched,
               JOIN qm USING (query_id)""",
     )
 
+    # DPR hard-negative mining (Karpukhin et al. 2020): BM25 top-k minus
+    # the positives. Positives = docs containing EVERY parsed query term
+    # with tf ≥ 2, restricted to doc_id % 3 == 0 — the % 3 models
+    # INCOMPLETE gold labels (only a subset of relevant docs is ever
+    # judged, which is exactly why unjudged strong matches become the hard
+    # negatives); OOV queries have no positives and keep their whole
+    # top-k.
+    _N_NEG = 5
+
+    def _hardneg(spark, sf):
+        from jassv2_spark.operators.ltr import mine_hard_negatives
+        from jassv2_spark.operators.search import parse_queries
+
+        idx = get_index(spark, sf)
+        q_terms, _ = parse_queries(_queries_df(spark))
+        qt = q_terms.select("query_id", "term").distinct()
+        n_q = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q"))
+        qrels = (
+            qt.join(
+                idx.postings.where(F.col("tf") >= 2).select("term", "doc_id"),
+                "term",
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.countDistinct("term").alias("m"))
+            .join(n_q, "query_id")
+            .where((F.col("m") == F.col("n_q")) & (F.col("doc_id") % 3 == 0))
+            .select("query_id", "doc_id")
+        )
+        return mine_hard_negatives(
+            idx, _queries_df(spark), qrels, k=K, n_neg=_N_NEG
+        )
+
+    r["jass_hard_negatives"] = (
+        _hardneg,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES)
+        + f""",
+qn AS (SELECT query_id, count(*)::BIGINT AS n_q FROM qt GROUP BY query_id),
+pm AS (SELECT qt.query_id, t.doc_id, count(DISTINCT qt.term)::BIGINT AS m
+       FROM qt JOIN tfx t ON t.term = qt.term AND t.tf >= 2
+       GROUP BY qt.query_id, t.doc_id),
+pos AS (SELECT pm.query_id, pm.doc_id
+        FROM pm JOIN qn ON qn.query_id = pm.query_id
+        WHERE pm.m = qn.n_q AND pm.doc_id % 3 = 0),
+neg AS (SELECT r.query_id, r.doc_id, r.rsv, r.rank AS orig_rank,
+               (row_number() OVER (PARTITION BY r.query_id ORDER BY r.rank))::BIGINT AS neg_rank
+        FROM ranked r
+        LEFT JOIN pos p ON p.query_id = r.query_id AND p.doc_id = r.doc_id
+        WHERE r.rank <= {K} AND p.doc_id IS NULL)
+SELECT query_id, doc_id, rsv, orig_rank, neg_rank
+FROM neg WHERE neg_rank <= {_N_NEG}""",
+    )
+
     # Static pruning / champion lists (operators/prune.py): serve only each
     # term's top-m postings by (impact DESC, doc_id ASC). Spark slices at
     # the segment level (no postings window); the oracle states the

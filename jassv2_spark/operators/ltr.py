@@ -111,3 +111,43 @@ def ltr_features(
             "min_df",
         )
     )
+
+
+def mine_hard_negatives(
+    index: Index,
+    queries: DataFrame,
+    qrels: DataFrame,
+    k: int = DEFAULT_K,
+    n_neg: int = 5,
+    rho: float = 1.0,
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, rsv, orig_rank, neg_rank): BM25 hard-negative
+    mining for dense-retriever training — the DPR recipe (Karpukhin et al.
+    EMNLP 2020 §3.2: negatives = top BM25 candidates that are not gold
+    positives). The engine's own anytime top-k is the candidate source, so
+    mining costs one ordinary serve pass; `qrels(query_id, doc_id)` marks
+    the positives to exclude.
+
+    Queries with no positives still yield negatives (their whole top-k is
+    negative — DPR keeps those for in-batch training). neg_rank renumbers
+    survivors 1..n_neg by original rank, deterministic because the serve
+    rank is already a total order.
+
+    Scale shape: candidates are queries×k rows; the positives join is a
+    (query_id, doc_id)-keyed LEFT ANTI (broadcast when qrels is small);
+    the only window is per-query over ≤ k rows. Nothing grows with the
+    corpus beyond the serve pass itself."""
+    from pyspark.sql import Window
+
+    topk = search(
+        index, queries, k=k, rho=rho, tokenizer=tokenizer, with_keys=False
+    ).select("query_id", "doc_id", "rsv", F.col("rank").alias("orig_rank"))
+    pos = qrels.select("query_id", "doc_id").distinct()
+    neg = topk.join(pos, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy("orig_rank")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= F.lit(n_neg))
+        .select("query_id", "doc_id", "rsv", "orig_rank", "neg_rank")
+    )
