@@ -2302,6 +2302,46 @@ FROM nrel n FULL OUTER JOIN nret t ON t.query_id = n.query_id
             GROUP BY a.doc_id, b.doc_id"""
         )
 
+    # Winnowing exact-substring candidates (Schleimer et al. SIGMOD'03;
+    # Lee et al. 2022's verbatim-repeat dedup class): pairs sharing a
+    # selected k-gram fingerprint ⇒ likely sharing a ≥ (w+k−1)-char exact
+    # substring. Guarantee-bearing, token-insensitive, df-capped.
+    _WK, _WW, _WDF = 20, 8, 50
+
+    def _winnow_pairs(spark, sf):
+        from jassv2_spark.operators.dedup import substring_dup_pairs
+
+        return substring_dup_pairs(
+            _docs(spark, sf), k=_WK, w=_WW, max_df=_WDF
+        ).select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            "n_shared",
+        )
+
+    r["dedup_substring_pairs"] = (
+        _winnow_pairs,
+        f"""WITH s AS (SELECT doc_id, lower(text) AS s FROM documents
+                  WHERE length(lower(text)) >= {_WK}),
+           hs AS (SELECT doc_id,
+                         list_transform(range(1, length(s) - {_WK} + 2),
+                                        i -> md5(substring(s, i::INT, {_WK}))) AS hs
+                  FROM s),
+           fp AS (SELECT doc_id,
+                         unnest(CASE WHEN len(hs) >= {_WW} THEN
+                                  list_distinct(list_transform(
+                                    range(1, len(hs) - {_WW} + 2),
+                                    j -> list_min(hs[j : j + {_WW} - 1])))
+                                ELSE [list_min(hs)] END) AS fp
+                  FROM hs),
+           small AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {_WDF}),
+           kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN small USING (fp))
+           SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+                  count(*)::BIGINT AS n_shared
+           FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id""",
+    )
+
     r["dedup_minhash_lsh"] = (
         lambda spark, sf: minhash_lsh_pairs(_docs(spark, sf), n=3, num_hashes=16, bands=4).select(
             F.col("doc_a").cast("long").alias("doc_a"),
