@@ -4049,6 +4049,30 @@ final_docs AS MATERIALIZED (SELECT curated.* FROM curated
            FROM events GROUP BY 1, 2""",
     )
 
+    # Sliding windows: each event covers window/slide = 4 overlapping
+    # epoch-aligned windows; same keyed agg as tumbling, streaming-safe.
+    def _sliding(spark, sf):
+        from jassv2_spark.operators.events import sliding_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return sliding_counts(ev, window_size="1 hour", slide="15 minutes")
+
+    r["events_sliding"] = (
+        _sliding,
+        """WITH ev AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS s0,
+                              ts, event_type, user_id, value
+                       FROM events),
+           wn AS (SELECT s0 - (i * INTERVAL '15 minutes') AS window_start,
+                         ts, event_type, user_id, value
+                  FROM ev, range(0, 4) AS t(i)
+                  WHERE s0 - (i * INTERVAL '15 minutes') > ts - INTERVAL '1 hour')
+           SELECT window_start, event_type,
+                  count(*)::BIGINT AS n_events,
+                  count(DISTINCT user_id)::BIGINT AS n_users,
+                  sum(floor(value * 1000)::BIGINT)::BIGINT AS sum_value_milli
+           FROM wn GROUP BY 1, 2""",
+    )
+
     # ---- HyperLogLog sketch (operators/sketch.py) ----
     # Distinct-term cardinality per language via a fully-specified HLL:
     # md5-prefix hash → 64 registers, exact-integer Σ2^(27-M_j), one

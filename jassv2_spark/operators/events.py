@@ -103,6 +103,45 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(window_start, event_type, n_events, n_users, sum_value_milli):
+    epoch-aligned SLIDING-window rollup — the overlapping-window companion
+    to :func:`tumbling_counts` (slide < window ⇒ each event lands in
+    window/slide windows; the moving-average shape dashboards want).
+    `F.window(ts, size, slide)` under the hood, so the identical groupBy
+    runs under Structured Streaming with a watermark on `ts_col`.
+
+    Scale shape: map-side fan-out of window/slide rows per event followed
+    by one (window, type)-keyed partial agg — the same single exchange as
+    the tumbling plan, just window/slide× the pre-agg rows (a constant,
+    not a function of corpus size)."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window_size, slide).alias("w"), F.col(type_col)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.floor(F.col("value") * F.lit(1000.0)).cast("long")).alias(
+                "sum_value_milli"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(type_col),
+            "n_events",
+            "n_users",
+            "sum_value_milli",
+        )
+    )
+
+
 def trending_terms(
     docs: DataFrame,
     doc_ts: DataFrame,

@@ -218,3 +218,38 @@ def test_stopword_candidates_threshold_and_order(spark):
         got, key=lambda r: r["rank"])]
     # rare (10% of docs) is below the 20% bar; df ties break term ASC
     assert rows == [(1, "the", 900_000), (2, "and", 500_000), (3, "of", 500_000)]
+
+
+def test_sliding_counts_covering_windows(spark):
+    """Sliding rollup: each event lands in exactly window/slide windows,
+    epoch-aligned, and counts are per overlapping window."""
+    from datetime import datetime
+
+    from jassv2_spark.operators.events import sliding_counts
+
+    ev = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 10, 7), "click", 1, 1.25),
+            (datetime(2024, 1, 1, 10, 20), "click", 2, 0.5),
+            (datetime(2024, 1, 1, 12, 0), "view", 1, 2.0),
+        ],
+        ["ts", "event_type", "user_id", "value"],
+    )
+    rows = sliding_counts(ev, window_size="1 hour", slide="15 minutes").collect()
+    # every event covered by exactly 4 windows
+    assert sum(r["n_events"] for r in rows) == 3 * 4
+    # the 10:00-11:00 window (start 10:00) holds both clicks
+    both = [r for r in rows
+            if r["event_type"] == "click" and r["window_start"].minute == 0
+            and r["window_start"].hour == 10]
+    assert len(both) == 1 and both[0]["n_events"] == 2 and both[0]["n_users"] == 2
+    assert both[0]["sum_value_milli"] == 1250 + 500
+    # 10:15 window start excludes the 10:07 click, keeps the 10:20 one
+    later = [r for r in rows
+             if r["event_type"] == "click" and r["window_start"].hour == 10
+             and r["window_start"].minute == 15]
+    assert len(later) == 1 and later[0]["n_events"] == 1
+    assert later[0]["sum_value_milli"] == 500
+    # a 12:00 event's earliest covering window starts 11:15
+    view_starts = sorted(r["window_start"] for r in rows if r["event_type"] == "view")
+    assert view_starts[0].hour == 11 and view_starts[0].minute == 15
