@@ -2959,6 +2959,46 @@ lnk AS (SELECT d.src, d.dst, a.anchor FROM ded d JOIN atk a USING (dst))
         _sql(_LINKS_CTES) + " SELECT src, dst, anchor FROM lnk",
     )
 
+    # Triangle census via degree-ordered orientation (Suri &
+    # Vassilvitskii WWW'11): apex = lowest-(degree, id) vertex, so each
+    # triangle counts once and wedge fan-out is arboricity-bounded.
+    def _web_triangles(spark, sf):
+        from jassv2_spark.operators.webgraph import (
+            extract_links,
+            linked_html,
+            synthesize_links,
+            triangle_stats,
+        )
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N)
+        return triangle_stats(extract_links(linked_html(docs, links)))
+
+    r["web_triangles"] = (
+        _web_triangles,
+        _sql(_LINKS_CTES)
+        + """,
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM ded WHERE src <> dst),
+deg AS (SELECT x, count(*)::BIGINT AS d
+        FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und) GROUP BY x),
+ori AS (SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS a,
+               CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS b
+        FROM und e JOIN deg da ON da.x = e.u JOIN deg db ON db.x = e.v),
+wed AS (SELECT e1.b AS b1, e2.b AS b2
+        FROM ori e1 JOIN ori e2 ON e1.a = e2.a AND e1.b < e2.b),
+tri AS (SELECT count(*)::BIGINT AS n_triangles
+        FROM wed w JOIN und t ON t.u = w.b1 AND t.v = w.b2),
+agg AS (SELECT (SELECT count(*)::BIGINT FROM deg) AS n_vertices,
+               (SELECT count(*)::BIGINT FROM und) AS n_edges,
+               (SELECT sum((d * (d - 1)) // 2)::BIGINT FROM deg) AS n_wedges,
+               (SELECT n_triangles FROM tri) AS n_triangles)
+SELECT n_vertices, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0 THEN (3000000 * n_triangles) // n_wedges
+            ELSE 0 END::BIGINT AS transitivity_ppm
+FROM agg""",
+    )
+
     # Integer PageRank: damped power iteration kept in exact int64 fixed
     # point (scale 10^12, d = 85/100, contributions integer-divided by
     # out-degree) — associative sums make it bitwise at any parallelism

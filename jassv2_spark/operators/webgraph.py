@@ -264,3 +264,71 @@ def search_authority(
         topk = F.broadcast(topk).join(index.doc_map, "doc_id")
         return topk.select(*cols[:2], "key", *cols[2:])
     return topk.select(*cols)
+
+
+def triangle_stats(links: DataFrame) -> DataFrame:
+    """One row (n_vertices, n_edges, n_wedges, n_triangles,
+    transitivity_ppm): undirected triangle census of the link graph —
+    the standard web/community-structure QA scalar (clustering
+    coefficient) next to PageRank.
+
+    Algorithm: degree-ordered edge orientation (Cohen's MapReduce
+    triangle counting / Suri & Vassilvitskii WWW'11): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one, build wedges by self-joining oriented edges on their apex, and
+    close each wedge against the undirected edge set. Every triangle is
+    counted exactly once (its unique lowest-(degree, id) vertex is the
+    apex), and per-apex fan-out is bounded by the graph's arboricity
+    rather than by max degree — THE property that keeps the wedge join
+    from going quadratic on celebrity hubs at web scale.
+
+    n_wedges is the classic Σ d(d−1)/2 path-of-length-2 count;
+    transitivity_ppm = (3·10⁶·triangles) DIV wedges, exact integers
+    throughout so any engine reproduces it bitwise."""
+    e = links.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    lower_first = F.struct("du", "u") < F.struct("dv", "v")
+    ori = (
+        und.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1 = ori.select(F.col("a"), F.col("b").alias("b1"))
+    e2 = ori.select(F.col("a"), F.col("b").alias("b2"))
+    wedges = e1.join(e2, "a").where(F.col("b1") < F.col("b2"))
+    tri = wedges.join(
+        und, (und["u"] == wedges["b1"]) & (und["v"] == wedges["b2"])
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+    nv = deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    ne = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nw = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) DIV 2")).cast("long").alias("n_wedges")
+    )
+    out = nv.crossJoin(ne).crossJoin(nw).crossJoin(tri)
+    return out.select(
+        "n_vertices",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.expr("(3000000 * n_triangles) DIV n_wedges"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("transitivity_ppm"),
+    )
