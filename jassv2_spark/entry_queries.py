@@ -1308,6 +1308,49 @@ SELECT query_id, doc_id, rsv, orig_rank, neg_rank
 FROM neg WHERE neg_rank <= {_N_NEG}""",
     )
 
+    # Corpus-wide related documents: every doc's top-3 tf·idf-cosine
+    # neighbours straight from the inverted index (global idf; exact
+    # integer weights; one fixed IEEE chain for the cosine). The entry
+    # restricts the candidate universe to doc_id % 37 == 0 — the synthetic
+    # corpus' 31-term vocabulary makes every term a stopword, so the
+    # df-cap scale path (library default max_df=100) would be vacuous
+    # here; the restricted run exercises the full weight/norm/cosine/rank
+    # chain instead.
+    def _related(spark, sf):
+        from jassv2_spark.operators.mlt import related_doc_pairs
+
+        idx = get_index(spark, sf)
+        return related_doc_pairs(
+            idx, max_df=None, top_m=3, doc_filter=lambda d: d % 37 == 0
+        )
+
+    r["jass_related_docs"] = (
+        _related,
+        _sql(_BASE)
+        + """,
+sub AS (SELECT t.doc_id, t.term, t.tf, f.df
+        FROM tfx t JOIN dfx f USING (term) WHERE t.doc_id % 37 = 0),
+idfc AS (SELECT df, floor(100 * ln(nn.n::DOUBLE / df::DOUBLE))::BIGINT AS idf_centi
+         FROM (SELECT DISTINCT df FROM sub), nn),
+wv AS (SELECT doc_id, term, (tf * idf_centi)::BIGINT AS w
+       FROM sub JOIN idfc USING (df)),
+nrm AS (SELECT doc_id, sum(w * w)::BIGINT AS norm FROM wv GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                count(*)::BIGINT AS n_shared, sum(a.w * b.w)::BIGINT AS dot
+         FROM wv a JOIN wv b ON a.term = b.term AND a.doc_id <> b.doc_id
+         GROUP BY 1, 2),
+cosm AS (SELECT doc_a, doc_b, n_shared,
+                floor(1000000.0 * (dot::DOUBLE /
+                      (sqrt(na.norm::DOUBLE) * sqrt(nb.norm::DOUBLE))))::BIGINT AS cos_micros
+         FROM dots JOIN nrm na ON na.doc_id = doc_a
+                   JOIN nrm nb ON nb.doc_id = doc_b),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_a
+                                    ORDER BY cos_micros DESC, doc_b ASC) AS pr
+       FROM cosm)
+SELECT doc_a, doc_b, n_shared, cos_micros, pr::BIGINT AS pair_rank
+FROM rk WHERE pr <= 3""",
+    )
+
     # Static pruning / champion lists (operators/prune.py): serve only each
     # term's top-m postings by (impact DESC, doc_id ASC). Spark slices at
     # the segment level (no postings window); the oracle states the

@@ -162,3 +162,97 @@ def doc_keyterms(index: Index, m: int = 5) -> DataFrame:
             "term_rank",
         )
     )
+
+
+def related_doc_pairs(
+    index: Index,
+    max_df: int | None = 100,
+    top_m: int = 3,
+    doc_filter=None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared, cos_micros, pair_rank): each document's
+    top-m most similar OTHER documents by tf·idf cosine, computed entirely
+    from the inverted index — the corpus-wide generalization of
+    :func:`more_like_this` (one seed) to a related-articles table
+    (Lucene MoreLikeThis run for every doc at once).
+
+    Weights are exact integers w = tf · floor(100·ln(N/df)) (centi-idf —
+    scaled so w² sums stay far inside int64 at any corpus size); dot
+    products and norms are exact int64 sums, and the final cosine is ONE
+    fixed IEEE chain floor(10⁶ · dot / (√norm_a · √norm_b)) — bitwise on
+    any engine/parallelism. pair_rank breaks cos ties by doc_b ASC.
+
+    Scale shape: the pair generator is an EQUI-join of the postings with
+    themselves on term, with terms of df > max_df dropped FIRST — per-term
+    fan-out ≤ max_df², the standard Zipf-head cap (Lin WSDM'09 df-limit
+    pruning); never an all-pairs join. Norms use the same capped vector
+    space, so dropped stopword dimensions are consistent on both sides of
+    the cosine. `doc_filter` (a Column predicate on doc_id) restricts the
+    candidate universe — both sides — for focused runs."""
+    posts = index.postings.select("term", "doc_id", "tf").join(
+        index.term_stats.select("term", "df"), "term"
+    )
+    if max_df is not None:
+        posts = posts.where(F.col("df") <= F.lit(int(max_df)))
+    if doc_filter is not None:
+        posts = posts.where(doc_filter(F.col("doc_id")))
+
+    n = float(index.n_docs)
+    df_vals = [r[0] for r in posts.select("df").distinct().collect()]
+    idf_centi = {d: int(math.floor(100.0 * math.log(n / float(d)))) for d in df_vals}
+    if idf_centi:
+        im = F.broadcast(
+            index.spark.createDataFrame(
+                sorted(idf_centi.items()), "df long, idf_centi long"
+            )
+        )
+        posts = posts.join(im, "df")
+    else:
+        posts = posts.withColumn("idf_centi", F.lit(0).cast("long"))
+    w = posts.select(
+        "term", "doc_id", (F.col("tf") * F.col("idf_centi")).cast("long").alias("w")
+    )
+
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("norm"))
+    a = w.select("term", F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
+    b = w.select("term", F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    cos = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.col("dot").cast("double")
+                    / (
+                        F.sqrt(F.col("norm_a").cast("double"))
+                        * F.sqrt(F.col("norm_b").cast("double"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("cos_micros"),
+        )
+    )
+    rk = Window.partitionBy("doc_a").orderBy(
+        F.col("cos_micros").desc(), F.col("doc_b").asc()
+    )
+    return (
+        cos.withColumn("pair_rank", F.row_number().over(rk).cast("long"))
+        .where(F.col("pair_rank") <= F.lit(int(top_m)))
+        .select("doc_a", "doc_b", "n_shared", "cos_micros", "pair_rank")
+    )

@@ -53,3 +53,36 @@ def test_no_positives_keeps_whole_topk(ten_idx, spark):
     neg = mine_hard_negatives(ten_idx, q, qrels, k=5, n_neg=10).collect()
     topk = search(ten_idx, q, k=5, with_keys=False).collect()
     assert len(neg) == len(topk)  # everything is a negative
+
+
+def test_related_doc_pairs_caps_and_ranks(ten_idx, spark):
+    """related_doc_pairs: symmetric neighbours, rank by cosine then id,
+    df cap drops ubiquitous terms from the vector space."""
+    import math
+
+    from jassv2_spark.operators.mlt import related_doc_pairs
+
+    out = related_doc_pairs(ten_idx, max_df=None, top_m=2).collect()
+    by_a = {}
+    for r in out:
+        by_a.setdefault(r["doc_a"], []).append(r)
+    # every doc with >= 1 shared term got neighbours, ranked 1..m
+    for a, rows in by_a.items():
+        rows.sort(key=lambda r: r["pair_rank"])
+        assert [r["pair_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cos = [r["cos_micros"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+        assert all(0 <= c <= 1000000 for c in cos)
+        assert all(r["doc_b"] != a for r in rows)
+
+    # a term present in EVERY doc contributes idf floor(100*ln(1)) = 0,
+    # so max_df cap vs idf-zero must agree: cap at df<10 drops nothing
+    # that mattered (10-doc corpus, ubiquitous term weight already 0)
+    capped = related_doc_pairs(ten_idx, max_df=9, top_m=2).collect()
+    full = {(r["doc_a"], r["doc_b"]): r["cos_micros"] for r in out}
+    for r in capped:
+        key = (r["doc_a"], r["doc_b"])
+        if key in full:
+            # cosine may shift (norms lose a zero-weight dim is a no-op;
+            # df<=9 also drops df=10 terms whose weight was 0) -> equal
+            assert abs(full[key] - r["cos_micros"]) <= 1
