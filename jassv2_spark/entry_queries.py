@@ -3082,6 +3082,62 @@ r{i + 1} AS (SELECT d.doc_id,
 
     r["web_pagerank"] = (_web_pagerank, _pr_sql())
 
+    # HITS hubs/authorities (Kleinberg JACM'99): exact int64 sums per
+    # half-step, max-normalized through ONE fixed IEEE chain
+    # floor(v/max·scale) — the oracle unrolls the same 10 double-steps
+    # (auth then hub) as CTEs with identical op order.
+    _HITS_ITERS = 10
+
+    def _hits_parts() -> list[str]:
+        from jassv2_spark.operators.webgraph import HITS_SCALE
+
+        # MATERIALIZED is load-bearing: each normalize step references its
+        # raw-sum CTE twice (max + rescale join), so plain CTEs would be
+        # inlined exponentially (2^(2·iters) parquet scans — fd exhaustion),
+        # the same blowup the Spark side truncates with localCheckpoint.
+        s = HITS_SCALE
+        parts = [
+            "hnd AS MATERIALIZED (SELECT doc_id FROM documents)",
+            "hed AS MATERIALIZED (SELECT src, dst FROM ded)",
+            f"h0 AS (SELECT doc_id, {s}::BIGINT AS v FROM hnd)",
+        ]
+        for i in range(_HITS_ITERS):
+            parts.append(
+                f"""ar{i} AS MATERIALIZED (SELECT e.dst AS doc_id, sum(h{i}.v)::BIGINT AS v
+        FROM hed e JOIN h{i} ON h{i}.doc_id = e.src GROUP BY e.dst),
+am{i} AS (SELECT max(v) AS mx FROM ar{i}),
+a{i + 1} AS MATERIALIZED (SELECT d.doc_id,
+               CASE WHEN am{i}.mx > 0
+                    THEN floor(coalesce(ar{i}.v, 0)::DOUBLE / am{i}.mx::DOUBLE
+                               * {float(s)})::BIGINT
+                    ELSE 0 END AS v
+             FROM hnd d LEFT JOIN ar{i} USING (doc_id), am{i}),
+hr{i} AS MATERIALIZED (SELECT e.src AS doc_id, sum(a{i + 1}.v)::BIGINT AS v
+        FROM hed e JOIN a{i + 1} ON a{i + 1}.doc_id = e.dst GROUP BY e.src),
+hm{i} AS (SELECT max(v) AS mx FROM hr{i}),
+h{i + 1} AS MATERIALIZED (SELECT d.doc_id,
+               CASE WHEN hm{i}.mx > 0
+                    THEN floor(coalesce(hr{i}.v, 0)::DOUBLE / hm{i}.mx::DOUBLE
+                               * {float(s)})::BIGINT
+                    ELSE 0 END AS v
+             FROM hnd d LEFT JOIN hr{i} USING (doc_id), hm{i})"""
+            )
+        return parts
+
+    def _web_hits(spark, sf):
+        from jassv2_spark.operators.webgraph import hits, synthesize_links
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        return hits(docs.select("doc_id"), links, iterations=_HITS_ITERS)
+
+    r["web_hits"] = (
+        _web_hits,
+        _sql(_LINKS_CTES, *_hits_parts())
+        + f" SELECT doc_id, h{_HITS_ITERS}.v AS hub, a{_HITS_ITERS}.v AS auth"
+        f" FROM h{_HITS_ITERS} JOIN a{_HITS_ITERS} USING (doc_id)",
+    )
+
     # Authority-blended ranking (operators/webgraph.py:search_authority):
     # BM25 rsv × PageRank prior, the canonical web combination. blend is
     # an exact integer product — rsv · (pr DIV 10⁶).

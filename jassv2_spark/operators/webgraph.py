@@ -332,3 +332,81 @@ def triangle_stats(links: DataFrame) -> DataFrame:
         .cast("long")
         .alias("transitivity_ppm"),
     )
+
+
+HITS_SCALE = 10**6
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    iterations: int = 10,
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """(doc_id, hub, auth): Kleinberg's HITS (JACM'99) after `iterations`
+    mutual-reinforcement steps — the second classic link-analysis ranker
+    next to :func:`pagerank` (authorities ≈ good content, hubs ≈ good
+    link pages; the query-independent form over the whole graph).
+
+    Determinism recipe: scores live in [0, scale] int64; each half-step
+    is an EXACT integer sum (auth(v) ← Σ hub(u) over u→v), then
+    max-normalized through ONE fixed IEEE chain
+    floor(v::double / max::double · scale) — identical op order on any
+    engine/parallelism, so the result is bitwise-portable without the
+    int64 overflow a pure-integer v·scale//max would risk at web-scale
+    in-degrees (Σ over 10⁸ in-links × 10⁶ ≈ 10¹⁴ stays exact; ×scale
+    would not).
+
+    Scale shape: per iteration two (node)-keyed partial-agg exchanges
+    (the transposed-edge joins) + one broadcast single-row max; the edge
+    list is persisted once. Each half-step's raw sums are EAGERLY
+    localCheckpoint-ed before normalization: the normalize step references
+    the raw frame twice (max aggregate + rescale join), so without
+    truncation the logical plan would DOUBLE per half-step (2^(2·iters)
+    nodes — Catalyst analysis hangs long before execution). PageRank
+    escapes this because its mass frame is referenced once; here the
+    checkpoint is load-bearing, not an option, and it is node-sized
+    (doc_id + one int64), never postings-sized."""
+    nd = nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id"))
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct().persist()
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(F.max(col).alias("__mx"))
+        return (
+            nd.join(raw, "doc_id", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("__mx") > 0,
+                    F.floor(
+                        F.coalesce(F.col(col), F.lit(0)).cast("double")
+                        / F.col("__mx").cast("double")
+                        * F.lit(float(scale))
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(col),
+            )
+        )
+
+    hub = nd.select("doc_id", F.lit(int(scale)).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            e.join(hub.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("hub").alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        auth = _norm(araw, "auth")
+        hraw = (
+            e.join(auth.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.sum("auth").alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+        hub = _norm(hraw, "hub")
+    return hub.join(auth, "doc_id").select("doc_id", "hub", "auth")
