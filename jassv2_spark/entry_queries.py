@@ -2823,6 +2823,73 @@ FROM assign a LEFT JOIN rm ON rm.vec_id = a.vec_id"""
 
     r["dedup_semantic"] = (_semdedup, _semdedup_sql())
 
+    # ---- embedding clustering (operators/cluster.py) ----
+    # Broadcast-Lloyd's k-means in exact int64 fixed point (floor-micros
+    # components, integer squared distances, pmod floor-div means,
+    # low-cluster tie-break) from k-smallest-id seeds; the oracle replays
+    # the identical trajectory as unrolled CTEs. kv/ka/kc are MATERIALIZED
+    # — kv feeds every iteration and each ka/kc is referenced downstream,
+    # so plain CTEs would re-inline the parquet scan per reference.
+    _KM_K, _KM_ITERS = 8, 4
+
+    def _km_parts() -> list[str]:
+        parts = [
+            """kv AS MATERIALIZED (
+    SELECT vec_id,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+           (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim
+    FROM embeddings)""",
+            f"""ks AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cl
+       FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K}))""",
+            "kc0 AS MATERIALIZED (SELECT s.cl, v.dim, v.x AS cx "
+            "FROM ks s JOIN kv v USING (vec_id))",
+        ]
+        for i in range(_KM_ITERS):
+            parts.append(
+                f"""kd{i} AS (SELECT v.vec_id, c.cl, sum((v.x - c.cx) * (v.x - c.cx))::BIGINT AS d
+        FROM kv v JOIN kc{i} c USING (dim) GROUP BY v.vec_id, c.cl),
+ka{i} AS MATERIALIZED (SELECT vec_id, cl AS cluster FROM
+        (SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+         FROM kd{i})
+        WHERE rn = 1)"""
+            )
+            if i < _KM_ITERS - 1:
+                parts.append(
+                    f"""kc{i + 1} AS MATERIALIZED (SELECT a.cluster AS cl, v.dim,
+               ((sum(v.x) - ((sum(v.x) % count(*) + count(*)) % count(*)))
+                // count(*))::BIGINT AS cx
+        FROM ka{i} a JOIN kv v USING (vec_id) GROUP BY a.cluster, v.dim)"""
+                )
+        return parts
+
+    def _km_assign(spark, sf):
+        from jassv2_spark.operators.cluster import kmeans_assign
+
+        return kmeans_assign(_emb(spark, sf), k=_KM_K, iterations=_KM_ITERS)
+
+    r["embed_kmeans"] = (
+        _km_assign,
+        _sql(*_km_parts()) + f" SELECT vec_id, cluster FROM ka{_KM_ITERS - 1}",
+    )
+
+    def _km_sample(spark, sf):
+        from jassv2_spark.operators.cluster import cluster_sample, kmeans_assign
+
+        return cluster_sample(
+            kmeans_assign(_emb(spark, sf), k=_KM_K, iterations=_KM_ITERS),
+            n_per_cluster=20,
+        )
+
+    r["embed_cluster_sample"] = (
+        _km_sample,
+        _sql(*_km_parts())
+        + f""" SELECT vec_id, cluster, rk FROM
+           (SELECT vec_id, cluster,
+                   (row_number() OVER (PARTITION BY cluster
+                                       ORDER BY md5(vec_id::VARCHAR), vec_id))::BIGINT AS rk
+            FROM ka{_KM_ITERS - 1}) WHERE rk <= 20""",
+    )
+
     # Hybrid retrieval: reciprocal-rank fusion of the lexical BM25 top-k
     # and the dense ANN cosine top-k (operators/fusion.py). ANN query
     # vec_ids 0..4 map onto query_ids q01..q05 (q06..q10 fuse the BM25 run
@@ -3136,6 +3203,48 @@ h{i + 1} AS MATERIALIZED (SELECT d.doc_id,
         _sql(_LINKS_CTES, *_hits_parts())
         + f" SELECT doc_id, h{_HITS_ITERS}.v AS hub, a{_HITS_ITERS}.v AS auth"
         f" FROM h{_HITS_ITERS} JOIN a{_HITS_ITERS} USING (doc_id)",
+    )
+
+    # Co-citation (Small 1973) / bibliographic coupling (Kessler 1963):
+    # the classic link-based related-pages pair counts. Per-source (resp.
+    # per-target) self-join with a degree cap on the Zipf head — equi-join
+    # fan-out ≤ cap², never all-pairs.
+    _CC_CAP = 64
+
+    def _web_cocite(spark, sf):
+        from jassv2_spark.operators.webgraph import cocitation_pairs, synthesize_links
+
+        links = synthesize_links(_docs(spark, sf), anchor_tokens=_ANCHOR_N)
+        return cocitation_pairs(links.select("src", "dst"), max_outd=_CC_CAP)
+
+    r["web_cocitation"] = (
+        _web_cocite,
+        _sql(
+            _LINKS_CTES,
+            f"""ccd AS (SELECT src, count(*)::BIGINT AS outd FROM ded GROUP BY src),
+cce AS (SELECT d.src, d.dst FROM ded d JOIN ccd USING (src) WHERE ccd.outd <= {_CC_CAP})""",
+        )
+        + """ SELECT a.dst AS doc_a, b.dst AS doc_b, count(*)::BIGINT AS cocites
+           FROM cce a JOIN cce b ON a.src = b.src AND a.dst < b.dst
+           GROUP BY a.dst, b.dst""",
+    )
+
+    def _web_couple(spark, sf):
+        from jassv2_spark.operators.webgraph import coupling_pairs, synthesize_links
+
+        links = synthesize_links(_docs(spark, sf), anchor_tokens=_ANCHOR_N)
+        return coupling_pairs(links.select("src", "dst"), max_ind=_CC_CAP)
+
+    r["web_coupling"] = (
+        _web_couple,
+        _sql(
+            _LINKS_CTES,
+            f"""cpd AS (SELECT dst, count(*)::BIGINT AS ind FROM ded GROUP BY dst),
+cpe AS (SELECT d.src, d.dst FROM ded d JOIN cpd USING (dst) WHERE cpd.ind <= {_CC_CAP})""",
+        )
+        + """ SELECT a.src AS doc_a, b.src AS doc_b, count(*)::BIGINT AS couples
+           FROM cpe a JOIN cpe b ON a.dst = b.dst AND a.src < b.src
+           GROUP BY a.src, b.src""",
     )
 
     # Authority-blended ranking (operators/webgraph.py:search_authority):

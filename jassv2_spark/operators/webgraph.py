@@ -410,3 +410,53 @@ def hits(
         )
         hub = _norm(hraw, "hub")
     return hub.join(auth, "doc_id").select("doc_id", "hub", "auth")
+
+
+def cocitation_pairs(
+    links: DataFrame, *, min_count: int = 1, max_outd: int = 64
+) -> DataFrame:
+    """(doc_a, doc_b, cocites): co-citation similarity (Small, JASIS 1973)
+    — how many pages cite both a and b; the classic link-based
+    related-pages signal, dual of :func:`coupling_pairs`.
+
+    Scale shape: the per-source self-join fans out ≤ outd² pairs, so
+    sources with out-degree > `max_outd` (link farms, mega-hubs — the
+    graph's Zipf head) are dropped FIRST, the same df-cap move as
+    mlt.related_doc_pairs; the join itself is an equi-join on src, never
+    all-pairs, and the pair counts partial-aggregate map-side."""
+    e = links.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    ee = e.join(outd.where(F.col("outd") <= F.lit(int(max_outd))), "src").select(
+        "src", "dst"
+    )
+    return (
+        ee.alias("a")
+        .join(ee.alias("b"), "src")
+        .where(F.col("a.dst") < F.col("b.dst"))
+        .groupBy(F.col("a.dst").alias("doc_a"), F.col("b.dst").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("cocites"))
+        .where(F.col("cocites") >= F.lit(int(min_count)))
+    )
+
+
+def coupling_pairs(
+    links: DataFrame, *, min_count: int = 1, max_ind: int = 64
+) -> DataFrame:
+    """(doc_a, doc_b, couples): bibliographic coupling (Kessler, American
+    Documentation 1963) — how many pages a and b both cite; the
+    transposed dual of :func:`cocitation_pairs`, with the in-degree cap
+    playing the hot-key role (a page cited by the whole web would
+    otherwise pair every citer with every other)."""
+    e = links.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("ind"))
+    ee = e.join(ind.where(F.col("ind") <= F.lit(int(max_ind))), "dst").select(
+        "src", "dst"
+    )
+    return (
+        ee.alias("a")
+        .join(ee.alias("b"), "dst")
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("doc_a"), F.col("b.src").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("couples"))
+        .where(F.col("couples") >= F.lit(int(min_count)))
+    )

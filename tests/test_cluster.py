@@ -1,0 +1,84 @@
+"""k-means + cluster-balanced sampling: exact re-simulation of the
+fixed-point Lloyd's recipe (floor-micros components, integer distances,
+floor-div centroid means, low-cluster tie-break) plus structural checks."""
+
+import hashlib
+import math
+
+from jassv2_spark.operators.cluster import cluster_sample, kmeans_assign
+
+VECS = {
+    # two obvious blobs plus a straggler between them
+    1: [0.1, 0.2],
+    2: [0.0, -0.1],
+    3: [0.15, 0.05],
+    4: [10.0, 10.1],
+    5: [9.9, 10.0],
+    6: [10.2, 9.95],
+    7: [5.0, 5.0],
+}
+
+
+def _py_kmeans(vecs, k, iters, scale=10**6):
+    iv = {i: [math.floor(x * scale) for x in v] for i, v in vecs.items()}
+    cent = {j: list(iv[i]) for j, i in enumerate(sorted(iv)[:k])}
+    assign = {}
+    for it in range(iters):
+        for i, v in iv.items():
+            best = min(
+                (sum((x - c) ** 2 for x, c in zip(v, cv)), j)
+                for j, cv in cent.items()
+            )
+            assign[i] = best[1]
+        if it == iters - 1:
+            break
+        nxt = {}
+        for j in set(assign.values()):
+            members = [iv[i] for i in iv if assign[i] == j]
+            nxt[j] = [
+                sum(col) // len(members) for col in zip(*members)  # floor div
+            ]
+        cent = nxt
+    return assign
+
+
+def _spark_assign(spark, k=2, iters=4):
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(VECS.items())],
+        "vec_id long, embedding array<double>",
+    )
+    return kmeans_assign(emb, k=k, iterations=iters)
+
+
+def test_kmeans_matches_reference_simulation(spark):
+    got = {r["vec_id"]: r["cluster"] for r in _spark_assign(spark).collect()}
+    assert got == _py_kmeans(VECS, k=2, iters=4)
+
+
+def test_kmeans_separates_blobs(spark):
+    got = {r["vec_id"]: r["cluster"] for r in _spark_assign(spark).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+
+
+def test_kmeans_single_iteration_is_seed_assignment(spark):
+    got = {r["vec_id"]: r["cluster"] for r in _spark_assign(spark, iters=1).collect()}
+    assert got == _py_kmeans(VECS, k=2, iters=1)
+
+
+def test_cluster_sample_is_md5_ranked(spark):
+    assigned = _spark_assign(spark)
+    got = {
+        (r["vec_id"], r["cluster"], r["rk"])
+        for r in cluster_sample(assigned, n_per_cluster=2).collect()
+    }
+    ref = _py_kmeans(VECS, k=2, iters=4)
+    want = set()
+    for j in set(ref.values()):
+        members = sorted(
+            (i for i in ref if ref[i] == j),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        want |= {(i, j, rk + 1) for rk, i in enumerate(members[:2])}
+    assert got == want
