@@ -3149,6 +3149,46 @@ r{i + 1} AS (SELECT d.doc_id,
 
     r["web_pagerank"] = (_web_pagerank, _pr_sql())
 
+    # TrustRank (Gyöngyi et al. VLDB'04): PageRank with teleport mass
+    # restricted to a vetted seed set (here the deterministic rule
+    # doc_id % 97 == 0), so trust decays with link distance from seeds.
+    # Same exact-integer recipe; the oracle unrolls the seeded base term.
+    _TR_SEED_MOD = 97
+
+    def _tr_parts() -> list[str]:
+        from jassv2_spark.operators.webgraph import PR_SCALE
+
+        base = 15 * PR_SCALE // 100
+        seed = f"CASE WHEN doc_id % {_TR_SEED_MOD} = 0 THEN {base} ELSE 0 END::BIGINT"
+        parts = [
+            "tedg AS (SELECT d.src, d.dst, o.outd FROM ded d JOIN "
+            "(SELECT src, count(*)::BIGINT AS outd FROM ded GROUP BY src) o USING (src))",
+            f"ts0 AS (SELECT doc_id, {seed} AS r FROM documents)",
+        ]
+        for i in range(_PR_ITERS):
+            parts.append(
+                f"""tm{i} AS (SELECT e.dst AS doc_id, sum(ts{i}.r // e.outd)::BIGINT AS m
+        FROM tedg e JOIN ts{i} ON ts{i}.doc_id = e.src GROUP BY e.dst),
+ts{i + 1} AS (SELECT d.doc_id,
+               ({seed} + (85 * coalesce(tm{i}.m, 0)) // 100)::BIGINT AS r
+             FROM documents d LEFT JOIN tm{i} USING (doc_id))"""
+            )
+        return parts
+
+    def _web_trustrank(spark, sf):
+        from jassv2_spark.operators.webgraph import synthesize_links, trustrank
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        seeds = docs.select("doc_id").where(F.col("doc_id") % _TR_SEED_MOD == 0)
+        return trustrank(docs.select("doc_id"), links, seeds, iterations=_PR_ITERS)
+
+    r["web_trustrank"] = (
+        _web_trustrank,
+        _sql(_LINKS_CTES, *_tr_parts())
+        + f" SELECT doc_id, r AS trust FROM ts{_PR_ITERS}",
+    )
+
     # HITS hubs/authorities (Kleinberg JACM'99): exact int64 sums per
     # half-step, max-normalized through ONE fixed IEEE chain
     # floor(v/max·scale) — the oracle unrolls the same 10 double-steps
@@ -4117,6 +4157,70 @@ final_docs AS MATERIALIZED (SELECT curated.* FROM curated
                         FROM wc WHERE length(word) >= 2)),
            agg AS (SELECT lhs, rhs, sum(freq)::BIGINT AS n FROM pr GROUP BY lhs, rhs)
            SELECT lhs, rhs, n FROM agg ORDER BY n DESC, lhs, rhs LIMIT 20""",
+    )
+
+    # Full BPE learn + segment replayed cross-engine: the oracle re-derives
+    # the SAME merge list (pair stats → (n DESC, left, right) argmax, 10
+    # rounds) and re-applies it, so a green hash covers learning AND
+    # application, not just application of baked-in merges. Oracle encoding:
+    # symbols live in a wrapped-spaces string ' a  b  c ' (every symbol
+    # flanked by its own spaces ⇒ adjacent pair ≡ literal ' l  r '), so one
+    # non-regex replace(' l  r ' → ' lr ') IS the greedy leftmost
+    # non-overlapping merge — boundary spaces are never shared between
+    # matches, which keeps runs like 'l r l r' merging exactly like the
+    # Spark-side fold (operators/bpe.py:apply_merge).
+    _BPE_MERGES, _BPE_TOP = 10, 30
+
+    def _bpe_seg_parts() -> list[str]:
+        parts = [
+            f"""bv0 AS MATERIALIZED (
+    SELECT word, count(*)::BIGINT AS freq,
+           regexp_replace(word, '(.)', ' \\1 ', 'g') AS s
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS word
+          FROM documents)
+    GROUP BY word)"""
+        ]
+        for i in range(_BPE_MERGES):
+            parts.append(
+                f"""bl{i} AS (SELECT freq, str_split(trim(s, ' '), '  ') AS sym FROM bv{i}),
+bp{i} AS (SELECT sym[j] AS lft, sym[j + 1] AS rgt, sum(freq)::BIGINT AS n
+          FROM (SELECT freq, sym, unnest(range(1, len(sym))) AS j
+                FROM bl{i} WHERE len(sym) >= 2)
+          GROUP BY sym[j], sym[j + 1]),
+bm{i} AS (SELECT lft, rgt FROM bp{i} ORDER BY n DESC, lft, rgt LIMIT 1),
+bv{i + 1} AS MATERIALIZED (
+    SELECT word, freq,
+           CASE WHEN m.lft IS NULL THEN v.s
+                ELSE replace(v.s, ' ' || m.lft || '  ' || m.rgt || ' ',
+                             ' ' || m.lft || m.rgt || ' ')
+           END AS s
+    FROM bv{i} v LEFT JOIN bm{i} m ON TRUE)"""
+            )
+        return parts
+
+    def _bpe_seg(spark, sf):
+        from jassv2_spark.operators.bpe import learn_bpe, segment_words, word_counts
+
+        docs = _docs(spark, sf)
+        merges = learn_bpe(docs, _BPE_MERGES)
+        seg = segment_words(word_counts(docs), merges)
+        return (
+            seg.orderBy(F.col("freq").desc(), "word")
+            .limit(_BPE_TOP)
+            .select(
+                "word",
+                F.col("freq").cast("long").alias("freq"),
+                F.array_join("symbols", " ").alias("segments"),
+            )
+        )
+
+    r["text_bpe_segment"] = (
+        _bpe_seg,
+        _sql(*_bpe_seg_parts())
+        + f""" SELECT word, freq,
+                     array_to_string(str_split(trim(s, ' '), '  '), ' ') AS segments
+              FROM bv{_BPE_MERGES}
+              ORDER BY freq DESC, word LIMIT {_BPE_TOP}""",
     )
 
     # Unigram-LM surprisal (CCNet-style perplexity proxy) with exact

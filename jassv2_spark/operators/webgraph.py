@@ -460,3 +460,45 @@ def coupling_pairs(
         .agg(F.count(F.lit(1)).alias("couples"))
         .where(F.col("couples") >= F.lit(int(min_count)))
     )
+
+
+def trustrank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    iterations: int = 10,
+    scale: int = PR_SCALE,
+    damp_num: int = PR_DAMP_NUM,
+    damp_den: int = PR_DAMP_DEN,
+) -> DataFrame:
+    """(doc_id, trust): TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB'04) — PageRank with the teleport mass restricted to a vetted
+    seed set, so trust attenuates with link distance from the seeds and
+    spam farms far from them starve. Same exact-integer fixed-point
+    recipe as :func:`pagerank` (bitwise at any parallelism / engine);
+    the only change is the base term: (15·scale)//100 for seeds, 0
+    otherwise. `seeds`' first column is the seed doc_id; it is broadcast
+    (vetted seed lists are small by construction)."""
+    base = (damp_den - damp_num) * scale // damp_den
+    nd = nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id"))
+    sd = seeds.select(F.col(seeds.columns[0]).cast("long").alias("doc_id")).distinct()
+    nds = nd.join(
+        F.broadcast(sd.withColumn("__b", F.lit(int(base)))), "doc_id", "left"
+    ).select("doc_id", F.coalesce("__b", F.lit(0)).cast("long").alias("base"))
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    e = edges.join(outd, "src").select("src", "dst", "outd").persist()
+    ranks = nds.select("doc_id", F.col("base").alias("r"))
+    for _ in range(iterations):
+        contrib = e.join(ranks.withColumnRenamed("doc_id", "src"), "src").select(
+            F.col("dst").alias("doc_id"), F.expr("r div outd").alias("c")
+        )
+        mass = contrib.groupBy("doc_id").agg(F.sum("c").alias("m"))
+        ranks = nds.join(mass, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.col("base")
+                + F.expr(f"({damp_num} * coalesce(m, cast(0 as long))) div {damp_den}")
+            ).cast("long").alias("r"),
+        )
+    return ranks.select("doc_id", F.col("r").alias("trust"))
