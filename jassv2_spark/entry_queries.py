@@ -4425,6 +4425,47 @@ bv{i + 1} AS MATERIALIZED (
            FROM wn GROUP BY 1, 2""",
     )
 
+    # Strictly-ordered funnel (earliest-completion semantics) and cohort
+    # retention — the clickstream-analytics pair; only min-timestamps,
+    # integer day arithmetic, and counts, so both are engine-portable.
+    _FUNNEL = ["view", "click", "purchase"]
+
+    def _funnel(spark, sf):
+        from jassv2_spark.operators.events import funnel_conversion
+
+        return funnel_conversion(_events(spark, sf), _FUNNEL)
+
+    r["events_funnel"] = (
+        _funnel,
+        f"""WITH f1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id),
+           f2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN f1 USING (user_id)
+                    WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > f1.t GROUP BY e.user_id),
+           f3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN f2 USING (user_id)
+                    WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > f2.t GROUP BY e.user_id)
+           SELECT 1::BIGINT AS step_idx, '{_FUNNEL[0]}' AS step,
+                  (SELECT count(*) FROM f1)::BIGINT AS users
+           UNION ALL SELECT 2, '{_FUNNEL[1]}', (SELECT count(*) FROM f2)
+           UNION ALL SELECT 3, '{_FUNNEL[2]}', (SELECT count(*) FROM f3)""",
+    )
+
+    def _retention(spark, sf):
+        from jassv2_spark.operators.events import retention_cohorts
+
+        return retention_cohorts(_events(spark, sf), period_days=7)
+
+    r["events_retention"] = (
+        _retention,
+        """WITH rf AS (SELECT user_id, min(ts::DATE) AS cohort_day
+                   FROM events GROUP BY user_id),
+           ra AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+           rp AS (SELECT DISTINCT a.user_id, f.cohort_day,
+                         (date_diff('day', f.cohort_day, a.day) // 7)::BIGINT AS period
+                  FROM ra a JOIN rf f USING (user_id))
+           SELECT cohort_day, period, count(*)::BIGINT AS users
+           FROM rp GROUP BY cohort_day, period""",
+    )
+
     # ---- HyperLogLog sketch (operators/sketch.py) ----
     # Distinct-term cardinality per language via a fully-specified HLL:
     # md5-prefix hash → 64 registers, exact-integer Σ2^(27-M_j), one

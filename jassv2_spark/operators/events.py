@@ -215,3 +215,86 @@ def trending_terms(
             "delta", "trend_rank",
         )
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step_idx, step, users): strictly-ordered funnel — a user converts
+    at step i when they have a step-i event STRICTLY after their earliest
+    step-(i-1) conversion time (the classic clickstream funnel; earliest-
+    completion semantics make the count deterministic and engine-portable:
+    only min-timestamps and counts, no floats).
+
+    Scale shape: one (user)-keyed partial agg per step plus a (user)-keyed
+    equi-join of the shrinking converted-users frame back onto the events
+    of the next step — each stage is a standard hash-agg exchange on
+    user_id; nothing is ever per-user materialized as an array."""
+    out_rows = None
+    prev = None  # (user_id, t): earliest completion of the previous step
+    for i, step in enumerate(steps):
+        ev = events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col).alias("ts"),
+            F.col(type_col).alias("et"),
+        ).where(F.col("et") == step)
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                ev.join(prev.withColumnRenamed("t", "__pt"), "user_id")
+                .where(F.col("ts") > F.col("__pt"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        row = cur.agg(
+            F.lit(i + 1).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("users"),
+        )
+        out_rows = row if out_rows is None else out_rows.unionByName(row)
+        prev = cur
+    return out_rows
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """(cohort_day, period, users): classic cohort retention — users are
+    cohorted by the calendar day of their first event; `period` is the
+    whole number of `period_days` blocks between cohort day and each
+    active day, counted once per (user, period). All date/day arithmetic
+    is exact integer (datediff of DATEs), so the matrix is engine-portable.
+
+    Scale shape: one (user)-keyed min-agg for cohorts (broadcast-sized
+    relative to events only when users ≪ events — it stays a keyed
+    equi-join either way), then one (cohort, period)-keyed distinct-count
+    agg; both standard partial-agg exchanges."""
+    first = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.min(F.col(ts_col).cast("date")).alias("cohort_day")
+    )
+    act = events.select(
+        F.col(user_col).alias("user_id"), F.col(ts_col).cast("date").alias("day")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.datediff("day", "cohort_day") / F.lit(int(period_days)))
+            .cast("long")
+            .alias("period"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "period")
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+    )
