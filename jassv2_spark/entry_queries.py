@@ -2890,6 +2890,39 @@ ka{i} AS MATERIALIZED (SELECT vec_id, cl AS cluster FROM
             FROM ka{_KM_ITERS - 1}) WHERE rk <= 20""",
     )
 
+    # Cluster labeling: each embedding cluster's top-5 vocabulary by
+    # cluster-tf·idf (vec_id ≡ doc_id on the synthetic corpus) — the
+    # doc_keyterms recipe lifted from documents to clusters; selection by
+    # the unfloored double, witness = exact-integer ctf·idf_micros.
+    def _km_labels(spark, sf):
+        from jassv2_spark.operators.cluster import cluster_labels, kmeans_assign
+
+        return cluster_labels(
+            get_index(spark, sf),
+            kmeans_assign(_emb(spark, sf), k=_KM_K, iterations=_KM_ITERS),
+            m=5,
+        )
+
+    _KM_LABEL_CTES = f"""
+clp AS (SELECT a.cluster, t.term, sum(t.tf)::BIGINT AS ctf
+        FROM tfx t JOIN ka{_KM_ITERS - 1} a ON a.vec_id = t.doc_id
+        GROUP BY a.cluster, t.term),
+clw AS (SELECT c.cluster, c.term, c.ctf, f.df,
+               c.ctf::DOUBLE * ln(nn.n::DOUBLE / f.df::DOUBLE) AS w,
+               (c.ctf * (floor(1000000.0 * ln(nn.n::DOUBLE / f.df::DOUBLE)))::BIGINT)::BIGINT AS weight_micros
+        FROM clp c JOIN dfx f USING (term), nn),
+clr AS (SELECT cluster, term, ctf, df, weight_micros,
+               (row_number() OVER (PARTITION BY cluster
+                                   ORDER BY w DESC, term ASC))::BIGINT AS term_rank
+        FROM clw)
+"""
+    r["embed_cluster_labels"] = (
+        _km_labels,
+        _sql(_BASE, *_km_parts(), _KM_LABEL_CTES)
+        + " SELECT cluster, term, ctf, df, weight_micros, term_rank"
+        " FROM clr WHERE term_rank <= 5",
+    )
+
     # Hybrid retrieval: reciprocal-rank fusion of the lexical BM25 top-k
     # and the dense ANN cosine top-k (operators/fusion.py). ANN query
     # vec_ids 0..4 map onto query_ids q01..q05 (q06..q10 fuse the BM25 run
@@ -3243,6 +3276,60 @@ h{i + 1} AS MATERIALIZED (SELECT d.doc_id,
         _sql(_LINKS_CTES, *_hits_parts())
         + f" SELECT doc_id, h{_HITS_ITERS}.v AS hub, a{_HITS_ITERS}.v AS auth"
         f" FROM h{_HITS_ITERS} JOIN a{_HITS_ITERS} USING (doc_id)",
+    )
+
+    # HyperBall (Boldi & Vigna): per-node |ball(v, r)| estimates via
+    # iterated HLL register max-merge along out-edges. Registers use the
+    # repo's fully-specified md5 HLL (sketch.py recipe, bitwise portable);
+    # sum_inv is the exact-integer register sum, est one IEEE division by
+    # a driver literal. Per-iteration CTEs MATERIALIZED (register frame is
+    # referenced twice per step — same blowup note as web_hits).
+    _HB_RADIUS = 3
+
+    def _hb_parts() -> list[str]:
+        from jassv2_spark.operators.sketch import HLL_M as _m
+
+        parts = [
+            "hbe AS MATERIALIZED (SELECT src, dst FROM ded)",
+            f"""hb0 AS MATERIALIZED (
+    SELECT d.doc_id, g.bucket, coalesce(r.m_rho, 0)::BIGINT AS m_rho
+    FROM (SELECT doc_id FROM documents) d
+    CROSS JOIN (SELECT unnest(range({_m}))::BIGINT AS bucket) g
+    LEFT JOIN (SELECT doc_id, h % {_m} AS bucket,
+                      CASE WHEN h // {_m} = 0 THEN 27
+                           ELSE 27 - length(bin(h // {_m})) END AS m_rho
+               FROM (SELECT doc_id,
+                            CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS UBIGINT)::BIGINT AS h
+                     FROM documents)) r
+      ON r.doc_id = d.doc_id AND r.bucket = g.bucket)""",
+        ]
+        for i in range(_HB_RADIUS):
+            parts.append(
+                f"""hbc{i} AS (SELECT e.src AS doc_id, r.bucket, max(r.m_rho) AS m
+          FROM hbe e JOIN hb{i} r ON r.doc_id = e.dst GROUP BY e.src, r.bucket),
+hb{i + 1} AS MATERIALIZED (
+    SELECT b.doc_id, b.bucket, greatest(b.m_rho, coalesce(c.m, 0))::BIGINT AS m_rho
+    FROM hb{i} b LEFT JOIN hbc{i} c ON c.doc_id = b.doc_id AND c.bucket = b.bucket)"""
+            )
+        return parts
+
+    def _web_hyperball(spark, sf):
+        from jassv2_spark.operators.webgraph import hyperball, synthesize_links
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        return hyperball(docs.select("doc_id"), links, radius=_HB_RADIUS)
+
+    from jassv2_spark.operators.sketch import HLL_M as _hbm, hll_alpha as _hba
+
+    _HB_C = _flit(_hba(_hbm) * float(_hbm * _hbm * (1 << 27)))
+    r["web_hyperball"] = (
+        _web_hyperball,
+        _sql(_LINKS_CTES, *_hb_parts())
+        + f""" SELECT doc_id,
+                     sum((1::BIGINT << (27 - m_rho)::INT))::BIGINT AS sum_inv,
+                     {_HB_C} / sum((1::BIGINT << (27 - m_rho)::INT))::DOUBLE AS est
+              FROM hb{_HB_RADIUS} GROUP BY doc_id""",
     )
 
     # Co-citation (Small 1973) / bibliographic coupling (Kessler 1963):

@@ -123,3 +123,57 @@ def cluster_sample(
         .where(F.col("rk") <= F.lit(int(n_per_cluster)))
         .select(id_col, "cluster", "rk")
     )
+
+
+def cluster_labels(index, assignments: DataFrame, *, m: int = 5) -> DataFrame:
+    """(cluster, term, ctf, df, weight_micros, term_rank): per-cluster
+    label terms — each embedding cluster's top-m vocabulary by
+    cluster-tf·idf (ctf = Σ tf over member docs), the curation-dashboard
+    view of what a cluster IS. Same selection/witness recipe as
+    mlt.doc_keyterms: order by the unfloored ctf·idf double with term ASC
+    ties; emit the exact-integer witness ctf·floor(10⁶·ln(N/df)).
+
+    Scale shape: postings ⋈ assignments is a (doc)-keyed equi-join, the
+    (cluster, term) agg partial-aggregates to vocabulary-sized rows per
+    cluster, the idf lookup is a broadcast of one row per distinct df,
+    and the top-m window partitions by cluster (k partitions, each
+    vocabulary-bounded)."""
+    import math
+
+    spark = index.spark
+    a = assignments.select(
+        F.col(assignments.columns[0]).alias("doc_id"), "cluster"
+    )
+    ct = (
+        index.postings.join(a, "doc_id")
+        .groupBy("cluster", "term")
+        .agg(F.sum("tf").cast("long").alias("ctf"))
+        .join(index.term_stats.select("term", "df"), "term")
+    )
+    df_vals = [r[0] for r in ct.select("df").distinct().collect()]
+    n = float(index.n_docs)
+    rows = [
+        (int(d), math.log(n / float(d)),
+         int(math.floor(1_000_000 * math.log(n / float(d)))))
+        for d in df_vals
+    ] or [(0, 0.0, 0)]
+    idf_map = F.broadcast(
+        spark.createDataFrame(rows, schema="df long, idf double, idf_micros long")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("weight").desc(), F.col("term").asc()
+    )
+    return (
+        ct.join(idf_map, "df")
+        .withColumn("weight", F.col("ctf").cast("double") * F.col("idf"))
+        .withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= F.lit(int(m)))
+        .select(
+            "cluster",
+            "term",
+            "ctf",
+            F.col("df").cast("long").alias("df"),
+            (F.col("ctf") * F.col("idf_micros")).cast("long").alias("weight_micros"),
+            "term_rank",
+        )
+    )

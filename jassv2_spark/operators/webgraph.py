@@ -502,3 +502,60 @@ def trustrank(
             ).cast("long").alias("r"),
         )
     return ranks.select("doc_id", F.col("r").alias("trust"))
+
+
+def hyperball(
+    nodes: DataFrame, edges: DataFrame, *, radius: int = 3
+) -> DataFrame:
+    """(doc_id, sum_inv, est): HyperBall (Boldi & Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall", ICDMW'13 /
+    the HyperANF line of work) — per-node estimates of |ball(v, r)|, the
+    number of nodes reachable from v in ≤ `radius` out-steps, via
+    iterated HLL register max-merge along edges. Neighbourhood-function
+    profiles are the standard way to study web-graph connectivity where
+    exact per-node BFS is hopeless.
+
+    Determinism: registers use operators/sketch.py's fully-specified HLL
+    (32-bit md5-prefix hash, 64 registers), merges are max (associative,
+    order-free), sum_inv is the exact-integer Σ2^(27-M_j), and est is ONE
+    IEEE division by a driver-literal constant — bitwise on any engine.
+
+    Scale shape: registers live as (node, bucket, m_rho) rows — 64 rows
+    per node; each iteration is one (dst)-keyed equi-join of the edge
+    list onto the registers and one (node, bucket)-keyed max agg
+    (partial-agg collapses to ≤ 64 rows per node per task before the
+    shuffle, so hot in-degree nodes skew the join input, not the
+    exchange). Register frames are eagerly localCheckpoint-ed — each is
+    referenced twice per step (self ∪ neighbour-merge), the same
+    lineage-doubling geometry as :func:`hits`. A 100 TB deployment would
+    pack the 64 registers into a binary column to cut the 64× row
+    fan-out; the row layout keeps every op a built-in JVM expression.
+    """
+    from jassv2_spark.operators.sketch import (
+        _RHO_MAX,
+        HLL_M,
+        hll_alpha,
+        hll_registers,
+    )
+
+    nd = nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id"))
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    reg = hll_registers(nd, ["doc_id"], "doc_id").localCheckpoint(eager=True)
+    for _ in range(radius):
+        contrib = e.join(reg.withColumnRenamed("doc_id", "dst"), "dst").select(
+            F.col("src").alias("doc_id"), "bucket", "m_rho"
+        )
+        reg = (
+            reg.unionByName(contrib)
+            .groupBy("doc_id", "bucket")
+            .agg(F.max("m_rho").alias("m_rho"))
+            .localCheckpoint(eager=True)
+        )
+    inv = F.expr(f"shiftleft(cast(1 as bigint), cast({_RHO_MAX} - m_rho as int))")
+    s = reg.groupBy("doc_id").agg(F.sum(inv).cast("long").alias("sum_inv"))
+    c = hll_alpha(HLL_M) * float(HLL_M * HLL_M * (1 << _RHO_MAX))
+    return s.select(
+        "doc_id",
+        "sum_inv",
+        (F.lit(c) / F.col("sum_inv").cast("double")).alias("est"),
+    )

@@ -82,3 +82,42 @@ def test_cluster_sample_is_md5_ranked(spark):
         )
         want |= {(i, j, rk + 1) for rk, i in enumerate(members[:2])}
     assert got == want
+
+
+def test_cluster_labels_topm_tfidf(spark):
+    import math
+
+    from jassv2_spark.operators.build import BuildConf, build_index
+    from jassv2_spark.operators.cluster import cluster_labels
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join table table"),
+            (2, "spark join join"),
+            (3, "cable coin coin"),
+            (4, "coin window window"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = build_index(
+        docs, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+        conf=BuildConf(tokenizer="parity"),
+    )
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], ["vec_id", "cluster"]
+    )
+    got = {
+        (r["cluster"], r["term"]): (r["ctf"], r["df"], r["weight_micros"], r["term_rank"])
+        for r in cluster_labels(idx, assign, m=2).collect()
+    }
+    # cluster 0: table ctf=2 df=1, join ctf=3 df=2, spark ctf=2 df=2
+    # weights: table 2·ln(4) > join 3·ln(2) > spark 2·ln(2)
+    assert 2 * math.log(4) > 3 * math.log(2) > 2 * math.log(2)
+    im = lambda d: int(math.floor(1_000_000 * math.log(4 / d)))
+    assert got[(0, "table")] == (2, 1, 2 * im(1), 1)
+    assert got[(0, "join")] == (3, 2, 3 * im(2), 2)
+    assert (0, "spark") not in got
+    # cluster 1: coin ctf=3 df=2 beats window ctf=2 df=1 (3ln2 > 2ln4? no!)
+    assert 2 * math.log(4) > 3 * math.log(2)
+    assert got[(1, "window")] == (2, 1, 2 * im(1), 1)
+    assert got[(1, "coin")] == (3, 2, 3 * im(2), 2)
