@@ -3005,6 +3005,40 @@ SELECT query_id, doc_id, rrf, n_runs, rank FROM fr WHERE rank <= {K}"""
                   string_agg(c::VARCHAR, ',' ORDER BY bin) AS hist_csv
            FROM hist h JOIN m ON m.media_id = h.media_id GROUP BY h.media_id""",
     )
+    # aHash perceptual fingerprint: mean-threshold bitmap over the payload
+    # prefix; exact integer mean, 64-char bit string, dup-group size via
+    # one (ahash)-keyed window. Oracle rebuilds bytes with the hex+LUT
+    # trick (same as the histogram entry).
+    def _mm_ahash(spark, sf):
+        from jassv2_spark.operators.multimodal import ahash_64, synthesize_media
+
+        return ahash_64(synthesize_media(_docs(spark, sf)))
+
+    r["multimodal_ahash"] = (
+        _mm_ahash,
+        """WITH plut AS (SELECT i::INT AS val, printf('%02X', i) AS hx FROM range(256) t(i)),
+           pm AS MATERIALIZED (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                       octet_length(encode(text))::BIGINT AS n,
+                       least(octet_length(encode(text)), 64)::BIGINT AS w
+                FROM documents),
+           pb AS (SELECT media_id, unnest(range(w)) AS j, h FROM pm),
+           pv AS MATERIALIZED (SELECT b.media_id, b.j, l.val
+                FROM pb b JOIN plut l ON l.hx = substr(b.h, (2 * b.j + 1)::INT, 2)),
+           pmn AS (SELECT media_id, (sum(val)::BIGINT // count(*)::BIGINT) AS mean
+                   FROM pv GROUP BY media_id),
+           pslots AS (SELECT media_id, unnest(range(64)) AS j FROM pm),
+           pbits AS (SELECT s.media_id, s.j,
+                            CASE WHEN v.val IS NOT NULL AND v.val > m.mean
+                                 THEN '1' ELSE '0' END AS b
+                     FROM pslots s JOIN pmn m USING (media_id)
+                     LEFT JOIN pv v ON v.media_id = s.media_id AND v.j = s.j),
+           ph AS (SELECT media_id, string_agg(b, '' ORDER BY j) AS ahash
+                  FROM pbits GROUP BY media_id)
+           SELECT p.media_id, m.n AS n_bytes, p.ahash,
+                  (count(*) OVER (PARTITION BY p.ahash))::BIGINT AS n_same
+           FROM ph p JOIN pm m USING (media_id)""",
+    )
+
     r["multimodal_frame_sample"] = (
         _mm_frames,
         """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,

@@ -246,3 +246,49 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return media.mapInPandas(run, schema=out_schema)
+
+
+def ahash_64(media: DataFrame) -> DataFrame:
+    """(media_id, n_bytes, ahash, n_same): 64-bit average-hash perceptual
+    fingerprint over the payload's first 64 bytes — the classic aHash
+    (mean-threshold bitmap) that image-dedup pipelines run on downscaled
+    pixels; here the "pixels" are the raw payload prefix, which is exactly
+    what aHash degenerates to without a decoder (swap the byte prefix for
+    an 8×8 grayscale resample when PIL lands — only the value source
+    changes). bit_j = 1 iff byte_j > floor-mean of the prefix; payloads
+    shorter than 64 bytes zero-pad the tail. n_same counts payloads
+    sharing a fingerprint (the near-dup candidate group size).
+
+    Unlike the histogram kernels this stays PURE JVM: it touches a fixed
+    ≤64-byte prefix per row (hex + conv + one in-row aggregate), so an
+    Arrow round-trip would cost more than the arithmetic. Exact integer
+    mean ⇒ engine-portable. One window keyed on the 64-char fingerprint
+    for n_same — a (hash)-keyed exchange, hot only for true dup farms."""
+    vals = (
+        "transform(sequence(0, cast(least(64, octet_length(payload)) as int) - 1),"
+        " j -> cast(conv(substr(hex(payload), j * 2 + 1, 2), 16, 10) as int))"
+    )
+    withv = media.select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.expr(vals).alias("__v"),
+    )
+    mean = F.expr(
+        "aggregate(__v, cast(0 as bigint), (a, v) -> a + v) div size(__v)"
+    )
+    bits = (
+        "array_join(transform(sequence(0, 63),"
+        " j -> CASE WHEN j < size(__v) AND element_at(__v, cast(j as int) + 1) > __m"
+        " THEN '1' ELSE '0' END), '')"
+    )
+    from pyspark.sql import Window
+
+    hashed = (
+        withv.where(F.size("__v") > 0)
+        .withColumn("__m", mean)
+        .select("media_id", "n_bytes", F.expr(bits).alias("ahash"))
+    )
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "media_id", "n_bytes", "ahash", F.count(F.lit(1)).over(w).cast("long").alias("n_same")
+    )
