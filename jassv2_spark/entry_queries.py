@@ -3366,6 +3366,26 @@ hb{i + 1} AS MATERIALIZED (
               FROM hb{_HB_RADIUS} GROUP BY doc_id""",
     )
 
+    # Per-radius neighbourhood profile (the HyperANF curve): the same hb{i}
+    # register CTEs, summed after every step.
+    def _web_hb_profile(spark, sf):
+        from jassv2_spark.operators.webgraph import hyperball_profile, synthesize_links
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        return hyperball_profile(docs.select("doc_id"), links, radius=_HB_RADIUS)
+
+    _hb_sum = "sum((1::BIGINT << (27 - m_rho)::INT))::BIGINT"
+    r["web_hyperball_profile"] = (
+        _web_hb_profile,
+        _sql(_LINKS_CTES, *_hb_parts())
+        + " UNION ALL ".join(
+            f" SELECT doc_id, {i}::BIGINT AS r, {_hb_sum} AS sum_inv"
+            f" FROM hb{i} GROUP BY doc_id"
+            for i in range(_HB_RADIUS + 1)
+        ),
+    )
+
     # Co-citation (Small 1973) / bibliographic coupling (Kessler 1963):
     # the classic link-based related-pages pair counts. Per-source (resp.
     # per-target) self-join with a degree cap on the Zipf head — equi-join

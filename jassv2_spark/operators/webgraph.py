@@ -559,3 +559,40 @@ def hyperball(
         "sum_inv",
         (F.lit(c) / F.col("sum_inv").cast("double")).alias("est"),
     )
+
+
+def hyperball_profile(
+    nodes: DataFrame, edges: DataFrame, *, radius: int = 3
+) -> DataFrame:
+    """(doc_id, r, sum_inv): the per-node neighbourhood-function profile —
+    HLL ball-size registers summed after EVERY step r = 0..radius, the
+    curve HyperANF/HyperBall actually reports (|ball(v,r)| growth feeds
+    effective-diameter and harmonic-centrality estimates). Same register
+    recipe and per-step shape as :func:`hyperball`; the per-radius
+    aggregate adds one node-keyed sum per step, and the final result is
+    the union of radius+1 node-sized frames."""
+    from jassv2_spark.operators.sketch import _RHO_MAX, hll_registers
+
+    inv = F.expr(f"shiftleft(cast(1 as bigint), cast({_RHO_MAX} - m_rho as int))")
+
+    def _sums(reg: DataFrame, r: int) -> DataFrame:
+        return reg.groupBy("doc_id").agg(
+            F.lit(r).cast("long").alias("r"), F.sum(inv).cast("long").alias("sum_inv")
+        )
+
+    nd = nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id"))
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    reg = hll_registers(nd, ["doc_id"], "doc_id").localCheckpoint(eager=True)
+    out = _sums(reg, 0)
+    for r in range(1, radius + 1):
+        contrib = e.join(reg.withColumnRenamed("doc_id", "dst"), "dst").select(
+            F.col("src").alias("doc_id"), "bucket", "m_rho"
+        )
+        reg = (
+            reg.unionByName(contrib)
+            .groupBy("doc_id", "bucket")
+            .agg(F.max("m_rho").alias("m_rho"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(_sums(reg, r))
+    return out

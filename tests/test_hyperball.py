@@ -65,3 +65,19 @@ def test_ball_grows_along_a_chain(spark):
     assert got == want
     # sum_inv strictly decreases as the ball grows (more registers set)
     assert got[0] < got[3]
+
+
+def test_hyperball_profile_matches_per_radius(spark):
+    from jassv2_spark.operators.webgraph import hyperball_profile
+
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2), (3, 0)]
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["doc_id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["doc_id"], r["r"]): r["sum_inv"]
+        for r in hyperball_profile(nodes, e, radius=2).collect()
+    }
+    for rad in range(3):
+        want = _py_hyperball(4, edges, rad)
+        for v, s in want.items():
+            assert got[(v, rad)] == s, (v, rad)
