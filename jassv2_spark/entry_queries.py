@@ -3312,6 +3312,61 @@ h{i + 1} AS MATERIALIZED (SELECT d.doc_id,
         f" FROM h{_HITS_ITERS} JOIN a{_HITS_ITERS} USING (doc_id)",
     )
 
+    # SALSA (Lempel & Moran TOIT'01): HITS's half-steps with each
+    # contribution integer-divided by the contributing side's degree
+    # (hub mass over out-degree, authority mass over in-degree) — the
+    # bipartite random walk that defeats the TKC effect. Same exact-int
+    # + single-IEEE-chain max-norm recipe as web_hits; oracle unrolls
+    # the identical 10 double-steps with the same MATERIALIZED guard.
+    def _salsa_parts() -> list[str]:
+        from jassv2_spark.operators.webgraph import HITS_SCALE
+
+        s = HITS_SCALE
+        parts = [
+            "snd AS MATERIALIZED (SELECT doc_id FROM documents)",
+            """sedg AS MATERIALIZED (SELECT d.src, d.dst, o.outd, i.ind
+    FROM ded d
+    JOIN (SELECT src, count(*)::BIGINT AS outd FROM ded GROUP BY src) o USING (src)
+    JOIN (SELECT dst, count(*)::BIGINT AS ind FROM ded GROUP BY dst) i USING (dst))""",
+            f"sh0 AS (SELECT doc_id, {s}::BIGINT AS v FROM snd)",
+        ]
+        for i in range(_HITS_ITERS):
+            parts.append(
+                f"""sar{i} AS MATERIALIZED (SELECT e.dst AS doc_id, sum(sh{i}.v // e.outd)::BIGINT AS v
+        FROM sedg e JOIN sh{i} ON sh{i}.doc_id = e.src GROUP BY e.dst),
+sam{i} AS (SELECT max(v) AS mx FROM sar{i}),
+sa{i + 1} AS MATERIALIZED (SELECT d.doc_id,
+               CASE WHEN sam{i}.mx > 0
+                    THEN floor(coalesce(sar{i}.v, 0)::DOUBLE / sam{i}.mx::DOUBLE
+                               * {float(s)})::BIGINT
+                    ELSE 0 END AS v
+             FROM snd d LEFT JOIN sar{i} USING (doc_id), sam{i}),
+shr{i} AS MATERIALIZED (SELECT e.src AS doc_id, sum(sa{i + 1}.v // e.ind)::BIGINT AS v
+        FROM sedg e JOIN sa{i + 1} ON sa{i + 1}.doc_id = e.dst GROUP BY e.src),
+shm{i} AS (SELECT max(v) AS mx FROM shr{i}),
+sh{i + 1} AS MATERIALIZED (SELECT d.doc_id,
+               CASE WHEN shm{i}.mx > 0
+                    THEN floor(coalesce(shr{i}.v, 0)::DOUBLE / shm{i}.mx::DOUBLE
+                               * {float(s)})::BIGINT
+                    ELSE 0 END AS v
+             FROM snd d LEFT JOIN shr{i} USING (doc_id), shm{i})"""
+            )
+        return parts
+
+    def _web_salsa(spark, sf):
+        from jassv2_spark.operators.webgraph import salsa, synthesize_links
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        return salsa(docs.select("doc_id"), links, iterations=_HITS_ITERS)
+
+    r["web_salsa"] = (
+        _web_salsa,
+        _sql(_LINKS_CTES, *_salsa_parts())
+        + f" SELECT doc_id, sh{_HITS_ITERS}.v AS hub, sa{_HITS_ITERS}.v AS auth"
+        f" FROM sh{_HITS_ITERS} JOIN sa{_HITS_ITERS} USING (doc_id)",
+    )
+
     # HyperBall (Boldi & Vigna): per-node |ball(v, r)| estimates via
     # iterated HLL register max-merge along out-edges. Registers use the
     # repo's fully-specified md5 HLL (sketch.py recipe, bitwise portable);

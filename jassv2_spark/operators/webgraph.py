@@ -596,3 +596,66 @@ def hyperball_profile(
         )
         out = out.unionByName(_sums(reg, r))
     return out
+
+
+def salsa(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    iterations: int = 10,
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """(doc_id, hub, auth): SALSA (Lempel & Moran, WWW 2000 / TOIT'01) —
+    the stochastic cousin of HITS: each half-step contribution is
+    degree-normalized (hub mass splits over the source's out-links,
+    authority mass over the target's in-links), so scores follow the
+    bipartite random walk instead of raw mutual reinforcement and
+    tightly-knit communities can't capture the ranking (the TKC effect
+    SALSA was built to fix). Same exact-int64 + fixed-IEEE max-norm
+    recipe and the same per-half-step eager checkpoint as :func:`hits`
+    (the normalize step references each raw frame twice)."""
+    nd = nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id"))
+    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    outd = e0.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    ind = e0.groupBy("dst").agg(F.count(F.lit(1)).alias("ind"))
+    e = e0.join(outd, "src").join(ind, "dst").persist()
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(F.max(col).alias("__mx"))
+        return (
+            nd.join(raw, "doc_id", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("__mx") > 0,
+                    F.floor(
+                        F.coalesce(F.col(col), F.lit(0)).cast("double")
+                        / F.col("__mx").cast("double")
+                        * F.lit(float(scale))
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(col),
+            )
+        )
+
+    hub = nd.select("doc_id", F.lit(int(scale)).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            e.join(hub.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum(F.expr("hub div outd")).alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        auth = _norm(araw, "auth")
+        hraw = (
+            e.join(auth.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.sum(F.expr("auth div ind")).alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+        hub = _norm(hraw, "hub")
+    return hub.join(auth, "doc_id").select("doc_id", "hub", "auth")
