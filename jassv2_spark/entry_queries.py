@@ -3367,6 +3367,57 @@ sh{i + 1} AS MATERIALIZED (SELECT d.doc_id,
         f" FROM sh{_HITS_ITERS} JOIN sa{_HITS_ITERS} USING (doc_id)",
     )
 
+    # Weakly-connected components (min-label + pointer jump, exact
+    # int64 mins — no floats, so every round is bitwise cross-engine).
+    # The synthetic link rule yields ONE giant component, so the entry
+    # keeps only intra-block edges (src div 64 == dst div 64): the
+    # (i, i+1) chain links make each 64-id block internally connected,
+    # giving ceil(n/64) components with id = block minimum — a real
+    # multi-component answer that exercises label propagation.
+    _CC_ROUNDS = 10
+    _CC_BLOCK = 64
+
+    def _cc_parts() -> list[str]:
+        parts = [
+            "cnd AS MATERIALIZED (SELECT doc_id FROM documents)",
+            f"""cund AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM ded WHERE src <> dst AND src // {_CC_BLOCK} = dst // {_CC_BLOCK})""",
+            "csym AS MATERIALIZED (SELECT u, v FROM cund UNION ALL SELECT v, u FROM cund)",
+            "cl0 AS (SELECT doc_id, doc_id AS lab FROM cnd)",
+        ]
+        for i in range(_CC_ROUNDS):
+            parts.append(
+                f"""cnb{i} AS (SELECT e.u AS doc_id, min(l.lab) AS nl
+        FROM csym e JOIN cl{i} l ON l.doc_id = e.v GROUP BY e.u),
+cm{i} AS MATERIALIZED (SELECT d.doc_id, least(l.lab, coalesce(n.nl, l.lab)) AS lab
+        FROM cnd d JOIN cl{i} l USING (doc_id) LEFT JOIN cnb{i} n USING (doc_id)),
+cl{i + 1} AS MATERIALIZED (SELECT a.doc_id, least(a.lab, b.lab) AS lab
+        FROM cm{i} a JOIN cm{i} b ON b.doc_id = a.lab)"""
+            )
+        return parts
+
+    def _web_components(spark, sf):
+        from jassv2_spark.operators.webgraph import (
+            connected_components,
+            synthesize_links,
+        )
+
+        docs = _docs(spark, sf)
+        links = (
+            synthesize_links(docs, anchor_tokens=_ANCHOR_N)
+            .select("src", "dst")
+            .where(
+                F.expr(f"src div {_CC_BLOCK}") == F.expr(f"dst div {_CC_BLOCK}")
+            )
+        )
+        return connected_components(docs.select("doc_id"), links, rounds=_CC_ROUNDS)
+
+    r["web_components"] = (
+        _web_components,
+        _sql(_LINKS_CTES, *_cc_parts())
+        + f" SELECT doc_id, lab AS component FROM cl{_CC_ROUNDS}",
+    )
+
     # HyperBall (Boldi & Vigna): per-node |ball(v, r)| estimates via
     # iterated HLL register max-merge along out-edges. Registers use the
     # repo's fully-specified md5 HLL (sketch.py recipe, bitwise portable);

@@ -1,0 +1,75 @@
+"""Connected components: exact union-find ground truth, pre-convergence
+round-parity with the python re-simulation, and structural checks."""
+
+from jassv2_spark.operators.webgraph import connected_components
+
+
+def _true_cc(n_nodes, edges):
+    """Ground truth via union-find; component id = min member id."""
+    parent = {v: v for v in range(1, n_nodes + 1)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        if s != d:
+            a, b = find(s), find(d)
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    return {v: find(v) for v in parent}
+
+
+def _py_rounds(n_nodes, edges, rounds):
+    """Re-simulate the operator's exact per-round semantics."""
+    sym = set()
+    for s, d in edges:
+        if s != d:
+            sym.add((s, d))
+            sym.add((d, s))
+    lab = {v: v for v in range(1, n_nodes + 1)}
+    for _ in range(rounds):
+        m = dict(lab)
+        for u, v in sym:
+            m[u] = min(m[u], lab[v])
+        lab = {v: min(m[v], m[m[v]]) for v in m}
+    return lab
+
+
+def _run(spark, n_nodes, edges, rounds=10):
+    nodes = spark.createDataFrame([(i,) for i in range(1, n_nodes + 1)], ["doc_id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["doc_id"]: r["component"]
+            for r in connected_components(nodes, e, rounds=rounds).collect()}
+
+
+def test_components_two_islands_and_singleton(spark):
+    edges = [(1, 2), (2, 3), (4, 5), (5, 4), (6, 6)]
+    got = _run(spark, 6, edges)
+    assert got == _true_cc(6, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_components_chain_converges_by_pointer_jumping(spark):
+    # A 40-node path needs radius 39; plain hash-min would need 39
+    # rounds, pointer jumping covers it in 6 (2^6 - 1 ≥ 39).
+    edges = [(i, i + 1) for i in range(1, 40)]
+    got = _run(spark, 40, edges, rounds=6)
+    assert set(got.values()) == {1}
+    assert got == _true_cc(40, edges)
+
+
+def test_components_preconvergence_round_parity(spark):
+    # At rounds=1 the chain is NOT converged; the distributed result
+    # must still equal the exact per-round re-simulation bit-for-bit.
+    edges = [(i, i + 1) for i in range(1, 20)]
+    got = _run(spark, 20, edges, rounds=1)
+    assert got == _py_rounds(20, edges, 1)
+    assert len(set(got.values())) > 1  # genuinely pre-convergence
+
+
+def test_components_direction_ignored(spark):
+    got = _run(spark, 4, [(2, 1), (3, 2), (4, 3)], rounds=4)
+    assert set(got.values()) == {1}
