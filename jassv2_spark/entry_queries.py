@@ -3418,6 +3418,82 @@ cl{i + 1} AS MATERIALIZED (SELECT a.doc_id, least(a.lab, b.lab) AS lab
         + f" SELECT doc_id, lab AS component FROM cl{_CC_ROUNDS}",
     )
 
+    # Seed link-distance (webgraph.py:seed_distance): directed BFS hop
+    # count from the trustrank seed rule (doc_id % 97 == 0), -1 when not
+    # reached within the hop cap — crawl-depth QA. Oracle unrolls the
+    # same Bellman-Ford relaxations with the same 2^40 sentinel.
+    _SD_HOPS = 6
+    _SD_FAR = 1 << 40
+
+    def _sd_parts() -> list[str]:
+        parts = [
+            f"""gd0 AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN doc_id % {_TR_SEED_MOD} = 0 THEN 0
+             ELSE {_SD_FAR} END::BIGINT AS dist FROM documents)""",
+        ]
+        for i in range(_SD_HOPS):
+            parts.append(
+                f"""gr{i} AS (SELECT e.dst AS doc_id, (min(g.dist) + 1)::BIGINT AS rd
+        FROM ded e JOIN gd{i} g ON g.doc_id = e.src GROUP BY e.dst),
+gd{i + 1} AS MATERIALIZED (SELECT g.doc_id,
+        least(g.dist, coalesce(r.rd, g.dist))::BIGINT AS dist
+        FROM gd{i} g LEFT JOIN gr{i} r USING (doc_id))"""
+            )
+        return parts
+
+    def _web_seed_distance(spark, sf):
+        from jassv2_spark.operators.webgraph import seed_distance, synthesize_links
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        seeds = docs.select("doc_id").where(F.col("doc_id") % _TR_SEED_MOD == 0)
+        return seed_distance(docs.select("doc_id"), links, seeds, max_hops=_SD_HOPS)
+
+    r["web_seed_distance"] = (
+        _web_seed_distance,
+        _sql(_LINKS_CTES, *_sd_parts())
+        + f""" SELECT doc_id, CASE WHEN dist >= {_SD_FAR} THEN -1 ELSE dist END::BIGINT AS dist
+ FROM gd{_SD_HOPS}""",
+    )
+
+    # Host/site collapse (weburls.py:collapse_hits): at most per_host
+    # results from one host in the top k, back-filled from the full hit
+    # pool. Hosts here follow a deterministic doc_id % 17 rule (the
+    # synthetic corpus is single-host); serve chain unchanged.
+    _COLL_PER_HOST = 2
+    _COLL_HOSTS = 17
+
+    def _topk_collapsed(spark, sf):
+        from jassv2_spark.operators.weburls import collapse_hits
+
+        idx = get_index(spark, sf)
+        full = search(idx, _queries_df(spark), k=1_000_000, with_keys=False)
+        hosts = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit("h"), (F.col("doc_id") % _COLL_HOSTS).cast("string")).alias(
+                "host"
+            ),
+        )
+        return collapse_hits(full, hosts, per_host=_COLL_PER_HOST, k=K)
+
+    _COLLAPSE_CTES = f"""
+chost AS (SELECT h.query_id, h.doc_id, h.rsv,
+                 'h' || (h.doc_id % {_COLL_HOSTS})::VARCHAR AS host
+          FROM hits h),
+chr AS (SELECT *, row_number() OVER (PARTITION BY query_id, host
+                                     ORDER BY rsv DESC, doc_id DESC) AS hrn
+        FROM chost),
+crank AS (SELECT query_id, doc_id, rsv, host,
+                 (row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rsv DESC, doc_id DESC))::BIGINT AS rank
+          FROM chr WHERE hrn <= {_COLL_PER_HOST})
+"""
+    r["web_topk_collapsed"] = (
+        _topk_collapsed,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _COLLAPSE_CTES)
+        + f" SELECT query_id, doc_id, rsv, host, rank FROM crank WHERE rank <= {K}",
+    )
+
     # HyperBall (Boldi & Vigna): per-node |ball(v, r)| estimates via
     # iterated HLL register max-merge along out-edges. Registers use the
     # repo's fully-specified md5 HLL (sketch.py recipe, bitwise portable);

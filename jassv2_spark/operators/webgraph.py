@@ -732,3 +732,61 @@ def connected_components(
             .select(F.col("a.doc_id").alias("doc_id"), F.least("lab", "jl").alias("lab"))
         )
     return lab.select("doc_id", F.col("lab").alias("component"))
+
+
+def seed_distance(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_hops: int = 6,
+) -> DataFrame:
+    """(doc_id, dist): directed link distance (hop count) from a seed
+    set — crawl-depth QA and the structural companion to
+    :func:`trustrank` (which decays the same distances geometrically):
+    pages more than a few clicks from any vetted hub are prime
+    spam/orphan candidates. dist = length of the shortest directed
+    path from any seed, computed by `max_hops` Bellman-Ford rounds
+    d'(v) = min(d(v), 1 + min_{u→v} d(u)); nodes not reached within
+    `max_hops` report dist = -1.
+
+    Exact integer mins throughout — every round is bitwise portable
+    across engines and parallelism. Scale shape: one (node)-keyed
+    partial-agg exchange per round over node-sized frames (the edge
+    list persisted once); the distance frame is referenced twice per
+    round (self term + relax term), hence the eager localCheckpoint
+    lineage guard shared with :func:`hits`."""
+    _far = 1 << 40  # sentinel ≫ any real hop count, still safe to +1
+    nd = nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id"))
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct().persist()
+    sd = seeds.select(F.col(seeds.columns[0]).cast("long").alias("doc_id")).distinct()
+
+    dist = nd.join(sd.withColumn("__s", F.lit(1)), "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("__s").isNotNull(), F.lit(0))
+        .otherwise(F.lit(_far))
+        .cast("long")
+        .alias("dist"),
+    )
+    for _ in range(max_hops):
+        relax = (
+            e.join(dist.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg((F.min("dist") + F.lit(1)).alias("rd"))
+        )
+        dist = (
+            dist.join(relax, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("dist"), F.coalesce(F.col("rd"), F.col("dist"))).alias(
+                    "dist"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        "doc_id",
+        F.when(F.col("dist") >= _far, F.lit(-1)).otherwise(F.col("dist"))
+        .cast("long")
+        .alias("dist"),
+    )

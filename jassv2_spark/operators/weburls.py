@@ -93,3 +93,44 @@ def paragraph_duplicates(
         )
         .where(F.col("n_docs") >= F.lit(int(min_docs)))
     )
+
+
+def collapse_hits(
+    hits: DataFrame,
+    hosts: DataFrame,
+    *,
+    per_host: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, doc_id, rsv, host, rank): site/host collapse — the web
+    SERP rule that at most `per_host` results from one host may occupy
+    the top k, remaining slots back-filled by the next-best hits from
+    other hosts. `hits` is any (query_id, doc_id, rsv) frame (the
+    engine's serve output); `hosts` maps doc_id → host (in production
+    the canonicalized URL's authority, cf. :func:`canonicalize_url`).
+
+    Semantics (deterministic): order within a query by
+    (rsv DESC, doc_id DESC) — the engine's own tie-break — keep the
+    first `per_host` per (query, host), then re-rank the survivors by
+    the same order and cut at k. Two window passes + one equi-join;
+    ranks are dense after collapse (1..k), so downstream metrics treat
+    the collapsed run like any other.
+
+    Scale shape: the doc→host join is keyed on doc_id over hit-sized
+    (not corpus-sized) frames; both windows partition by query_id (the
+    second by (query_id, host) first), so the shuffle is hits-sized and
+    skew-bounded by k·|queries| after the first cut."""
+    from pyspark.sql import Window
+
+    order = [F.col("rsv").desc(), F.col("doc_id").desc()]
+    w_host = Window.partitionBy("query_id", "host").orderBy(*order)
+    w_query = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        hits.select("query_id", "doc_id", "rsv")
+        .join(hosts.select("doc_id", "host"), "doc_id")
+        .withColumn("hrn", F.row_number().over(w_host))
+        .where(F.col("hrn") <= per_host)
+        .withColumn("rank", F.row_number().over(w_query).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rsv", "host", "rank")
+    )
