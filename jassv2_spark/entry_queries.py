@@ -689,6 +689,45 @@ tst AS (SELECT count(*)::BIGINT AS n,
               FROM tst""",
     )
 
+    # Rank-biased overlap (Webber-Moffat-Zobel TOIS'10) between the
+    # exhaustive and ρ=0.35 anytime runs — the top-weighted third leg of
+    # the run-comparison triad (set overlap / Kendall τ / RBO). The
+    # per-rank contribution table and reduced mult/den are the SAME exact
+    # integers on both sides (recomputed here with the operator's
+    # recipe), so rbo_micros hash-matches bitwise.
+    def _rbo(spark, sf):
+        from jassv2_spark.operators.evaluate import rbo_overlap
+
+        return rbo_overlap(*_two_runs(spark, sf), k=K)
+
+    def _rbo_sql() -> str:
+        L = math.lcm(*range(1, K + 1))
+        contrib = [
+            sum(9 ** (d - 1) * 10 ** (K - d) * (L // d) for d in range(m, K + 1))
+            for m in range(1, K + 1)
+        ]
+        den = L * (10**K - 9**K)
+        g = math.gcd(10**6, den)
+        mult, den_r = 10**6 // g, den // g
+        vals = ", ".join(f"({m + 1}, {c})" for m, c in enumerate(contrib))
+        ctes = f"""
+rcont(m, c) AS (SELECT * FROM (VALUES {vals})),
+rsum AS (SELECT x.query_id, count(*)::BIGINT AS n_common, sum(t.c)::BIGINT AS s
+         FROM (SELECT a.query_id, greatest(a.rank, b.rank) AS m
+               FROM runa a JOIN runb b USING (query_id, doc_id)) x
+         JOIN rcont t USING (m) GROUP BY x.query_id),
+rq AS (SELECT DISTINCT query_id FROM
+        (SELECT query_id FROM runa UNION ALL SELECT query_id FROM runb))
+"""
+        return (
+            _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _RUNS2_CTES, ctes)
+            + f""" SELECT q.query_id, coalesce(n_common, 0)::BIGINT AS n_common,
+                     ((coalesce(s, 0) * {mult}) // {den_r})::BIGINT AS rbo_micros
+              FROM rq q LEFT JOIN rsum USING (query_id)"""
+        )
+
+    r["jass_run_rbo"] = (_rbo, _rbo_sql())
+
     # SymSpell-style spelling correction (operators/fuzzy.py): OOV query
     # terms replaced by their best distance-1 vocabulary term (df DESC,
     # term ASC tie-break) before the ordinary segment pipeline. Spark

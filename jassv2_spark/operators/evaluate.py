@@ -756,3 +756,81 @@ def paired_run_test(metric_a: DataFrame, metric_b: DataFrame) -> DataFrame:
             (F.col("n") >= 2) & (var_num > 0), F.floor(F.lit(1_000_000.0) * t)
         ).cast("long").alias("t_micros"),
     )
+
+
+def rbo_overlap(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    *,
+    k: int = 10,
+    p_num: int = 9,
+    p_den: int = 10,
+) -> DataFrame:
+    """(query_id, n_common, rbo_micros): truncated rank-biased overlap at
+    depth k (Webber, Moffat & Zobel, "A Similarity Measure for Indefinite
+    Rankings", TOIS'10) with persistence p = p_num/p_den, normalized by
+    the truncated weight mass (1 − p^k) so identical top-k rankings score
+    exactly 10⁶ micros. Completes the run-comparison triad: `run_overlap`
+    = set agreement, `kendall_tau` = order agreement on the shared set,
+    RBO = the top-weighted blend of both that the IR literature treats as
+    the standard ranking-similarity measure.
+
+    Exact-integer recipe: RBO@k = Σ_d (1−p)p^(d−1)·X_d/d with
+    X_d = |A_{1..d} ∩ B_{1..d}|. Swapping the sums, a doc common to both
+    runs with m = max(rank_a, rank_b) contributes C(m) = Σ_{d≥m} w_d/d —
+    a k-entry table computed driver-side as EXACT integers at scale
+    S = p_den^k·lcm(1..k); the normalizer D = lcm(1..k)·(p_den^k − p_num^k)
+    at the same scale. rbo_micros = (Σ C(m) · (10⁶/g)) DIV (D/g) with
+    g = gcd(10⁶, D) — one integer division from associative int64 sums,
+    bitwise on any engine/parallelism. Raises if the reduced product
+    could overflow int64 (k ≈ 20 at the defaults; the reference depths
+    are ≤ 10 here).
+
+    Queries present in either run emit a row (n_common = 0 → rbo 0),
+    matching `run_overlap`'s visibility convention. Scale: top-k'd
+    inputs, one equi-join + one (query_id) agg — driver-free."""
+    L = math.lcm(*range(1, k + 1))
+    contrib = [
+        sum(
+            (p_den - p_num) * p_num ** (d - 1) * p_den ** (k - d) * (L // d)
+            for d in range(m, k + 1)
+        )
+        for m in range(1, k + 1)
+    ]
+    den = L * (p_den**k - p_num**k)
+    g = math.gcd(10**6, den)
+    mult, den_r = 10**6 // g, den // g
+    if den * mult >= 2**63:
+        raise ValueError(f"k={k} p={p_num}/{p_den}: rbo fixed point overflows int64")
+
+    ca = run_a.where(F.col("rank") <= k).select(
+        "query_id", "doc_id", F.col("rank").alias("ra")
+    )
+    cb = run_b.where(F.col("rank") <= k).select(
+        "query_id", "doc_id", F.col("rank").alias("rb")
+    )
+    ctab = F.array(*[F.lit(int(c)) for c in contrib])
+    sums = (
+        ca.join(cb, ["query_id", "doc_id"])
+        .select(
+            "query_id",
+            F.element_at(ctab, F.greatest("ra", "rb").cast("int")).alias("c"),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"), F.sum("c").alias("s"))
+    )
+    qids = (
+        run_a.select("query_id")
+        .unionByName(run_b.select("query_id"))
+        .distinct()
+    )
+    return (
+        qids.join(sums, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+            F.expr(f"coalesce(s, 0) * {mult} div {den_r}")
+            .cast("long")
+            .alias("rbo_micros"),
+        )
+    )
