@@ -3295,6 +3295,63 @@ ts{i + 1} AS (SELECT d.doc_id,
         + f" SELECT doc_id, r AS trust FROM ts{_PR_ITERS}",
     )
 
+    # Link-graph corpus QA (webgraph.py:degree_profile/reciprocity_stats):
+    # in/out-degree power-of-two histogram (danglers in bucket -1) and
+    # directed-edge reciprocity + dangling count.
+    def _web_degree_profile(spark, sf):
+        from jassv2_spark.operators.webgraph import degree_profile, synthesize_links
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        return degree_profile(docs.select("doc_id"), links)
+
+    r["web_degree_profile"] = (
+        _web_degree_profile,
+        _sql(_LINKS_CTES)
+        + """ SELECT direction, bucket, count(*)::BIGINT AS n_nodes FROM (
+            SELECT 'out' AS direction,
+                   CASE WHEN o.deg IS NULL THEN -1
+                        ELSE length(bin(o.deg)) - 1 END::BIGINT AS bucket
+            FROM documents d LEFT JOIN
+              (SELECT src, count(*) AS deg FROM ded GROUP BY src) o ON o.src = d.doc_id
+            UNION ALL
+            SELECT 'in' AS direction,
+                   CASE WHEN i.deg IS NULL THEN -1
+                        ELSE length(bin(i.deg)) - 1 END::BIGINT AS bucket
+            FROM documents d LEFT JOIN
+              (SELECT dst, count(*) AS deg FROM ded GROUP BY dst) i ON i.dst = d.doc_id
+          ) GROUP BY direction, bucket""",
+    )
+
+    def _web_reciprocity(spark, sf):
+        from jassv2_spark.operators.webgraph import (
+            reciprocity_stats,
+            synthesize_links,
+        )
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        return reciprocity_stats(docs.select("doc_id"), links)
+
+    r["web_reciprocity"] = (
+        _web_reciprocity,
+        _sql(
+            _LINKS_CTES,
+            """rst AS (SELECT
+        (SELECT count(*) FROM documents)::BIGINT AS n_nodes,
+        (SELECT count(*) FROM ded)::BIGINT AS n_edges,
+        (SELECT count(*) FROM ded a JOIN ded b
+           ON b.src = a.dst AND b.dst = a.src)::BIGINT AS n_reciprocal,
+        (SELECT count(*) FROM documents d
+         WHERE d.doc_id NOT IN (SELECT src FROM ded))::BIGINT AS n_dangling)""",
+        )
+        + """ SELECT n_nodes, n_edges, n_reciprocal,
+                 CASE WHEN n_edges > 0 THEN (1000000 * n_reciprocal) // n_edges
+                      ELSE 0 END::BIGINT AS reciprocity_ppm,
+                 n_dangling
+              FROM rst""",
+    )
+
     # HITS hubs/authorities (Kleinberg JACM'99): exact int64 sums per
     # half-step, max-normalized through ONE fixed IEEE chain
     # floor(v/max·scale) — the oracle unrolls the same 10 double-steps

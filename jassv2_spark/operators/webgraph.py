@@ -790,3 +790,87 @@ def seed_distance(
         .cast("long")
         .alias("dist"),
     )
+
+
+def degree_profile(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(direction, bucket, n_nodes): in/out-degree distribution of the
+    link graph in exact power-of-two buckets — the crawl-QA companion to
+    the text side's Zipf/Heaps profiles (a healthy web graph shows a
+    power-law tail; a crawler trap or template explosion shows up as a
+    spike). bucket = length(bin(degree)) − 1 (integer math, no float
+    log2 boundary risk — same recipe as textstats.dl_histogram); nodes
+    with zero in/out links land in bucket −1 so danglers are visible.
+
+    Scale: degree agg is one (node)-keyed exchange; the histogram is a
+    ≤64-row agg on top. Map-side partial aggs both times."""
+    nd = nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id"))
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+
+    def _hist(key: str, direction: str) -> DataFrame:
+        deg = e.groupBy(F.col(key).alias("doc_id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        return (
+            nd.join(deg, "doc_id", "left")
+            .select(
+                F.lit(direction).alias("direction"),
+                F.when(
+                    F.col("deg").isNull(), F.lit(-1)
+                )
+                .otherwise(F.length(F.bin(F.col("deg"))) - 1)
+                .cast("long")
+                .alias("bucket"),
+            )
+            .groupBy("direction", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        )
+
+    return _hist("src", "out").unionByName(_hist("dst", "in"))
+
+
+def reciprocity_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Single row (n_nodes, n_edges, n_reciprocal, reciprocity_ppm,
+    n_dangling): directed-edge reciprocity (how much of the graph is
+    mutual linking — high reciprocity between hosts is a link-farm
+    signal, cf. the TKC motivation behind :func:`salsa`) plus the
+    dangling-node count PageRank folklore cares about. n_reciprocal
+    counts DIRECTED edges whose reverse also exists; reciprocity_ppm =
+    (10⁶ · n_reciprocal) DIV n_edges exact-integer.
+
+    Scale: the reciprocal check is a self equi-join on the reversed key
+    — hash join on (src, dst), never a cross product; dangling is an
+    anti-join. All counts associative int64."""
+    nd = nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id"))
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct().persist()
+    nn = nd.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    en = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    rn = (
+        e.join(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            ["src", "dst"],
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    )
+    dn = (
+        nd.join(
+            e.select(F.col("src").alias("doc_id")).distinct(), "doc_id", "left_anti"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dangling"))
+    )
+    # four single-row aggs crossJoined lazily — no driver collect
+    return (
+        nn.crossJoin(en)
+        .crossJoin(rn)
+        .crossJoin(dn)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_reciprocal",
+            F.when(F.col("n_edges") > 0,
+                   F.expr("(1000000 * n_reciprocal) div n_edges"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("reciprocity_ppm"),
+            "n_dangling",
+        )
+    )
