@@ -3664,6 +3664,42 @@ hb{i + 1} AS MATERIALIZED (
         ),
     )
 
+    # Corpus ANF curve (webgraph.py:anf_curve): N(r) = Σ_v est_micros
+    # (per-node floor of ONE IEEE division by a driver literal → exact
+    # associative int64 sum) + reachable fraction vs the largest radius
+    # — the curve effective-diameter estimates read off.
+    def _web_anf(spark, sf):
+        from jassv2_spark.operators.webgraph import anf_curve, synthesize_links
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        return anf_curve(docs.select("doc_id"), links, radius=_HB_RADIUS)
+
+    def _anf_sql() -> str:
+        from jassv2_spark.operators.sketch import HLL_M as _m2, hll_alpha as _a2
+
+        c6 = _flit(_a2(_m2) * float(_m2 * _m2 * (1 << 27)) * 1e6)
+        per_r = " UNION ALL ".join(
+            f"""SELECT {i}::BIGINT AS r,
+                       sum(floor({c6} / sum_inv::DOUBLE))::BIGINT AS n_micros
+                FROM (SELECT doc_id, {_hb_sum} AS sum_inv
+                      FROM hb{i} GROUP BY doc_id)"""
+            for i in range(_HB_RADIUS + 1)
+        )
+        return (
+            _sql(
+                _LINKS_CTES,
+                *_hb_parts(),
+                f"anfn AS ({per_r})",
+                f"anft AS (SELECT n_micros AS nt FROM anfn WHERE r = {_HB_RADIUS})",
+            )
+            + """ SELECT r, n_micros,
+                     floor(1000000e0 * n_micros::DOUBLE / nt::DOUBLE)::BIGINT AS frac_ppm
+              FROM anfn, anft"""
+        )
+
+    r["web_anf_curve"] = (_web_anf, _anf_sql())
+
     # Co-citation (Small 1973) / bibliographic coupling (Kessler 1963):
     # the classic link-based related-pages pair counts. Per-source (resp.
     # per-target) self-join with a degree cap on the Zipf head — equi-join

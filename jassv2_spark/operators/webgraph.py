@@ -874,3 +874,68 @@ def reciprocity_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             "n_dangling",
         )
     )
+
+
+def anf_curve(
+    nodes: DataFrame, edges: DataFrame, *, radius: int = 3
+) -> DataFrame:
+    """(r, n_micros, frac_ppm): the corpus-level ANF / neighbourhood
+    function N(r) = Σ_v |ball(v, r)| (HyperANF's headline curve, Boldi-
+    Rosa-Vigna WWW'11) and the reachable-pair fraction vs the largest
+    measured radius — the curve effective-diameter estimates read off
+    (the effective diameter at q is where frac crosses q).
+
+    Determinism recipe: per-node est_micros = floor(C·10⁶ / sum_inv) —
+    ONE IEEE division of the exact-integer register sum by a driver
+    literal, floored to int64, so the corpus N(r) is an associative
+    integer sum (order-free at any parallelism); frac_ppm is one more
+    fixed double chain floor(10⁶·N(r)/N(radius)). Scale shape: the per-
+    radius register sums come from :func:`hyperball_profile` (node-
+    sized frames, ≤64-row per-node partial aggs); everything after is
+    a (radius+1)-row frame."""
+    from jassv2_spark.operators.sketch import _RHO_MAX, HLL_M, hll_alpha
+
+    prof = hyperball_profile(nodes, edges, radius=radius)
+    c6 = hll_alpha(HLL_M) * float(HLL_M * HLL_M * (1 << _RHO_MAX)) * 1e6
+    em = F.floor(F.lit(c6) / F.col("sum_inv").cast("double")).cast("long")
+    n = (
+        prof.select("r", em.alias("em"))
+        .groupBy("r")
+        .agg(F.sum("em").cast("long").alias("n_micros"))
+        .localCheckpoint(eager=True)  # tiny (radius+1 rows), referenced twice
+    )
+    tot = n.where(F.col("r") == radius).select(F.col("n_micros").alias("__nt"))
+    return (
+        n.crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_micros",
+            F.floor(
+                F.lit(1e6)
+                * F.col("n_micros").cast("double")
+                / F.col("__nt").cast("double")
+            )
+            .cast("long")
+            .alias("frac_ppm"),
+        )
+    )
+
+
+def effective_diameter_micros(
+    curve_rows: list, *, q_ppm: int = 900_000
+) -> int:
+    """Driver-side readout of the effective diameter at fraction q from
+    collected :func:`anf_curve` rows (radius+1 rows — trivially small):
+    the smallest r with frac_ppm ≥ q_ppm, linearly interpolated between
+    r−1 and r in micros (the standard HyperANF interpolation). Returns
+    radius·10⁶ if the threshold is never crossed below the cap."""
+    rows = sorted((int(x["r"]), int(x["frac_ppm"])) for x in curve_rows)
+    prev = None
+    for r, frac in rows:
+        if frac >= q_ppm:
+            if prev is None or prev[1] >= q_ppm:
+                return r * 10**6
+            pr, pf = prev
+            return pr * 10**6 + (10**6 * (q_ppm - pf)) // (frac - pf)
+        prev = (r, frac)
+    return rows[-1][0] * 10**6
