@@ -436,3 +436,30 @@ class Engine:
             self.index.term_stats, self.index.n_docs,
             min_df_ppm=min_df_ppm, top_r=top_r,
         )
+
+    def run_rbo(
+        self, run_a: DataFrame, run_b: DataFrame, k: int | None = None
+    ) -> DataFrame:
+        """Per-query rank-biased overlap between two runs
+        (operators/evaluate.py:rbo_overlap; top-weighted, exact int
+        micros)."""
+        from jassv2_spark.operators.evaluate import rbo_overlap
+
+        return rbo_overlap(run_a, run_b, k=self.top_k if k is None else k)
+
+    def collapse_results(
+        self,
+        results: DataFrame,
+        hosts: DataFrame,
+        per_host: int = 2,
+        k: int | None = None,
+    ) -> DataFrame:
+        """Site/host collapse of a search output: at most `per_host`
+        results per host in the top k, deterministically back-filled
+        (operators/weburls.py:collapse_hits). `hosts` maps doc_id→host
+        (e.g. the canonicalized URL authority)."""
+        from jassv2_spark.operators.weburls import collapse_hits
+
+        return collapse_hits(
+            results, hosts, per_host=per_host, k=self.top_k if k is None else k
+        )

@@ -53,3 +53,29 @@ def test_run_tooling_facades(spark, eng):
     assert cmp_row["ties"] == cmp_row["n"] and cmp_row["t_micros"] is None
     tau = eng.run_correlation(full, full, k=3).collect()
     assert all(r["tau_micros"] == 1_000_000 for r in tau)
+
+
+def test_rbo_and_collapse_facades(spark, eng):
+    q = spark.createDataFrame(
+        [("q1", "spark table"), ("q2", "window")], ["query_id", "query"]
+    )
+    full = eng.search(q, k=3)
+    rbo = eng.run_rbo(full, full, k=3).collect()
+    # a self-comparison scores exactly 1.0 when the run fills the depth;
+    # a shorter run legitimately scores < 1.0 under truncated RBO@k
+    # (agreement A_d = n/d < 1 for d beyond the run length).
+    assert rbo and all(
+        r["rbo_micros"] == 1_000_000
+        if r["n_common"] == 3
+        else 0 < r["rbo_micros"] < 1_000_000
+        for r in rbo
+    )
+    hosts = eng._docs.select(
+        "doc_id", (F.col("doc_id") % 2).cast("string").alias("host")
+    )
+    coll = eng.collapse_results(full, hosts, per_host=1, k=3).collect()
+    per = {}
+    for r in coll:
+        per.setdefault((r["query_id"], r["host"]), 0)
+        per[(r["query_id"], r["host"])] += 1
+    assert coll and max(per.values()) == 1
