@@ -3700,6 +3700,42 @@ hb{i + 1} AS MATERIALIZED (
 
     r["web_anf_curve"] = (_web_anf, _anf_sql())
 
+    # Harmonic centrality the HyperBall way (webgraph.py:
+    # harmonic_centrality): Σ_{r≥1} Δball/r from the same register
+    # CTEs, lcm fixed point after the per-(node, r) floored division.
+    def _web_harmonic(spark, sf):
+        from jassv2_spark.operators.webgraph import (
+            harmonic_centrality,
+            synthesize_links,
+        )
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        return harmonic_centrality(docs.select("doc_id"), links, radius=_HB_RADIUS)
+
+    def _harmonic_sql() -> str:
+        from jassv2_spark.operators.sketch import HLL_M as _m3, hll_alpha as _a3
+
+        c6 = _flit(_a3(_m3) * float(_m3 * _m3 * (1 << 27)) * 1e6)
+        L = math.lcm(*range(1, _HB_RADIUS + 1))
+        ems = [
+            f"""hcm{i} AS (SELECT doc_id, floor({c6} / sum_inv::DOUBLE)::BIGINT AS em
+        FROM (SELECT doc_id, {_hb_sum} AS sum_inv FROM hb{i} GROUP BY doc_id))"""
+            for i in range(_HB_RADIUS + 1)
+        ]
+        deltas = " UNION ALL ".join(
+            f"""SELECT a.doc_id, (a.em - b.em) * {L // i} AS contrib
+                FROM hcm{i} a JOIN hcm{i - 1} b USING (doc_id)"""
+            for i in range(1, _HB_RADIUS + 1)
+        )
+        return (
+            _sql(_LINKS_CTES, *_hb_parts(), *ems, f"hcd AS ({deltas})")
+            + f""" SELECT doc_id, (sum(contrib) // {L})::BIGINT AS harmonic_micros
+              FROM hcd GROUP BY doc_id"""
+        )
+
+    r["web_harmonic"] = (_web_harmonic, _harmonic_sql())
+
     # Co-citation (Small 1973) / bibliographic coupling (Kessler 1963):
     # the classic link-based related-pages pair counts. Per-source (resp.
     # per-target) self-join with a degree cap on the Zipf head — equi-join
