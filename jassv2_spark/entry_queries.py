@@ -4957,6 +4957,48 @@ bv{i + 1} AS MATERIALIZED (
            FROM rp GROUP BY cohort_day, period""",
     )
 
+    # Per-session automation signals (events.py:session_bot_stats):
+    # exact-integer event rate + metronomic inter-arrival check — the
+    # traffic-hygiene pass before trusting logs for training data.
+    # Oracle replays the sessionizer's exact gap window in SQL.
+    def _botstats(spark, sf):
+        from jassv2_spark.operators.events import session_bot_stats
+
+        return session_bot_stats(_events(spark, sf), gap_minutes=30)
+
+    r["events_bot_stats"] = (
+        _botstats,
+        """WITH sb1 AS (SELECT user_id, event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+            FROM events),
+           sb2 AS (SELECT user_id, event_id, ts,
+                   CASE WHEN pts IS NULL
+                             OR date_diff('microsecond', pts, ts) > 1800000000
+                        THEN 1 ELSE 0 END AS isn,
+                   CASE WHEN pts IS NULL
+                             OR date_diff('microsecond', pts, ts) > 1800000000
+                        THEN NULL
+                        ELSE date_diff('microsecond', pts, ts) END AS g
+            FROM sb1),
+           sb3 AS (SELECT user_id, ts, g,
+                   sum(isn) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM sb2),
+           sb4 AS (SELECT user_id, session_idx::BIGINT AS session_idx,
+                   count(*)::BIGINT AS n_events,
+                   date_diff('microsecond', min(ts), max(ts))::BIGINT AS duration_us,
+                   min(g)::BIGINT AS min_gap_us, max(g)::BIGINT AS max_gap_us
+            FROM sb3 GROUP BY user_id, session_idx),
+           sb5 AS (SELECT *, CASE WHEN n_events >= 2 AND duration_us > 0
+                        THEN (60000000000 * (n_events - 1)) // duration_us
+                        ELSE 0 END::BIGINT AS epm_milli FROM sb4)
+           SELECT user_id, session_idx, n_events, duration_us, epm_milli,
+                  min_gap_us, max_gap_us,
+                  (n_events >= 5 AND (epm_milli >= 30000
+                                      OR min_gap_us = max_gap_us)) AS is_bot
+           FROM sb5""",
+    )
+
     # ---- HyperLogLog sketch (operators/sketch.py) ----
     # Distinct-term cardinality per language via a fully-specified HLL:
     # md5-prefix hash → 64 registers, exact-integer Σ2^(27-M_j), one

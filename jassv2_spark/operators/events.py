@@ -298,3 +298,78 @@ def retention_cohorts(
         .groupBy("cohort_day", "period")
         .agg(F.count(F.lit(1)).cast("long").alias("users"))
     )
+
+
+def session_bot_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    *,
+    min_events: int = 5,
+    max_epm_milli: int = 30_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """(user_id, session_idx, n_events, duration_us, epm_milli,
+    min_gap_us, max_gap_us, is_bot): per-session automation signals —
+    the traffic-hygiene pass a webtext pipeline runs before trusting
+    click/crawl logs (automated sessions poison both analytics and any
+    training data derived from them).
+
+    Sessions follow :func:`sessionize`'s exact gap rule (same window,
+    same tie-break). Signals, all exact integers: event rate
+    epm_milli = (60·10⁹·(n−1)) DIV duration_us (milli-events/minute
+    over the n−1 inter-arrival intervals; 0 for single-event or
+    zero-duration sessions) and the min/max inter-arrival gap.
+    is_bot = n_events ≥ min_events AND (rate above `max_epm_milli` OR
+    metronomic timing min_gap == max_gap — human traffic jitters,
+    schedulers don't).
+
+    Scale shape: one (user)-keyed window pass (same exchange the
+    sessionizer already pays) + one (user, session) partial agg; no
+    floats, no driver hops."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap = F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col))
+    is_new = F.when(prev_ts.isNull() | (gap > F.lit(gap_us)), 1).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # a gap belongs to the session it CLOSES; session-opening rows carry NULL
+    in_sess_gap = F.when(is_new == 1, F.lit(None).cast("long")).otherwise(gap)
+    per = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            sess.cast("long").alias("session_idx"),
+            in_sess_gap.alias("g"),
+        )
+        .groupBy(user_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.timestamp_diff("MICROSECOND", F.min(ts_col), F.max(ts_col))
+            .cast("long")
+            .alias("duration_us"),
+            F.min("g").cast("long").alias("min_gap_us"),
+            F.max("g").cast("long").alias("max_gap_us"),
+        )
+    )
+    epm = F.when(
+        (F.col("n_events") >= 2) & (F.col("duration_us") > 0),
+        F.expr("(60000000000 * (n_events - 1)) div duration_us"),
+    ).otherwise(F.lit(0))
+    return per.withColumn("epm_milli", epm.cast("long")).select(
+        user_col,
+        "session_idx",
+        "n_events",
+        "duration_us",
+        "epm_milli",
+        "min_gap_us",
+        "max_gap_us",
+        (
+            (F.col("n_events") >= min_events)
+            & (
+                (F.col("epm_milli") >= max_epm_milli)
+                | (F.col("min_gap_us") == F.col("max_gap_us"))
+            )
+        ).alias("is_bot"),
+    )
