@@ -3295,6 +3295,36 @@ ts{i + 1} AS (SELECT d.doc_id,
         + f" SELECT doc_id, r AS trust FROM ts{_PR_ITERS}",
     )
 
+    # URL-shape features (weburls.py:url_features): the map-only
+    # quality-classifier inputs (path depth, params, digit ratio) over
+    # the contract-shaped pages table.
+    def _web_url_features(spark, sf):
+        from jassv2_spark.operators.weburls import url_features
+        from jassv2_spark.sources.webpages import synthesize_webpages
+
+        return url_features(synthesize_webpages(_docs(spark, sf)))
+
+    r["web_url_features"] = (
+        _web_url_features,
+        """WITH up AS (SELECT 'https://example.org/web/' || lpad(doc_id::VARCHAR, 8, '0') AS url
+                   FROM documents),
+           uq AS (SELECT url,
+                   regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)', 1) AS host,
+                   regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', ''),
+                                  '[?#].*$', '') AS path,
+                   regexp_extract(url, '\\?([^#]*)', 1) AS query,
+                   length(regexp_replace(url, '[^0-9]', '', 'g'))::BIGINT AS dg
+            FROM up)
+           SELECT url, host,
+                  len(list_filter(string_split(path, '/'), s -> s <> ''))::BIGINT AS path_depth,
+                  CASE WHEN query = '' THEN 0
+                       ELSE len(string_split(query, '&')) END::BIGINT AS n_params,
+                  length(url)::BIGINT AS url_len,
+                  ((1000000 * dg) // length(url))::BIGINT AS digit_ppm,
+                  (url LIKE 'https://%') AS is_https
+           FROM uq""",
+    )
+
     # Link-graph corpus QA (webgraph.py:degree_profile/reciprocity_stats):
     # in/out-degree power-of-two histogram (danglers in bucket -1) and
     # directed-edge reciprocity + dangling count.

@@ -134,3 +134,55 @@ def collapse_hits(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "rsv", "host", "rank")
     )
+
+
+def url_features(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, host, path_depth, n_params, url_len, digit_ppm, is_https):
+    the URL-shape features every web quality classifier starts from
+    (deep paths and parameter-heavy or digit-heavy URLs correlate with
+    boilerplate/spam/session pages; C4 and Gopher both gate on URL
+    shape before reading a byte of body text).
+
+    All pure JVM regex/length expressions (RE2-safe — no backreferences
+    or lookaround — so an oracle can mirror them exactly):
+    - host: authority without userinfo/port,
+    - path_depth: '/'-separated non-empty segments after the authority,
+      query/fragment stripped,
+    - n_params: '&'-split count of a non-empty query string, else 0,
+    - digit_ppm: (10\u2076 \u00b7 digit count) DIV url length, exact integer,
+    - is_https: scheme check.
+    Map-only \u2014 a 10^12-row pass with no shuffle at all."""
+    u = F.col(url_col)
+    path = F.regexp_replace(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""),
+        r"[?#].*$",
+        "",
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    return (
+        pages.select(
+            u.alias("url"),
+            F.regexp_extract(
+                u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)", 1
+            ).alias("host"),
+            F.size(F.filter(F.split(path, "/"), lambda seg: seg != ""))
+            .cast("long")
+            .alias("path_depth"),
+            F.when(query == "", F.lit(0))
+            .otherwise(F.size(F.split(query, "&")))
+            .cast("long")
+            .alias("n_params"),
+            F.length(u).cast("long").alias("url_len"),
+            F.length(F.regexp_replace(u, r"[^0-9]", "")).cast("long").alias("__dg"),
+            u.startswith("https://").alias("is_https"),
+        )
+        .select(
+            "url",
+            "host",
+            "path_depth",
+            "n_params",
+            "url_len",
+            F.expr("(1000000 * __dg) div url_len").cast("long").alias("digit_ppm"),
+            "is_https",
+        )
+    )

@@ -54,3 +54,28 @@ def test_seed_distance_directed_and_multisource(spark):
 def test_seed_distance_hop_cap(spark):
     got = _dist(spark, 5, [(1, 2), (2, 3), (3, 4), (4, 5)], [1], hops=2)
     assert got == {1: 0, 2: 1, 3: 2, 4: -1, 5: -1}
+
+
+def test_url_features_shapes(spark):
+    from jassv2_spark.operators.weburls import url_features
+
+    urls = [
+        ("https://example.org/web/00000123",),
+        ("http://user@sub.site.com:8080/a/b/c?x=1&y=2&z=3#frag",),
+        ("https://plain.io",),
+        ("https://d.com/p1//p2/?",),
+    ]
+    rows = {r["url"]: r for r in url_features(
+        spark.createDataFrame(urls, ["url"])).collect()}
+    r1 = rows["https://example.org/web/00000123"]
+    assert (r1["host"], r1["path_depth"], r1["n_params"], r1["is_https"]) == (
+        "example.org", 2, 0, True)
+    assert r1["digit_ppm"] == (1_000_000 * 8) // len(urls[0][0])
+    r2 = rows["http://user@sub.site.com:8080/a/b/c?x=1&y=2&z=3#frag"]
+    assert (r2["host"], r2["path_depth"], r2["n_params"], r2["is_https"]) == (
+        "sub.site.com", 3, 3, False)
+    r3 = rows["https://plain.io"]
+    assert (r3["host"], r3["path_depth"], r3["n_params"], r3["digit_ppm"]) == (
+        "plain.io", 0, 0, 0)
+    r4 = rows["https://d.com/p1//p2/?"]
+    assert (r4["path_depth"], r4["n_params"]) == (2, 0)  # empty segs/query drop
