@@ -463,3 +463,47 @@ class Engine:
         return collapse_hits(
             results, hosts, per_host=per_host, k=self.top_k if k is None else k
         )
+
+    def anytime_quality_curve(
+        self,
+        queries: DataFrame,
+        rhos: list[float] = (0.1, 0.35, 0.7),
+        k: int | None = None,
+    ) -> DataFrame:
+        """(rho_ppm, n_queries, sum_common, sum_full, overlap_pct): the
+        anytime quality-vs-budget CURVE — corpus-level top-k agreement
+        between each ρ-budgeted run and the exhaustive run, one row per
+        ρ. This is the measurable form of the reference's headline
+        anytime claim (a small postings budget loses almost nothing),
+        as a table instead of `run_overlap`'s single-ρ per-query view.
+        overlap_pct = (100·sum_common) DIV sum_full, exact integer;
+        rho_ppm = round(10⁶·ρ) so the row key is integer too."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from jassv2_spark.operators.evaluate import run_overlap
+        from jassv2_spark.operators.search import search
+
+        kk = self.top_k if k is None else k
+        full = search(
+            self.index, queries, k=kk, tokenizer=self.query_tokenizer
+        )
+        rows = []
+        for rho in rhos:
+            budgeted = search(
+                self.index, queries, k=kk, rho=rho,
+                tokenizer=self.query_tokenizer,
+            )
+            rows.append(
+                run_overlap(full, budgeted, k=kk).agg(
+                    F.lit(int(round(rho * 10**6))).cast("long").alias("rho_ppm"),
+                    F.count(F.lit(1)).cast("long").alias("n_queries"),
+                    F.sum("n_common").cast("long").alias("sum_common"),
+                    F.sum("n_a").cast("long").alias("sum_full"),
+                    F.expr("(100 * sum(n_common)) div sum(n_a)")
+                    .cast("long")
+                    .alias("overlap_pct"),
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), rows)

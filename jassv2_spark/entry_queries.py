@@ -689,6 +689,67 @@ tst AS (SELECT count(*)::BIGINT AS n,
               FROM tst""",
     )
 
+    # Anytime quality-vs-budget CURVE: corpus-level top-k agreement of
+    # each ρ-budgeted run vs exhaustive, one row per ρ — the reference's
+    # headline anytime plot as a table (engine.py:anytime_quality_curve).
+    _CURVE_RHOS = (0.1, 0.35, 0.7)
+
+    def _anytime_curve(spark, sf):
+        from functools import reduce
+
+        from jassv2_spark.operators.evaluate import run_overlap
+
+        idx = get_index(spark, sf)
+        q = _queries_df(spark)
+        full = search(idx, q, k=K, with_keys=False)
+        rows = []
+        for rho in _CURVE_RHOS:
+            b = search(idx, q, k=K, rho=rho, with_keys=False)
+            rows.append(
+                run_overlap(full, b, k=K).agg(
+                    F.lit(int(round(rho * 10**6))).cast("long").alias("rho_ppm"),
+                    F.count(F.lit(1)).cast("long").alias("n_queries"),
+                    F.sum("n_common").cast("long").alias("sum_common"),
+                    F.sum("n_a").cast("long").alias("sum_full"),
+                    F.expr("(100 * sum(n_common)) div sum(n_a)")
+                    .cast("long")
+                    .alias("overlap_pct"),
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), rows)
+
+    def _curve_sql() -> str:
+        ctes = ["cra AS (SELECT query_id, doc_id FROM ranked WHERE rank <= %d)" % K]
+        selects = []
+        for rho in _CURVE_RHOS:
+            s = int(round(rho * 10**6))
+            ctes.append(
+                f"""ck{s} AS (SELECT * FROM sseg
+        WHERE cum_postings <= floor(total_postings::DOUBLE * {repr(float(rho))})),
+ch{s} AS (SELECT k.query_id, i.doc_id, sum(k.scaled)::BIGINT AS rsv
+        FROM ck{s} k JOIN imp i ON i.term = k.term AND i.impact = k.impact
+        GROUP BY k.query_id, i.doc_id),
+cr{s} AS (SELECT query_id, doc_id FROM
+        (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+                ORDER BY rsv DESC, doc_id DESC) AS rn FROM ch{s})
+        WHERE rn <= {K})"""
+            )
+            selects.append(
+                f"""SELECT {s}::BIGINT AS rho_ppm,
+       (SELECT count(*) FROM (SELECT query_id FROM cra
+                              UNION SELECT query_id FROM cr{s}))::BIGINT AS n_queries,
+       (SELECT count(*) FROM cra a JOIN cr{s} b USING (query_id, doc_id))::BIGINT AS sum_common,
+       (SELECT count(*) FROM cra)::BIGINT AS sum_full,
+       ((100 * (SELECT count(*) FROM cra a JOIN cr{s} b USING (query_id, doc_id)))
+        // (SELECT count(*) FROM cra))::BIGINT AS overlap_pct"""
+            )
+        return (
+            _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, *ctes)
+            + " " + " UNION ALL ".join(selects)
+        )
+
+    r["jass_anytime_curve"] = (_anytime_curve, _curve_sql())
+
     # Rank-biased overlap (Webber-Moffat-Zobel TOIS'10) between the
     # exhaustive and ρ=0.35 anytime runs — the top-weighted third leg of
     # the run-comparison triad (set overlap / Kendall τ / RBO). The

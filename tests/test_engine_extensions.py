@@ -79,3 +79,19 @@ def test_rbo_and_collapse_facades(spark, eng):
         per.setdefault((r["query_id"], r["host"]), 0)
         per[(r["query_id"], r["host"])] += 1
     assert coll and max(per.values()) == 1
+
+
+def test_anytime_quality_curve_facade(spark, eng):
+    q = spark.createDataFrame(
+        [("q1", "spark table"), ("q2", "window")], ["query_id", "query"]
+    )
+    rows = {r["rho_ppm"]: r for r in eng.anytime_quality_curve(
+        q, rhos=(0.25, 1.0), k=3
+    ).collect()}
+    assert set(rows) == {250_000, 1_000_000}
+    # ρ=1.0 processes every posting → identical to the exhaustive run
+    full = rows[1_000_000]
+    assert full["overlap_pct"] == 100 and full["sum_common"] == full["sum_full"]
+    # the budgeted run can only lose overlap, never gain
+    assert rows[250_000]["sum_common"] <= rows[250_000]["sum_full"]
+    assert rows[250_000]["n_queries"] == 2
