@@ -1951,6 +1951,33 @@ rankedA AS (SELECT h.query_id, h.doc_id, h.rsv,
            FROM nn, cl""",
     )
 
+    # Physical storage audit (plans/export.py:index_space_audit): exact
+    # per-impact bit cost of the d-gapped segment layout under the §2.9
+    # codec family (raw uint32 / minimal binary / stop-bit vbyte / Elias
+    # gamma of gap+1) — integer bit math via length(bin(x)) in BOTH engines.
+    def _idx_space(spark, sf):
+        from jassv2_spark.plans.export import index_space_audit
+
+        return index_space_audit(get_index(spark, sf))
+
+    r["jass_index_space"] = (
+        _idx_space,
+        _sql(
+            _BASE,
+            """gapsX AS (SELECT impact,
+                  doc_id - lag(doc_id, 1, 0) OVER (PARTITION BY term, impact
+                                                   ORDER BY doc_id) AS gap
+                FROM imp)""",
+        )
+        + """ SELECT impact::BIGINT AS impact,
+                 count(*)::BIGINT AS n_postings,
+                 sum(length(bin(gap)))::BIGINT AS binary_bits,
+                 sum(8 * ((length(bin(gap)) + 6) // 7))::BIGINT AS vbyte_bits,
+                 sum(2 * length(bin(gap + 1)) - 1)::BIGINT AS gamma_bits,
+                 (32 * count(*))::BIGINT AS raw_bits
+           FROM gapsX GROUP BY impact""",
+    )
+
     # Vocabulary prefix autocompletion (operators/complete.py): per prefix
     # the top-k terms by df DESC, term ASC; OOV prefix yields no rows.
     _PREFIXES = ["s", "ha", "jo", "t", "zz"]

@@ -146,3 +146,57 @@ def integer_segments(index: Index) -> DataFrame:
         F.size("doc_ids").alias("length"),
         "doc_ids",
     ).orderBy("term", F.col("impact").desc())
+
+
+def index_space_audit(index: Index) -> DataFrame:
+    """Per-impact physical storage audit of the impact-ordered layout.
+
+    The reference's serializer picks one integer codec for every segment's
+    d-gapped ascending docid array (default Group Elias Gamma SIMD,
+    `source/serialise_jass_v1.h:189`; variable-byte and 24 others are
+    CLI-selectable — `source/compress_integer_all.cpp`). This audit prices
+    the layout under the codec family without writing a byte: for each
+    logical (term, impact) segment the docids are d-gapped exactly as
+    `functions/compression.py:delta_encode` does (first docid kept
+    absolute), and per gap we charge
+
+    - raw_bits:    32 (the uncompressed uint32 baseline,
+                   `source/serialise_integers.cpp`)
+    - binary_bits: floor(log2 g)+1 — the minimal binary magnitude, the
+                   lower bound any of the codec family approaches
+    - vbyte_bits:  8*ceil(bits/7) — the reference's stop-bit vbyte
+                   (`source/compress_integer_variable_byte.h:24-38`)
+    - gamma_bits:  2*bits(g+1)-1 — Elias gamma of g+1, matching
+                   `functions/compression.py:gamma_encode`'s +1 shift
+
+    all in exact integer arithmetic (`length(bin(x))` is floor(log2 x)+1,
+    no floating log), summed per impact level. High impacts are rare and
+    gappy (expensive per posting); impact 1 is dense and cheap — the
+    distribution this table exposes is what motivates impact-ordered
+    compression in the first place.
+
+    Scale: one window shuffle keyed (term, impact) — the same key the
+    segment build already shuffles on — then a partial-aggregating
+    groupBy over ≤1024 impact rows. Pure JVM end to end.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term", "impact").orderBy("doc_id")
+    bits = F.length(F.bin(F.col("gap")))
+    bits1 = F.length(F.bin(F.col("gap") + F.lit(1)))
+    gaps = index.impacts.select(
+        "impact",
+        (F.col("doc_id") - F.lag("doc_id", 1, 0).over(w)).alias("gap"),
+    )
+    return (
+        gaps.groupBy(F.col("impact").cast("long").alias("impact"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+            F.sum(bits).cast("long").alias("binary_bits"),
+            F.sum(F.lit(8) * F.expr("(length(bin(gap)) + 6) div 7"))
+            .cast("long")
+            .alias("vbyte_bits"),
+            F.sum(F.lit(2) * bits1 - F.lit(1)).cast("long").alias("gamma_bits"),
+        )
+        .withColumn("raw_bits", (F.lit(32) * F.col("n_postings")).cast("long"))
+    )

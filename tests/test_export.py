@@ -110,3 +110,42 @@ def test_index_statistics(spark, ten_index):
     )
     assert row["segments"] == ten_index.seg_stats.count()
     assert 1 <= row["max_impact"] <= 1024
+
+
+def test_index_space_audit_matches_real_codecs(spark, ten_index):
+    """The audit's closed-form bit charges must equal what the actual
+    codecs in functions/compression.py produce on the same d-gapped
+    segments (vbyte exactly; gamma up to its end-of-stream byte padding)."""
+    import numpy as np
+    from collections import defaultdict
+
+    from jassv2_spark.functions.compression import (
+        delta_encode, gamma_encode, vbyte_encode,
+    )
+    from jassv2_spark.plans.export import index_space_audit
+
+    audit = {r["impact"]: r for r in index_space_audit(ten_index).collect()}
+
+    segs = defaultdict(list)
+    for r in ten_index.impacts.collect():
+        segs[(r["term"], r["impact"])].append(r["doc_id"])
+
+    exp = defaultdict(lambda: [0, 0, 0, 0])  # n, vbyte_bits, gamma_lo, gamma_hi
+    for (term, impact), ids in segs.items():
+        gaps = delta_encode(np.array(sorted(ids), dtype=np.uint64))
+        e = exp[impact]
+        e[0] += len(ids)
+        e[1] += 8 * len(vbyte_encode(gaps))
+        enc_bits = 8 * len(gamma_encode(gaps))
+        e[2] += enc_bits - 7  # encoder pads each segment to a byte boundary
+        e[3] += enc_bits
+
+    assert set(audit) == set(exp)
+    for impact, (n, vb, glo, ghi) in exp.items():
+        row = audit[impact]
+        assert row["n_postings"] == n
+        assert row["raw_bits"] == 32 * n
+        assert row["vbyte_bits"] == vb
+        assert glo <= row["gamma_bits"] <= ghi
+        assert row["binary_bits"] <= row["gamma_bits"]
+        assert row["binary_bits"] <= row["vbyte_bits"]
