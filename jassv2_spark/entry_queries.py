@@ -1597,6 +1597,27 @@ best AS (SELECT query_id, doc_id, anchor, n_terms,
         _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
     )
 
+    # MaxScore (Turtle & Flood 1995, operators/wand.py:search_maxscore):
+    # term-level essential/non-essential split — candidacy from essential
+    # lists only, exact rescoring over all matched segments. Rank-safe ⇒
+    # shares the exhaustive oracle, which is exactly the claim verified.
+    def _topk_maxscore(spark, sf):
+        from jassv2_spark.operators.wand import search_maxscore
+
+        return search_maxscore(
+            get_index(spark, sf), _queries_df(spark), k=K, prefix=4
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    r["jass_topk_maxscore"] = (
+        _topk_maxscore,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
+    )
+
     # Sharded-build merge (plans/merge.py): the corpus is split by doc_id
     # parity, each half indexed independently (the expensive tokenizer pass
     # runs per shard), then merged at the counts level. The merge is

@@ -198,3 +198,125 @@ def search_with_rsv_oracle(
         .where(F.col("rank") <= F.lit(k))
         .select("query_id", "doc_id", "rsv", "rank")
     )
+
+
+def _essential_terms(seg: DataFrame, theta: DataFrame) -> DataFrame:
+    """(query_id, term, essential) under the MaxScore split.
+
+    Terms are ordered by ascending per-term upper bound u_t (ties by term
+    for determinism); a term is NON-essential when even the inclusive
+    running sum of bounds up to it stays below θ — a document matching
+    only terms at or before that point cannot reach the k-th rsv.
+    """
+    u = seg.groupBy("query_id", "term").agg(F.max("scaled").alias("u_t"))
+    wq = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("u_t").asc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = u.withColumn("c_t", F.sum("u_t").over(wq))
+    return cum.join(F.broadcast(theta), "query_id", "left").select(
+        "query_id",
+        "term",
+        (F.col("theta").isNull() | (F.col("c_t") >= F.col("theta"))).alias("essential"),
+    )
+
+
+def search_maxscore(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    rho: float = 1.0,
+    postings_budget: int | None = None,
+    prefix: int = 8,
+    tokenizer: str | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """MaxScore top-k (Turtle & Flood, IP&M 1995): term-level candidate
+    pruning, bitwise-identical output to operators.search.search().
+
+    The classical second dynamic-pruning strategy beside block-max WAND —
+    the reference family ships WAND-style block maxima
+    (`source/query_maxblock.h:340-455`); MaxScore is its term-granular
+    sibling, standard in every production engine (Lucene's WANDScorer
+    descends from it). Impact-ordered translation:
+
+    Split the query's terms by ascending per-term bound u_t = max scaled
+    impact into a NON-essential prefix (running Σ u_t < θ) and an
+    essential rest, where θ is a lower bound of the final k-th rsv (same
+    cheap exact-prefix pass as prune_segments). Rank-safety: a document
+    matching no essential term scores at most the non-essential prefix
+    sum, which is < θ ≤ true k-th rsv — it cannot enter the top-k. So
+    candidacy is decided by essential lists alone; candidates are then
+    scored over ALL matched segments, keeping scores and tie-breaks exact.
+
+    Scale shape: the candidate pass explodes only essential-term segments
+    (for a Zipf query mix the u_t-ascending prefix holds the stopword-like
+    terms, i.e. the volume); the scoring pass explodes every segment but
+    immediately left-semi-joins on (query_id, doc_id) against the
+    candidate set BEFORE the rsv hash-agg, so the aggregate state holds
+    candidates only — the declarative analogue of galloping into candidate
+    positions. Composes with the anytime ρ budget exactly as WAND does
+    (both operate on the ρ-filtered segment set).
+    """
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
+    theta = _partial_rsv_threshold(index, seg.where(F.col("seg_rank") <= F.lit(prefix)), k)
+    ess = _essential_terms(seg, theta)
+
+    ess_seg = seg.join(
+        ess.where(F.col("essential")).select("query_id", "term"), ["query_id", "term"]
+    )
+    candidates = (
+        F.broadcast(ess_seg.select("query_id", "term", "impact"))
+        .join(index.segments, ["term", "impact"])
+        .select("query_id", F.explode("doc_ids").alias("doc_id"))
+        .distinct()
+    )
+
+    processed = F.broadcast(seg.select("query_id", "term", "impact", "scaled"))
+    hits = (
+        processed.join(index.segments, ["term", "impact"])
+        .select("query_id", F.explode("doc_ids").alias("doc_id"), "scaled")
+        .join(candidates, ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("scaled").alias("rsv"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("rsv").desc(), F.col("doc_id").desc())
+    topk = hits.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= F.lit(k))
+    if with_keys:
+        topk = F.broadcast(topk).join(index.doc_map, "doc_id")
+        return topk.select("query_id", "doc_id", "key", "rsv", "rank")
+    return topk.select("query_id", "doc_id", "rsv", "rank")
+
+
+def maxscore_stats(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    prefix: int = 8,
+    rho: float = 1.0,
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """Per-query MaxScore evidence: (terms_total, terms_essential,
+    postings_total, postings_candidate_pass) — how much of the explode the
+    essential split avoids in the candidate-generation pass."""
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    seg = gather_segments(index, q_terms, q_meta, rho=rho)
+    theta = _partial_rsv_threshold(index, seg.where(F.col("seg_rank") <= F.lit(prefix)), k)
+    ess = _essential_terms(seg, theta)
+    per_seg = seg.join(ess, ["query_id", "term"])
+    return per_seg.groupBy("query_id").agg(
+        F.countDistinct("term").alias("terms_total"),
+        F.countDistinct(F.when(F.col("essential"), F.col("term"))).alias("terms_essential"),
+        F.sum("seg_freq").alias("postings_total"),
+        F.sum(F.when(F.col("essential"), F.col("seg_freq")).otherwise(F.lit(0))).alias(
+            "postings_candidate_pass"
+        ),
+    )

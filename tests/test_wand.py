@@ -57,3 +57,26 @@ def test_oracle_rsv_mode(spark, idx):
     empty = spark.createDataFrame([], "query_id string, rsv_at_k long")
     got2 = search_with_rsv_oracle(idx, qdf, empty, k=10)
     assert _collect(got2) == _collect(exact)
+
+
+@pytest.mark.parametrize("rho,k,prefix", [(1.0, 10, 8), (1.0, 3, 2), (0.3, 10, 4)])
+def test_maxscore_identical_to_exhaustive(spark, idx, rho, k, prefix):
+    from jassv2_spark.operators.wand import search_maxscore
+
+    queries = synthetic_queries(25) + TEN_DOC_QUERIES
+    qdf = spark.createDataFrame(queries, ["query_id", "query"])
+    a = _collect(search(idx, qdf, k=k, rho=rho, with_keys=False))
+    b = _collect(search_maxscore(idx, qdf, k=k, rho=rho, prefix=prefix))
+    assert a == b
+
+
+def test_maxscore_actually_splits(spark, idx):
+    from jassv2_spark.operators.wand import maxscore_stats
+
+    qdf = spark.createDataFrame(synthetic_queries(25), ["query_id", "query"])
+    st = maxscore_stats(idx, qdf, k=3, prefix=2).collect()
+    assert all(1 <= r["terms_essential"] <= r["terms_total"] for r in st)
+    assert all(r["postings_candidate_pass"] <= r["postings_total"] for r in st)
+    # with small k on a Zipf-ish corpus some multi-term query must demote
+    # at least one term to non-essential
+    assert any(r["terms_essential"] < r["terms_total"] for r in st)
