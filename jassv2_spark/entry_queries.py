@@ -511,6 +511,59 @@ selranked AS (SELECT query_id, doc_id, rsv,
         + f" SELECT query_id, doc_id, rsv, rank FROM selranked WHERE rank <= {K}",
     )
 
+    # CORI resource selection (Callan, Lu & Croft SIGIR'95,
+    # operators/selective.py:cori_shard_scores): df-statistics shard
+    # ranking, no sample index. Exact-integer recipe: rational T_micros,
+    # I from a driver-side ln literal table (same per-cf literals in both
+    # engines), belief/score via DIV — identical integers everywhere.
+    def _cori_scores(spark, sf):
+        from jassv2_spark.operators.selective import cori_shard_scores
+
+        return cori_shard_scores(
+            get_index(spark, sf), _queries_df(spark), n_shards=_SEL_N_SHARDS
+        )
+
+    from jassv2_spark.operators.selective import cori_i_micros as _cim
+
+    _cori_i_case = "CASE f.cf " + " ".join(
+        f"WHEN {cf} THEN {v}" for cf, v in _cim(_SEL_N_SHARDS).items()
+    ) + " END"
+    _CORI_CTES = f"""
+cqt AS (SELECT DISTINCT q.query_id, q.term FROM qt q JOIN dfx USING (term)),
+cnq AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM cqt GROUP BY query_id),
+cdf AS (SELECT term, (doc_id % {_SEL_N_SHARDS})::BIGINT AS shard,
+               count(*)::BIGINT AS df
+        FROM tfx GROUP BY 1, 2),
+ccw AS (SELECT (doc_id % {_SEL_N_SHARDS})::BIGINT AS shard,
+               sum(dl)::BIGINT AS cw
+        FROM dlx GROUP BY 1),
+ctw AS (SELECT sum(cw)::BIGINT AS total_cw FROM ccw),
+ccf AS (SELECT term, count(*)::BIGINT AS cf FROM cdf GROUP BY term),
+cbel AS (SELECT t.query_id, w.shard,
+                (400000 + (600000 *
+                   (CASE WHEN d.df IS NULL THEN 0
+                         ELSE (1000000 * d.df * ctw.total_cw)
+                              // ((d.df + 50) * ctw.total_cw
+                                  + 150 * {_SEL_N_SHARDS} * w.cw) END)
+                   * coalesce({_cori_i_case}, 0)) // 1000000000000)::BIGINT AS belief
+         FROM cqt t CROSS JOIN ccw w CROSS JOIN ctw
+              LEFT JOIN cdf d ON d.term = t.term AND d.shard = w.shard
+              LEFT JOIN ccf f ON f.term = t.term),
+cscore AS (SELECT b.query_id, b.shard,
+                  (sum(b.belief) // any_value(n.n_terms))::BIGINT AS score_micros
+           FROM cbel b JOIN cnq n USING (query_id)
+           GROUP BY b.query_id, b.shard),
+cranked AS (SELECT query_id, shard, score_micros,
+                   (row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_micros DESC, shard ASC))::BIGINT AS shard_rank
+            FROM cscore)
+"""
+    r["jass_shard_scores_cori"] = (
+        _cori_scores,
+        _sql(_BASE, _QPARSE_CTES.format(values=_values_clause()), _CORI_CTES)
+        + " SELECT query_id, shard, score_micros, shard_rank FROM cranked",
+    )
+
     # Recency-boosted ranking (operators/freshness.py): exact-integer
     # dyadic half-life decay over the input contract's warc_ts
     # (timestamps per the webpages synthesis rule: 2024-01-01 + doc_id s;

@@ -101,3 +101,90 @@ def test_mapside_prune_no_post_explode_filter(spark, idx):
                           sample_frac=1.0, with_keys=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "filter(doc_ids" in plan or "filter(lambdafunction" in plan.lower()
+
+
+def _py_cori(idx, query_terms, n_shards, b_micros=400_000):
+    """Independent Python replay of the exact-integer CORI recipe over
+    collected index stats."""
+    from collections import defaultdict
+
+    from jassv2_spark.operators.selective import cori_i_micros
+
+    post = [(r["term"], r["doc_id"]) for r in idx.postings.collect()]
+    dls = {r["doc_id"]: r["dl"] for r in idx.doc_lengths.collect()}
+    vocab = {t for t, _ in post}
+    dfts = defaultdict(int)
+    for t, d in post:
+        dfts[(t, d % n_shards)] += 1
+    cw = defaultdict(int)
+    for d, dl in dls.items():
+        cw[d % n_shards] += dl
+    total_cw = sum(cw.values())
+    cf = defaultdict(int)
+    for (t, s) in dfts:
+        cf[t] += 1
+    imap = cori_i_micros(n_shards)
+
+    terms = [t for t in dict.fromkeys(query_terms) if t in vocab]
+    out = {}
+    for s in range(n_shards):
+        tot = 0
+        for t in terms:
+            df = dfts.get((t, s), 0)
+            if df == 0:
+                t_mic = 0
+            else:
+                t_mic = (1_000_000 * df * total_cw) // (
+                    (df + 50) * total_cw + 150 * n_shards * cw[s]
+                )
+            tot += b_micros + ((1_000_000 - b_micros) * t_mic * imap[cf[t]]) // 10**12
+        out[s] = tot // len(terms) if terms else None
+    return out
+
+
+def test_cori_matches_python_reference(spark, idx):
+    from jassv2_spark.operators.selective import cori_shard_scores
+
+    q = spark.createDataFrame(
+        [("q1", "pear"), ("q2", "apple jam"), ("q3", "pear zzzoov")],
+        ["query_id", "query"],
+    )
+    got = {(r["query_id"], r["shard"]): r["score_micros"]
+           for r in cori_shard_scores(idx, q, n_shards=3).collect()}
+    for qid, terms in [("q1", ["pear"]), ("q2", ["apple", "jam"]),
+                       ("q3", ["pear", "zzzoov"])]:
+        want = _py_cori(idx, terms, 3)
+        for s in range(3):
+            assert got[(qid, s)] == want[s], (qid, s)
+
+    # pear lives overwhelmingly in shard 2 — CORI must rank it first
+    ranks = {r["shard"]: r["shard_rank"]
+             for r in cori_shard_scores(
+                 idx, spark.createDataFrame([("q1", "pear")], ["query_id", "query"]),
+                 n_shards=3).collect()}
+    assert ranks[2] == 1
+
+
+def test_search_cori_post_filter_semantics(spark, idx):
+    from jassv2_spark.operators.selective import search_cori
+
+    q = spark.createDataFrame([("q1", "pear")], ["query_id", "query"])
+    got = search_cori(idx, q, k=5, n_shards=3, n_select=1, with_keys=False).collect()
+    assert got, "top CORI shard must produce hits"
+    # selection picked shard 2; every hit lives there, rsv is the global score
+    want = {r["doc_id"]: r["rsv"]
+            for r in search(idx, q, k=9, with_keys=False).collect()}
+    for r in got:
+        assert r["doc_id"] % 3 == 2
+        assert want[r["doc_id"]] == r["rsv"]
+
+    # all shards selected => identical to exhaustive
+    all_sel = search_cori(idx, q, k=5, n_shards=3, n_select=3, with_keys=False)
+    a = {(r["doc_id"], r["rsv"], r["rank"]) for r in all_sel.collect()}
+    b = {(r["doc_id"], r["rsv"], r["rank"])
+         for r in search(idx, q, k=5, with_keys=False).collect()}
+    assert a == b
+
+    # OOV-only query selects no shards: no rows
+    oov = spark.createDataFrame([("q9", "zzzoov")], ["query_id", "query"])
+    assert search_cori(idx, oov, k=5, n_shards=3, with_keys=False).count() == 0
