@@ -564,6 +564,60 @@ cranked AS (SELECT query_id, shard, score_micros,
         + " SELECT query_id, shard, score_micros, shard_rank FROM cranked",
     )
 
+    # QtfDf posting-list cache admission (Baeza-Yates et al. SIGIR'07,
+    # operators/caching.py): rank workload terms by qtf/df density in
+    # exact integer micros, greedy running-df admission under a posting
+    # budget. Budget is a fixed literal shared by both engines.
+    _CACHE_BUDGET = 4_000
+
+    def _cache_adm(spark, sf):
+        from jassv2_spark.operators.caching import cache_admission
+
+        return cache_admission(
+            get_index(spark, sf), _queries_df(spark), budget_postings=_CACHE_BUDGET
+        )
+
+    _CACHE_CTES = f"""
+kqtf AS (SELECT term, sum(q_tf)::BIGINT AS qtf FROM qt GROUP BY term),
+kadm AS (SELECT t.term, t.qtf, d.df,
+                ((1000000 * t.qtf) // d.df)::BIGINT AS score_micros
+         FROM kqtf t JOIN dfx d USING (term)),
+kcum AS (SELECT term, qtf, df, score_micros,
+                (sum(df) OVER (ORDER BY score_micros DESC, term ASC
+                               ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_postings
+         FROM kadm),
+kflag AS (SELECT term, qtf, df, score_micros, cum_postings,
+                 (CASE WHEN cum_postings <= {_CACHE_BUDGET}
+                       THEN 1 ELSE 0 END)::BIGINT AS admitted
+          FROM kcum)
+"""
+    r["jass_cache_admission"] = (
+        _cache_adm,
+        _sql(_BASE, _QPARSE_CTES.format(values=_values_clause()), _CACHE_CTES)
+        + " SELECT term, qtf, df, score_micros, cum_postings, admitted FROM kflag",
+    )
+
+    def _cache_summary(spark, sf):
+        from jassv2_spark.operators.caching import cache_admission, cache_hit_rate
+
+        return cache_hit_rate(
+            cache_admission(
+                get_index(spark, sf), _queries_df(spark),
+                budget_postings=_CACHE_BUDGET,
+            )
+        )
+
+    r["jass_cache_hit_rate"] = (
+        _cache_summary,
+        _sql(_BASE, _QPARSE_CTES.format(values=_values_clause()), _CACHE_CTES)
+        + """ SELECT count(*)::BIGINT AS n_terms,
+                     sum(admitted)::BIGINT AS n_admitted,
+                     sum(admitted * df)::BIGINT AS cached_postings,
+                     ((1000000 * sum(admitted * qtf)) // sum(qtf))::BIGINT
+                         AS hit_rate_micros
+              FROM kflag""",
+    )
+
     # Recency-boosted ranking (operators/freshness.py): exact-integer
     # dyadic half-life decay over the input contract's warc_ts
     # (timestamps per the webpages synthesis rule: 2024-01-01 + doc_id s;
