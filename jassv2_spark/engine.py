@@ -177,6 +177,18 @@ class Engine:
         cut.query_tokenizer = self.query_tokenizer
         return cut
 
+    def prune_doc_centric(self, lam: int) -> "Engine":
+        """A new Engine where each DOCUMENT keeps only its lam
+        highest-impact terms (Büttcher & Clarke doc-centric cut,
+        operators/prune.py); this engine is untouched."""
+        from jassv2_spark.operators.prune import prune_index_doc_centric
+
+        cut = Engine(prune_index_doc_centric(self.index, lam))
+        cut.top_k, cut.rho = self.top_k, self.rho
+        cut.postings_budget, cut.postings_min = self.postings_budget, self.postings_min
+        cut.query_tokenizer = self.query_tokenizer
+        return cut
+
     def search_metrics(self, queries: DataFrame) -> DataFrame:
         return search_metrics(
             self.index, queries, rho=self.rho, postings_budget=self.postings_budget,

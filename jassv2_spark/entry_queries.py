@@ -1594,6 +1594,42 @@ pseg AS (SELECT term, impact, count(*)::BIGINT AS seg_freq FROM pimp GROUP BY te
         _sql(_BASE, _PRUNE_CTES, _qc_pruned, _tc_pruned) + _topk_select,
     )
 
+    # Doc-centric static pruning (operators/prune.py, Büttcher & Clarke
+    # CIKM'06): each DOCUMENT keeps its λ highest-impact terms, ranked
+    # (impact DESC, term ASC) — the dual of the champion cut above. The
+    # oracle states the postings-level definition and re-runs the ordinary
+    # serve chain over the survivors, exactly as jass_topk_pruned does.
+    _PRUNE_LAM = 8
+
+    def _topk_pruned_dc(spark, sf):
+        from jassv2_spark.operators.prune import prune_index_doc_centric
+
+        idx = prune_index_doc_centric(get_index(spark, sf), _PRUNE_LAM, cache=False)
+        return search(idx, _queries_df(spark), k=K, with_keys=False).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _PRUNE_DC_CTES = f"""
+dcimp AS (SELECT term, doc_id, impact FROM (
+           SELECT term, doc_id, impact,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY impact DESC, term ASC) AS rn
+           FROM imp) WHERE rn <= {_PRUNE_LAM}),
+dcseg AS (SELECT term, impact, count(*)::BIGINT AS seg_freq FROM dcimp GROUP BY term, impact)
+"""
+    _qc_dc = _query_ctes(1.0).replace(
+        "JOIN seg s USING (term)", "JOIN dcseg s USING (term)"
+    )
+    _tc_dc = _TOPK_CTES.replace("JOIN imp i ON", "JOIN dcimp i ON")
+    assert "dcseg s" in _qc_dc and "dcimp i" in _tc_dc
+    r["jass_topk_pruned_dc"] = (
+        _topk_pruned_dc,
+        _sql(_BASE, _PRUNE_DC_CTES, _qc_dc, _tc_dc) + _topk_select,
+    )
+
     # Two-tier serving (operators/tiered.py): champion tier = the pruned
     # index above; a query escalates to the full index iff it filled all k
     # slots with k-th rsv ≥ τ is NOT met. The oracle runs BOTH chains (the

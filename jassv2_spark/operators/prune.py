@@ -1,4 +1,4 @@
-"""Static index pruning (champion lists): keep the top-m postings per term.
+"""Static index pruning: term-centric champion lists and doc-centric cuts.
 
 Carmel et al. (SIGIR'01) / champion lists (Manning, IIR §7.1.3): a serving
 index keeps, per term, only the m postings with the highest impact — a
@@ -99,4 +99,73 @@ def prune_index(index: Index, m: int, cache: bool = True) -> Index:
 
     return replace(
         index, segments=pruned, seg_stats=seg_stats, term_stats=term_stats
+    )
+
+
+def prune_index_doc_centric(index: Index, lam: int, cache: bool = True) -> Index:
+    """Doc-centric static pruning (Büttcher & Clarke, CIKM'06): each
+    DOCUMENT keeps only its ``lam`` highest-impact terms, ranked
+    (impact DESC, term ASC); every other (term, doc) posting drops. The
+    dual of :func:`prune_index`'s per-term champion cut — doc-centric
+    pruning preserves each document's most characteristic terms, so a doc
+    stays findable through its best terms even when a Zipf-head term's
+    list is huge. Reference context: JASSv2 serves full lists and trades
+    accuracy per-QUERY via the anytime ρ budget
+    (`anytime/JASS_anytime_api.cpp:578-592`); this is the complementary
+    per-INDEX standing knob, stated at postings level.
+
+    Scale design: the cut is a window over the postings frame partitioned
+    by doc_id — the well-behaved direction. Per-partition group size is
+    bounded by a document's UNIQUE-term count (≲10³ for web pages), so no
+    Zipf-head group ever funnels into one task (the term-partitioned
+    window that :func:`prune_index` deliberately avoids). Cost: one
+    (doc)-keyed exchange for the window, one (term)-keyed partial-agg for
+    the pruned df, and the standard (term, impact, shard) regroup of
+    build_segments — the same shuffle shape as the original build's
+    segment pass, run once at build/publish time. Shard boundaries derive
+    from the PRUNED df, so the layout stays bitwise parallelism-independent.
+    """
+    if lam <= 0:
+        raise ValueError(f"lam must be positive, got {lam}")
+
+    from jassv2_spark.operators.build import build_segments
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("impact").desc(), F.col("term").asc()
+    )
+    kept = (
+        index.impacts.select("term", "doc_id", "impact")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= lam)
+        .drop("rn")
+    )
+    dfp = kept.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    pruned = build_segments(kept.join(dfp, "term"), index.n_docs)
+    if "term_bucket" in index.segments.columns:
+        from jassv2_spark.plans.persist import N_TERM_BUCKETS
+
+        n_buckets = index.n_term_buckets or N_TERM_BUCKETS
+        pruned = pruned.withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+    if cache:
+        pruned = pruned.persist()
+
+    seg_stats = pruned.groupBy("term", "impact").agg(
+        F.sum("part_freq").alias("seg_freq")
+    )
+    term_stats = seg_stats.groupBy("term").agg(
+        F.sum("seg_freq").alias("df"),
+        F.max("impact").alias("max_impact"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    if cache:
+        seg_stats = seg_stats.persist()
+
+    return replace(
+        index,
+        impacts=kept,
+        segments=pruned,
+        seg_stats=seg_stats,
+        term_stats=term_stats,
     )

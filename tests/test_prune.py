@@ -91,3 +91,60 @@ def test_engine_prune_and_sharded_facade(spark, idx):
     assert cut is not eng and cut.top_k == eng.top_k
     served = cut.search(queries).collect()
     assert served  # pruned engine serves through the same API
+
+
+def test_doc_centric_matches_postings_level_definition(spark, idx):
+    from jassv2_spark.operators.prune import prune_index_doc_centric
+
+    lam = 4
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("impact").desc(), F.col("term").asc()
+    )
+    want = sorted(
+        (r["term"], r["impact"], r["doc_id"])
+        for r in idx.impacts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= lam)
+        .collect()
+    )
+    got = _postings(prune_index_doc_centric(idx, lam, cache=False))
+    assert got == want
+
+
+def test_doc_centric_identity_above_max_unique_terms(spark, idx):
+    from jassv2_spark.operators.prune import prune_index_doc_centric
+
+    max_uniq = (
+        idx.impacts.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    cut = prune_index_doc_centric(idx, int(max_uniq), cache=False)
+    assert _postings(cut) == _postings(idx)
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(cut.seg_stats) == canon(idx.seg_stats)
+    assert canon(cut.term_stats) == canon(idx.term_stats)
+
+
+def test_doc_centric_bounds_per_doc(spark, idx):
+    from jassv2_spark.operators.prune import prune_index_doc_centric
+
+    lam = 3
+    cut = prune_index_doc_centric(idx, lam, cache=False)
+    per_doc = {}
+    for _, _, d in _postings(cut):
+        per_doc[d] = per_doc.get(d, 0) + 1
+    assert per_doc and all(n <= lam for n in per_doc.values())
+
+
+def test_doc_centric_engine_facade_serves(spark, idx):
+    from jassv2_spark.engine import Engine
+
+    eng = Engine(idx)
+    queries = spark.createDataFrame(synthetic_queries(5), ["query_id", "query"])
+    cut = eng.prune_doc_centric(5)
+    assert cut is not eng and cut.top_k == eng.top_k
+    served = cut.search(queries).collect()
+    assert served
+    kept_docs = {d for _, _, d in _postings(cut.index)}
+    assert all(r["doc_id"] in kept_docs for r in served)
