@@ -189,6 +189,19 @@ class Engine:
         cut.query_tokenizer = self.query_tokenizer
         return cut
 
+    def search_after(
+        self, queries: DataFrame, cursors: DataFrame, k: int | None = None
+    ) -> DataFrame:
+        """Next page strictly after each query's (after_rsv, after_doc)
+        cursor in the canonical (rsv DESC, doc_id DESC) order
+        (operators/search.py:search_after); rank is page-local."""
+        from jassv2_spark.operators.search import search_after
+
+        return search_after(
+            self.index, queries, cursors, k=k or self.top_k, rho=self.rho,
+            postings_budget=self.postings_budget, tokenizer=self.query_tokenizer,
+        )
+
     def search_metrics(self, queries: DataFrame) -> DataFrame:
         return search_metrics(
             self.index, queries, rho=self.rho, postings_budget=self.postings_budget,

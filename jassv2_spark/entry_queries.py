@@ -1630,6 +1630,44 @@ dcseg AS (SELECT term, impact, count(*)::BIGINT AS seg_freq FROM dcimp GROUP BY 
         _sql(_BASE, _PRUNE_DC_CTES, _qc_dc, _tc_dc) + _topk_select,
     )
 
+    # Cursor pagination (operators/search.py:search_after): page 2 = the
+    # next K results strictly after page 1's last (rsv, doc_id) in the
+    # canonical total order. The oracle slices the SAME full ranking at
+    # each query's page-one size n1 = min(K, |candidates|) — pages tiling
+    # the ranking exactly IS the property verified.
+    def _topk_page2(spark, sf):
+        from jassv2_spark.operators.search import search_after
+
+        idx = get_index(spark, sf)
+        q = _queries_df(spark)
+        p1 = search(idx, q, k=K, with_keys=False)
+        last = p1.groupBy("query_id").agg(F.max("rank").alias("last"))
+        cur = (
+            p1.join(last, "query_id")
+            .where(F.col("rank") == F.col("last"))
+            .select(
+                "query_id",
+                F.col("rsv").alias("after_rsv"),
+                F.col("doc_id").alias("after_doc"),
+            )
+        )
+        return search_after(idx, q, cur, k=K, with_keys=False).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    r["jass_topk_page2"] = (
+        _topk_page2,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES)
+        + f""",
+pg1 AS (SELECT query_id, least({K}, count(*))::BIGINT AS n1 FROM hits GROUP BY query_id)
+SELECT r.query_id, r.doc_id, r.rsv, (r.rank - p.n1)::BIGINT AS rank
+FROM ranked r JOIN pg1 p USING (query_id)
+WHERE r.rank > p.n1 AND r.rank <= p.n1 + {K}""",
+    )
+
     # Two-tier serving (operators/tiered.py): champion tier = the pruned
     # index above; a query escalates to the full index iff it filled all k
     # slots with k-th rsv ≥ τ is NOT met. The oracle runs BOTH chains (the

@@ -356,3 +356,51 @@ def trec_run(results: DataFrame, run_name: str = "JASSv2spark") -> DataFrame:
             F.lit(run_name),
         ).alias("line")
     )
+
+
+def search_after(
+    index: Index,
+    queries: DataFrame,
+    cursors: DataFrame,
+    k: int = DEFAULT_K,
+    rho: float = 1.0,
+    postings_budget: int | None = None,
+    tokenizer: str | None = None,
+    with_keys: bool = True,
+) -> DataFrame:
+    """Cursor-based deep pagination (the `search_after` idiom): for each
+    query, return the NEXT k results strictly after the caller's last-seen
+    hit in the canonical total order (rsv DESC, doc_id DESC). ``cursors``
+    carries (query_id, after_rsv, after_doc) — the last row of the
+    previous page; queries without a cursor row are dropped (nothing to
+    paginate). Returned ``rank`` is page-local (1..k); pages tile the full
+    ranking exactly because (rsv, doc_id) is a total order. The reference
+    serves fixed top-k only (`source/query.h:136`); pagination is the
+    serving-fleet feature layered on the same accumulation.
+
+    Scale design: offset/limit paging ranks EVERY candidate in the window
+    then discards the offset prefix — each deeper page repeats the full
+    per-query sort. Here the cursor predicate lands BELOW the window, so
+    the per-query sort input shrinks to the candidates past the cursor;
+    the broadcast cursor join is queries-sized. One (query_id, doc_id)
+    hash-agg shuffle + one windowed top-k, same as `search`.
+    """
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
+    hits = _accumulate_hits(index, q_terms, seg)
+
+    cur = F.broadcast(cursors.select("query_id", "after_rsv", "after_doc"))
+    nxt = hits.join(cur, "query_id").where(
+        (F.col("rsv") < F.col("after_rsv"))
+        | ((F.col("rsv") == F.col("after_rsv")) & (F.col("doc_id") < F.col("after_doc")))
+    )
+
+    wk = Window.partitionBy("query_id").orderBy(F.col("rsv").desc(), F.col("doc_id").desc())
+    page = nxt.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= F.lit(k))
+    if with_keys:
+        page = F.broadcast(page).join(index.doc_map, "doc_id")
+        return page.select("query_id", "doc_id", "key", "rsv", "rank")
+    return page.select("query_id", "doc_id", "rsv", "rank")
