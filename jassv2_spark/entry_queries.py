@@ -3585,6 +3585,47 @@ ts{i + 1} AS (SELECT d.doc_id,
         + f" SELECT doc_id, r AS trust FROM ts{_PR_ITERS}",
     )
 
+    # Relative spam mass (Gyöngyi et al. VLDB'06, webgraph.py:spam_mass):
+    # 1 − (trust·ΣPR)/(pr·ΣTR) per node — the fraction of a page's rank
+    # the vetted good core cannot account for. Both rank vectors are the
+    # exact-integer iterations above; the oracle replays BOTH chains and
+    # the one fixed IEEE micros chain verbatim.
+    _SPAM_THRESH = 500_000
+
+    def _web_spam_mass(spark, sf):
+        from jassv2_spark.operators.webgraph import (
+            pagerank,
+            spam_mass,
+            synthesize_links,
+            trustrank,
+        )
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        seeds = docs.select("doc_id").where(F.col("doc_id") % _TR_SEED_MOD == 0)
+        nodes = docs.select("doc_id")
+        return spam_mass(
+            pagerank(nodes, links, iterations=_PR_ITERS),
+            trustrank(nodes, links, seeds, iterations=_PR_ITERS),
+            threshold_micros=_SPAM_THRESH,
+        )
+
+    r["web_spam_mass"] = (
+        _web_spam_mass,
+        _sql(_LINKS_CTES, *_pr_parts(), *_tr_parts())
+        + f""",
+prx AS (SELECT doc_id, r AS pr FROM r{_PR_ITERS}),
+trx AS (SELECT doc_id, r AS trust FROM ts{_PR_ITERS}),
+tots AS (SELECT (SELECT sum(pr) FROM prx)::BIGINT AS p_tot,
+                (SELECT sum(trust) FROM trx)::BIGINT AS t_tot),
+sm AS (SELECT p.doc_id, p.pr, t.trust,
+              floor(1e6 * (1 - (t.trust::DOUBLE * x.p_tot::DOUBLE) /
+                               (p.pr::DOUBLE * x.t_tot::DOUBLE)))::BIGINT AS rel_mass_micros
+       FROM prx p JOIN trx t USING (doc_id), tots x)
+SELECT doc_id, pr, trust, rel_mass_micros,
+       rel_mass_micros >= {_SPAM_THRESH} AS spam_suspect FROM sm""",
+    )
+
     # URL-shape features (weburls.py:url_features): the map-only
     # quality-classifier inputs (path depth, params, digit ratio) over
     # the contract-shaped pages table.

@@ -986,3 +986,49 @@ def harmonic_centrality(
         .groupBy("doc_id")
         .agg(F.expr(f"sum(contrib) div {L}").cast("long").alias("harmonic_micros"))
     )
+
+
+def spam_mass(
+    pr: DataFrame, trust: DataFrame, *, threshold_micros: int = 500_000
+) -> DataFrame:
+    """(doc_id, pr, trust, rel_mass_micros, spam_suspect): relative spam
+    mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen, "Link Spam Detection
+    Based on Mass Estimation", VLDB'06). Normalise PageRank and TrustRank
+    to distributions p̂ = pr/ΣPR and t̂ = trust/ΣTR; the fraction of a
+    page's rank NOT reachable from the vetted good core is
+    m̃(v) = (p̂ − t̂)/p̂ = 1 − (trust·ΣPR)/(pr·ΣTR). Pages with high
+    relative mass draw their rank from links the good core cannot see —
+    the link-farm signature. Negative values (trust share above rank
+    share) are kept as-is, exactly as in the paper.
+
+    Determinism: inputs are the exact-integer :func:`pagerank` /
+    :func:`trustrank` frames; the only float is ONE fixed IEEE chain per
+    row — cast to double, two multiplies, one divide, 1−, ×1e6, floor —
+    reproduced verbatim by the oracle, so the micros are engine- and
+    parallelism-exact. Scale: one (doc_id)-keyed equi-join of two
+    node-sized frames plus two single-row aggregates crossJoined lazily
+    (the reciprocity_stats pattern) — no collect, no extra edge-sized
+    work beyond the two rank computations themselves.
+    """
+    p_tot = pr.agg(F.sum("pr").cast("long").alias("p_tot"))
+    t_tot = trust.agg(F.sum("trust").cast("long").alias("t_tot"))
+    rel = F.floor(
+        F.lit(1e6)
+        * (
+            F.lit(1.0)
+            - (F.col("trust").cast("double") * F.col("p_tot").cast("double"))
+            / (F.col("pr").cast("double") * F.col("t_tot").cast("double"))
+        )
+    ).cast("long")
+    return (
+        pr.join(trust, "doc_id")
+        .crossJoin(p_tot)
+        .crossJoin(t_tot)
+        .select(
+            "doc_id",
+            "pr",
+            "trust",
+            rel.alias("rel_mass_micros"),
+            (rel >= F.lit(int(threshold_micros))).alias("spam_suspect"),
+        )
+    )
