@@ -3913,6 +3913,50 @@ gd{i + 1} AS MATERIALIZED (SELECT g.doc_id,
  FROM gd{_SD_HOPS}""",
     )
 
+    # Label-propagation communities (webgraph.py:label_propagation):
+    # synchronous LPA (Raghavan et al. 2007) over the symmetrized link
+    # graph, fixed round count for engine-portable determinism. Oracle
+    # unrolls the same rounds: neighbour-label counts, argmax with
+    # (count DESC, label ASC) tie-break, isolated-node fallback.
+    _LPA_ROUNDS = 4
+
+    def _lpa_parts() -> list[str]:
+        parts = [
+            "lnd AS MATERIALIZED (SELECT doc_id FROM documents)",
+            """lund AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM ded WHERE src <> dst)""",
+            "lsym AS MATERIALIZED (SELECT u AS src, v AS dst FROM lund"
+            " UNION ALL SELECT v AS src, u AS dst FROM lund)",
+            "lp0 AS (SELECT doc_id, doc_id AS lab FROM lnd)",
+        ]
+        for i in range(_LPA_ROUNDS):
+            parts.append(
+                f"""lpc{i} AS (SELECT e.dst AS doc_id, l.lab, count(*)::BIGINT AS cnt
+        FROM lsym e JOIN lp{i} l ON l.doc_id = e.src GROUP BY e.dst, l.lab),
+lpb{i} AS (SELECT doc_id, lab FROM (SELECT doc_id, lab,
+            row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lab ASC) AS rn
+        FROM lpc{i}) WHERE rn = 1),
+lp{i + 1} AS MATERIALIZED (SELECT d.doc_id, coalesce(b.lab, l.lab) AS lab
+        FROM lnd d JOIN lp{i} l USING (doc_id) LEFT JOIN lpb{i} b USING (doc_id))"""
+            )
+        return parts
+
+    def _web_communities(spark, sf):
+        from jassv2_spark.operators.webgraph import (
+            label_propagation,
+            synthesize_links,
+        )
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        return label_propagation(docs.select("doc_id"), links, iterations=_LPA_ROUNDS)
+
+    r["web_communities"] = (
+        _web_communities,
+        _sql(_LINKS_CTES, *_lpa_parts())
+        + f" SELECT doc_id, lab AS community FROM lp{_LPA_ROUNDS}",
+    )
+
     # Host/site collapse (weburls.py:collapse_hits): at most per_host
     # results from one host in the top k, back-filled from the full hit
     # pool. Hosts here follow a deterministic doc_id % 17 rule (the

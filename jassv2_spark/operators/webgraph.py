@@ -1032,3 +1032,54 @@ def spam_mass(
             (rel >= F.lit(int(threshold_micros))).alias("spam_suspect"),
         )
     )
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, *, iterations: int = 5
+) -> DataFrame:
+    """(doc_id, community): synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) over the symmetrized link graph — the cheap
+    community detector that finds DENSE groups (topic clusters, link
+    farms, mirror networks), complementing :func:`connected_components`'
+    reachability-only partition. Labels start at own id; each round every
+    node adopts the most frequent label among its neighbours, ties broken
+    by SMALLEST label, isolated nodes keeping their own. A fixed round
+    count sidesteps sync-LPA's oscillation indeterminism: every
+    intermediate round is a pure function of the graph — exact integer
+    counts, total tie order — so the output is bitwise identical on any
+    engine and any parallelism.
+
+    Scale shape: per round one (dst)-keyed equi-join to pull neighbour
+    labels, one (node, label)-keyed partial-agg count, one (node)-keyed
+    struct-max argmax (both combiner-friendly; hot in-degree skews the
+    join INPUT, not the reduced exchange), and a node-sized left join for
+    the isolated fallback. The label frame is referenced twice per round
+    (neighbour pull + fallback), hence the same eager localCheckpoint
+    plan-doubling guard as :func:`hits` / :func:`connected_components`.
+    """
+    nd = nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id"))
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+
+    lab = nd.select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        cnt = (
+            sym.join(lab.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"), "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax: largest count, then smallest label (struct max on
+        # (cnt, -lab) — exact int64, no window over skewed partitions)
+        best = (
+            cnt.groupBy("doc_id")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lab")).alias("nl"))).alias("m"))
+            .select("doc_id", (-F.col("m.nl")).alias("bl"))
+        )
+        lab = (
+            lab.join(best, "doc_id", "left")
+            .select("doc_id", F.coalesce("bl", "lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return lab.select("doc_id", F.col("lab").alias("community"))
