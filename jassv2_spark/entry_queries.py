@@ -3957,6 +3957,81 @@ lp{i + 1} AS MATERIALIZED (SELECT d.doc_id, coalesce(b.lab, l.lab) AS lab
         + f" SELECT doc_id, lab AS community FROM lp{_LPA_ROUNDS}",
     )
 
+    # k-core peeling (webgraph.py:k_core): nodes surviving `rounds`
+    # degree-< k peels of the symmetrized graph, with induced-subgraph
+    # degree — link-farm density QA. Oracle unrolls the same peels.
+    _KC_K = 5
+    _KC_ROUNDS = 4
+
+    def _kc_parts() -> list[str]:
+        parts = [
+            """kund AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM ded WHERE src <> dst)""",
+            "ksym AS MATERIALIZED (SELECT u AS src, v AS dst FROM kund"
+            " UNION ALL SELECT v AS src, u AS dst FROM kund)",
+            "ka0 AS (SELECT doc_id FROM documents)",
+        ]
+        for i in range(_KC_ROUNDS):
+            parts.append(
+                f"""kdg{i} AS (SELECT e.src AS doc_id, count(*)::BIGINT AS deg
+        FROM ksym e JOIN ka{i} s ON s.doc_id = e.src JOIN ka{i} t ON t.doc_id = e.dst
+        GROUP BY e.src),
+ka{i + 1} AS MATERIALIZED (SELECT doc_id FROM kdg{i} WHERE deg >= {_KC_K})"""
+            )
+        parts.append(
+            f"""kfd AS (SELECT e.src AS doc_id, count(*)::BIGINT AS deg
+    FROM ksym e JOIN ka{_KC_ROUNDS} s ON s.doc_id = e.src
+    JOIN ka{_KC_ROUNDS} t ON t.doc_id = e.dst GROUP BY e.src)"""
+        )
+        return parts
+
+    def _web_kcore(spark, sf):
+        from jassv2_spark.operators.webgraph import k_core, synthesize_links
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        return k_core(docs.select("doc_id"), links, k=_KC_K, rounds=_KC_ROUNDS)
+
+    r["web_kcore"] = (
+        _web_kcore,
+        _sql(_LINKS_CTES, *_kc_parts())
+        + f""" SELECT a.doc_id, coalesce(f.deg, 0)::BIGINT AS core_degree
+ FROM ka{_KC_ROUNDS} a LEFT JOIN kfd f USING (doc_id)""",
+    )
+
+    # Degree assortativity (webgraph.py:assortativity): Newman's mixing
+    # coefficient from exact int64 edge/degree sums, one fixed IEEE
+    # floor(1e6·num/den) chain — identical arithmetic stated in SQL.
+    def _web_assortativity(spark, sf):
+        from jassv2_spark.operators.webgraph import assortativity, synthesize_links
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        return assortativity(links)
+
+    r["web_assortativity"] = (
+        _web_assortativity,
+        _sql(
+            _LINKS_CTES,
+            """aund AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM ded WHERE src <> dst)""",
+            "asym AS MATERIALIZED (SELECT u AS src, v AS dst FROM aund"
+            " UNION ALL SELECT v AS src, u AS dst FROM aund)",
+            "adeg AS (SELECT src AS n, count(*)::BIGINT AS d FROM asym GROUP BY src)",
+            """asums AS (SELECT count(*)::BIGINT AS m_edges,
+           sum(js.d)::BIGINT AS s_j,
+           sum(js.d * qs.d)::BIGINT AS s_jk,
+           sum(js.d * js.d)::BIGINT AS s_jj
+    FROM asym e JOIN adeg js ON js.n = e.src JOIN adeg qs ON qs.n = e.dst)""",
+        )
+        + """ SELECT m_edges, s_j, s_jk, s_jj,
+        CASE WHEN m_edges * s_jj - s_j * s_j = 0 THEN 0
+             ELSE floor(1000000.0 * ((m_edges * s_jk - s_j * s_j)::DOUBLE
+                                     / (m_edges * s_jj - s_j * s_j)::DOUBLE))
+        END::BIGINT AS assortativity_micros
+ FROM asums""",
+    )
+
     # Host/site collapse (weburls.py:collapse_hits): at most per_host
     # results from one host in the top k, back-filled from the full hit
     # pool. Hosts here follow a deterministic doc_id % 17 rule (the

@@ -1083,3 +1083,104 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return lab.select("doc_id", F.col("lab").alias("community"))
+
+
+def k_core(
+    nodes: DataFrame, edges: DataFrame, *, k: int = 2, rounds: int = 8
+) -> DataFrame:
+    """(doc_id, core_degree): nodes surviving `rounds` peels of the
+    k-core decomposition (Seidman 1983) of the symmetrized link graph,
+    with their degree in the induced survivor subgraph — the density
+    primitive behind link-farm and tightly-knit-community detection
+    (spam cores are high-k; legitimate long-tail pages shed at k=2-3).
+
+    Each peel drops every node whose degree among CURRENT survivors is
+    < k (isolated nodes drop immediately for k ≥ 1); the fixpoint is
+    the classic k-core, and a fixed `rounds` count keeps the
+    pre-convergence answer a pure function of (graph, k, rounds) —
+    exact int64 degree counts only, so bitwise identical on any engine
+    and any parallelism, same as :func:`connected_components`.
+
+    Scale shape: per peel two survivor semi-joins on the persisted
+    symmetric edge list (src then dst) and one (node)-keyed
+    partial-agg count — the exchange is node-sized even when the edge
+    list is not; hot in-degree skews map input, not the reduce. The
+    survivor frame feeds both semi-joins, hence the per-round eager
+    localCheckpoint plan-doubling guard shared by the other iterative
+    graph ops here."""
+    nd = nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id"))
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+
+    alive = nd.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            sym.join(alive.withColumnRenamed("doc_id", "src"), "src")
+            .join(alive.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            deg.where(F.col("deg") >= F.lit(int(k)))
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        sym.join(alive.withColumnRenamed("doc_id", "src"), "src")
+        .join(alive.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return alive.join(final_deg, "doc_id", "left").select(
+        "doc_id", F.coalesce("deg", F.lit(0)).cast("long").alias("core_degree")
+    )
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """One row (m_edges, s_j, s_jk, s_jj, assortativity_micros):
+    Newman's degree assortativity coefficient (Newman PRL 2002) of the
+    symmetrized link graph — the one-number mixing diagnostic (web
+    graphs run disassortative, r < 0: hubs link to leaves; r near +1
+    flags copy-farms of interlinked equal-degree pages).
+
+    Over the directed symmetric edge list (each undirected edge twice,
+    so the endpoint sums are automatically symmetric), with j = deg(src)
+    and q = deg(dst): r = (M·Σjq − (Σj)²) / (M·Σj² − (Σj)²). The three
+    sums and M are exact int64 (note: at 10^12 edges with 10^6-degree
+    hubs Σj² approaches int64 range — the sums are emitted alongside
+    precisely so a caller can audit headroom), and r is produced by ONE
+    fixed IEEE double chain floor(1e6·num/den), identical on any
+    engine. Scale shape: one (node)-keyed degree partial-agg, two
+    broadcast-sized joins of degrees onto edges, one global agg."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    joined = (
+        sym.join(deg.select(F.col("n").alias("src"), F.col("d").alias("jd")), "src")
+        .join(deg.select(F.col("n").alias("dst"), F.col("d").alias("qd")), "dst")
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.sum("jd").alias("s_j"),
+        F.sum(F.col("jd") * F.col("qd")).alias("s_jk"),
+        F.sum(F.col("jd") * F.col("jd")).alias("s_jj"),
+    )
+    num = F.col("m_edges") * F.col("s_jk") - F.col("s_j") * F.col("s_j")
+    den = F.col("m_edges") * F.col("s_jj") - F.col("s_j") * F.col("s_j")
+    return agg.select(
+        "m_edges",
+        "s_j",
+        "s_jk",
+        "s_jj",
+        F.when(den == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0) * (num.cast("double") / den.cast("double"))
+            ).cast("long")
+        )
+        .alias("assortativity_micros"),
+    )
