@@ -5222,6 +5222,56 @@ bv{i + 1} AS MATERIALIZED (
            FROM documents d LEFT JOIN a USING (doc_id)""",
     )
 
+    # DSIR importance weights (curation.py:dsir_weights): hashed-bigram
+    # target/raw log-ratio at exact integer bit-length resolution
+    # (Xie et al. NeurIPS'23). Target domain = doc_id % 10 == 0 (stand-in
+    # for the quality corpus); same md5-32 bucket + bits(x)=length(bin(x))
+    # recipe stated in SQL.
+    _DSIR_B = 4096
+    _DSIR_TGT_MOD = 10
+
+    def _dsir(spark, sf):
+        from jassv2_spark.operators.curation import dsir_weights
+
+        docs = _docs(spark, sf)
+        return dsir_weights(
+            docs, docs.where(F.col("doc_id") % _DSIR_TGT_MOD == 0), buckets=_DSIR_B
+        )
+
+    r["text_dsir_weights"] = (
+        _dsir,
+        f"""WITH dtk AS (SELECT doc_id,
+                    regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS a
+               FROM documents),
+           dfx AS (SELECT doc_id,
+                    unnest(CASE WHEN len(a) >= 2
+                                THEN list_transform(generate_series(1, len(a) - 1),
+                                                    i -> a[i] || ' ' || a[i + 1])
+                                ELSE [] END) AS f
+               FROM dtk),
+           dbk AS (SELECT doc_id,
+                    (CAST('0x' || substr(md5(f), 1, 8) AS UBIGINT) % {_DSIR_B})::BIGINT AS b
+               FROM dfx),
+           dcr AS (SELECT b, count(*)::BIGINT AS cr FROM dbk GROUP BY b),
+           dct AS (SELECT b, count(*)::BIGINT AS ct FROM dbk
+                   WHERE doc_id % {_DSIR_TGT_MOD} = 0 GROUP BY b),
+           dtb AS (SELECT coalesce(r.b, t.b) AS b, coalesce(r.cr, 0) AS cr,
+                          coalesce(t.ct, 0) AS ct
+                   FROM dcr r FULL JOIN dct t ON r.b = t.b),
+           dz AS (SELECT (sum(cr) + {_DSIR_B})::BIGINT AS zr,
+                         (sum(ct) + {_DSIR_B})::BIGINT AS zt FROM dtb),
+           dpd AS (SELECT doc_id, count(*)::BIGINT AS n_feat,
+                    sum(length(bin(ct + 1)) - length(bin(cr + 1))
+                        + length(bin(zr)) - length(bin(zt)))::BIGINT AS sum_bits
+                   FROM dbk JOIN dtb USING (b) CROSS JOIN dz GROUP BY doc_id)
+           SELECT d.doc_id, coalesce(p.n_feat, 0)::BIGINT AS n_feat,
+                  coalesce(p.sum_bits, 0)::BIGINT AS sum_bits,
+                  CASE WHEN coalesce(p.n_feat, 0) > 0
+                       THEN coalesce(p.sum_bits, 0)::DOUBLE / p.n_feat::DOUBLE
+                       ELSE 0.0 END AS mean_bits
+           FROM documents d LEFT JOIN dpd p USING (doc_id)""",
+    )
+
     # Per-domain cap sampling (C4-style host bound), md5-rank deterministic.
     _CAP = 15
 

@@ -557,3 +557,103 @@ def curate_funnel(
         " 'near_dup', n0 - d_lang - d_quality, d_dup,    n0 - d_lang - d_quality - d_dup"
         ") AS (stage, n_in, n_dropped, n_out)"
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 2,
+    buckets: int = 4096,
+) -> DataFrame:
+    """(doc_id, n_feat, sum_bits, mean_bits): DSIR-style importance
+    weights (Xie et al., "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023) — per raw document, the
+    hashed-n-gram bag log-likelihood ratio between a TARGET domain
+    (the quality corpus you want more of) and the RAW pool, the score
+    importance resampling then samples proportional to.
+
+    Features are token n-grams hashed into `buckets` cells with the
+    repo's portable 32-bit md5 (selective.py:_h32 recipe); both corpus
+    distributions get add-one smoothing over the same cells. The log
+    ratio is taken at integer bit-length resolution exactly like
+    :func:`unigram_surprisal`: per feature,
+    Δbits = bits(ct_b+1) − bits(cr_b+1) + bits(Zr) − bits(Zt) with
+    bits(x) = length(bin(x)) — power-of-two resolution in exchange for
+    exact int64 sums that match any engine bitwise; mean_bits is the
+    single IEEE division at the end. Rank order within ±1 bit of the
+    float DSIR score, which importance *sampling* tolerates by design.
+
+    Scale shape: one pass over each corpus to count features (vocab is
+    `buckets` rows — tiny by construction, the point of hashing), the
+    joint smoothed table broadcast onto the raw side's exploded
+    features (map-side probe), ONE doc-keyed shuffle to sum. The
+    target corpus is typically 10^-3 of raw; its count pass is noise.
+    """
+    def _feats(frame: DataFrame) -> DataFrame:
+        tk = frame.select(F.col(id_col), _toks(text_col).alias("a"))
+        return tk.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"case when size(a) >= {n} then"
+                    f" transform(sequence(1, size(a) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(a, i, {n})))"
+                    f" else array() end"
+                )
+            ).alias("f"),
+        ).withColumn(
+            "b",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("f").cast("binary")), 1, 8), 16, 10
+                ).cast("long"),
+                F.lit(int(buckets)),
+            ),
+        )
+    raw_f = _feats(docs)
+    cr = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    ct = _feats(target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tbl = (
+        cr.join(ct, "b", "full")
+        .select(
+            "b",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    z = tbl.agg(
+        (F.sum("cr") + F.lit(int(buckets))).cast("long").alias("zr"),
+        (F.sum("ct") + F.lit(int(buckets))).cast("long").alias("zt"),
+    )
+    delta = (
+        F.length(F.bin(F.col("ct") + 1))
+        - F.length(F.bin(F.col("cr") + 1))
+        + F.length(F.bin(F.col("zr")))
+        - F.length(F.bin(F.col("zt")))
+    ).cast("long")
+    per_doc = (
+        raw_f.join(F.broadcast(tbl), "b")
+        .crossJoin(F.broadcast(z))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feat"),
+            F.sum(delta).cast("long").alias("sum_bits"),
+        )
+    )
+    n_feat = F.coalesce(F.col("n_feat"), F.lit(0).cast("long"))
+    sum_bits = F.coalesce(F.col("sum_bits"), F.lit(0).cast("long"))
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_feat.alias("n_feat"),
+            sum_bits.alias("sum_bits"),
+            F.when(n_feat > 0, sum_bits.cast("double") / n_feat.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("mean_bits"),
+        )
+    )
