@@ -3297,6 +3297,59 @@ SELECT query_id, doc_id, rrf, n_runs, rank FROM fr WHERE rank <= {K}"""
 
     r["hybrid_rrf_topk"] = (_rrf, _rrf_sql())
 
+    # Score-based fusion: CombSUM/CombMNZ (Fox & Shaw TREC-2) of the same
+    # two runs — per-query integer min-max normalization via one fixed
+    # IEEE floor chain, then exact int64 sums; oracle states the same
+    # normalization over the verified `ranked` + ANN derived tables.
+    def _combsum(spark, sf):
+        from jassv2_spark.operators.fusion import combsum_fuse
+
+        bm25 = search(
+            get_index(spark, sf), _queries_df(spark), k=K, rho=1.0, with_keys=False
+        ).select("query_id", "doc_id", F.col("rsv").alias("score"), "rank")
+        ann = cosine_topk(_emb(spark, sf), ANN_QUERY_IDS, k=K, round_dp=4).select(
+            F.format_string("q%02d", (F.col("qid") + 1).cast("int")).alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("cos").alias("score"),
+            "rank",
+        )
+        return combsum_fuse([bm25, ann], k=K, depth=K)
+
+    def _combsum_sql() -> str:
+        ann_sql = r["ann_cosine_topk"][1]
+        norm = (
+            "CASE WHEN mx > mn THEN floor(1000000.0 * (s - mn) / (mx - mn))"
+            " ELSE 1000000 END::BIGINT"
+        )
+        return (
+            _sql(_BASE, _query_ctes(1.0), _TOPK_CTES)
+            + f""",
+csb AS (SELECT query_id, doc_id, {norm} AS nrm
+        FROM (SELECT query_id, doc_id, rsv::DOUBLE AS s,
+                     min(rsv::DOUBLE) OVER (PARTITION BY query_id) AS mn,
+                     max(rsv::DOUBLE) OVER (PARTITION BY query_id) AS mx
+              FROM ranked WHERE rank <= {K}) x),
+csa AS (SELECT query_id, doc_id, {norm} AS nrm
+        FROM (SELECT printf('q%02d', qid + 1) AS query_id, vec_id AS doc_id,
+                     cos AS s,
+                     min(cos) OVER (PARTITION BY qid) AS mn,
+                     max(cos) OVER (PARTITION BY qid) AS mx
+              FROM ({ann_sql})) y),
+csu AS (SELECT * FROM csb UNION ALL SELECT * FROM csa),
+csz AS (SELECT query_id, doc_id, sum(nrm)::BIGINT AS combsum,
+               count(*)::BIGINT AS n_runs
+        FROM csu GROUP BY 1, 2),
+csr AS (SELECT query_id, doc_id, combsum, n_runs,
+               (combsum * n_runs)::BIGINT AS combmnz,
+               (row_number() OVER (PARTITION BY query_id
+                                   ORDER BY combsum * n_runs DESC, combsum DESC,
+                                            doc_id DESC))::BIGINT AS rank
+        FROM csz)
+SELECT query_id, doc_id, combsum, n_runs, combmnz, rank FROM csr WHERE rank <= {K}"""
+        )
+
+    r["hybrid_combsum_topk"] = (_combsum, _combsum_sql())
+
     # ---- multimodal binary-column plumbing (pandas-UDF kernels) ----
     # Oracles reconstruct the synthesized payload (utf-8 bytes of `text`,
     # multimodal.synthesize_media) in DuckDB via encode()/hex(): byte values

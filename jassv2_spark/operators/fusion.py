@@ -86,3 +86,87 @@ def rrf_fuse(
         .where(F.col("rank") <= F.lit(int(k)))
         .select("query_id", "doc_id", "rrf", "n_runs", "rank")
     )
+
+
+def combsum_fuse(
+    runs: list[DataFrame],
+    k: int = 10,
+    depth: int = 10,
+    norm_scale: int = 1_000_000,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(query_id, doc_id, combsum, n_runs, combmnz, rank): score-based
+    fusion, CombSUM and CombMNZ (Fox & Shaw TREC-2 1994) — the other
+    classic hybrid-retrieval combiner, preferred over RRF when run
+    scores are calibrated enough to carry magnitude information.
+
+    Each run's scores are min-max normalized PER QUERY to integer
+    [0, norm_scale] via ONE fixed IEEE chain
+    floor(norm_scale·(s−min)/(max−min)) (all-equal runs pin to
+    norm_scale), after which everything is exact int64: CombSUM is the
+    plain sum of normalized scores, CombMNZ multiplies by the number of
+    runs that retrieved the document. Ties break (combmnz DESC,
+    combsum DESC, doc_id DESC), doc-id-descending matching the engine's
+    heap convention.
+
+    Scale shape: runs arrive top-k'd (n_queries × depth rows); per run
+    two window aggregates over run-sized frames, then one
+    (query, doc)-keyed partial-agg shuffle + per-query top-k window.
+    """
+    parts = []
+    for r in runs:
+        w = Window.partitionBy("query_id")
+        p = (
+            r.select(
+                F.col(query_col).alias("query_id"),
+                F.col(doc_col).alias("doc_id"),
+                F.col(score_col).cast("double").alias("s"),
+                F.col(rank_col).alias("rank"),
+            )
+            .where(F.col("rank") <= F.lit(int(depth)))
+            .select(
+                "query_id",
+                "doc_id",
+                "s",
+                F.min("s").over(w).alias("mn"),
+                F.max("s").over(w).alias("mx"),
+            )
+            .select(
+                "query_id",
+                "doc_id",
+                F.when(
+                    F.col("mx") > F.col("mn"),
+                    F.floor(
+                        F.lit(float(norm_scale))
+                        * (F.col("s") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                    ),
+                )
+                .otherwise(F.lit(int(norm_scale)))
+                .cast("long")
+                .alias("nrm"),
+            )
+        )
+        parts.append(p)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (
+        u.groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("nrm").cast("long").alias("combsum"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+        )
+        .withColumn("combmnz", (F.col("combsum") * F.col("n_runs")).cast("long"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("combmnz").desc(), F.col("combsum").desc(), F.col("doc_id").desc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select("query_id", "doc_id", "combsum", "n_runs", "combmnz", "rank")
+    )

@@ -43,3 +43,44 @@ def test_overflow_falls_back_to_float(spark):
     a = _run(spark, [("q", 1, 1), ("q", 2, 2)])
     got = rrf_fuse([a], k=2, kappa=1, depth=64).collect()
     assert abs({r.doc_id: r.rrf for r in got}[1] - 0.5) < 1e-12
+
+
+def test_combsum_python_parity(spark):
+    from jassv2_spark.operators.fusion import combsum_fuse
+
+    run_a = [("q1", 1, 30, 1), ("q1", 2, 20, 2), ("q1", 3, 10, 3)]
+    run_b = [("q1", 2, 0.9, 1), ("q1", 4, 0.5, 2), ("q1", 3, 0.1, 3)]
+    cols = ["query_id", "doc_id", "score", "rank"]
+    a = spark.createDataFrame(run_a, cols)
+    b = spark.createDataFrame(run_b, cols)
+    got = {
+        (r["query_id"], r["doc_id"]): (r["combsum"], r["n_runs"], r["combmnz"], r["rank"])
+        for r in combsum_fuse([a, b], k=10, depth=10).collect()
+    }
+
+    import math
+
+    def norm(s, mn, mx):
+        return int(math.floor(1e6 * (s - mn) / (mx - mn))) if mx > mn else 1000000
+
+    exp = {}
+    for q, d, s, _ in run_a:
+        exp[(q, d)] = exp.get((q, d), 0) + norm(float(s), 10.0, 30.0)
+    for q, d, s, _ in run_b:
+        exp[(q, d)] = exp.get((q, d), 0) + norm(float(s), 0.1, 0.9)
+    # doc 2 in both runs -> n_runs 2, MNZ doubles
+    assert got[("q1", 2)] == (exp[("q1", 2)], 2, 2 * exp[("q1", 2)], 1)
+    assert got[("q1", 1)][0] == 1000000 and got[("q1", 1)][1] == 1
+    assert got[("q1", 3)][0] == exp[("q1", 3)]
+    ranks = {d: got[("q1", d)][3] for d in (1, 2, 3, 4)}
+    assert sorted(ranks.values()) == [1, 2, 3, 4]
+
+
+def test_combsum_all_equal_scores_pin_to_scale(spark):
+    from jassv2_spark.operators.fusion import combsum_fuse
+
+    a = spark.createDataFrame(
+        [("q1", 1, 5, 1), ("q1", 2, 5, 2)], ["query_id", "doc_id", "score", "rank"]
+    )
+    got = {r["doc_id"]: r["combsum"] for r in combsum_fuse([a], k=5, depth=5).collect()}
+    assert got == {1: 1000000, 2: 1000000}
