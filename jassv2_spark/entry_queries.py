@@ -5582,6 +5582,65 @@ bv{i + 1} AS MATERIALIZED (
            FROM sb5""",
     )
 
+    # Position-bias click model (events.py:position_ctr/item_coec):
+    # impressions derived deterministically from the event log — view and
+    # click events are SERP impressions at rank (event_id % 10) + 1 of
+    # item event_id % 101, clicked when event_type = 'click'. Rank-CTR
+    # curve (PBM examination prior) and clicks-over-expected-clicks.
+    _CM_IMPS = (
+        "cmi AS (SELECT (event_id % 101)::BIGINT AS item_id,"
+        " ((event_id % 10) + 1)::BIGINT AS rank,"
+        " (event_type = 'click') AS clicked"
+        " FROM events WHERE event_type IN ('view', 'click'))"
+    )
+    _CM_CTR = """cmc AS (SELECT rank, count(*)::BIGINT AS n_impressions,
+               sum(CASE WHEN clicked THEN 1 ELSE 0 END)::BIGINT AS n_clicks
+        FROM cmi GROUP BY rank),
+cmt AS (SELECT rank, n_impressions, n_clicks,
+               floor(1000000.0 * n_clicks::DOUBLE / n_impressions::DOUBLE)::BIGINT AS ctr_micros
+        FROM cmc)"""
+
+    def _cm_imps(spark, sf):
+        ev = _events(spark, sf)
+        return ev.where(F.col("event_type").isin("view", "click")).select(
+            (F.col("event_id") % 101).cast("long").alias("item_id"),
+            ((F.col("event_id") % 10) + 1).cast("long").alias("rank"),
+            (F.col("event_type") == "click").alias("clicked"),
+        )
+
+    def _cm_ctr(spark, sf):
+        from jassv2_spark.operators.events import position_ctr
+
+        return position_ctr(_cm_imps(spark, sf))
+
+    r["events_position_ctr"] = (
+        _cm_ctr,
+        f"WITH {_CM_IMPS},\n{_CM_CTR}\n"
+        " SELECT rank, n_impressions, n_clicks, ctr_micros FROM cmt",
+    )
+
+    def _cm_coec(spark, sf):
+        from jassv2_spark.operators.events import item_coec
+
+        return item_coec(_cm_imps(spark, sf))
+
+    r["events_item_coec"] = (
+        _cm_coec,
+        f"""WITH {_CM_IMPS},
+{_CM_CTR},
+cmj AS (SELECT i.item_id, i.clicked, t.ctr_micros
+        FROM cmi i JOIN cmt t USING (rank)),
+cma AS (SELECT item_id, count(*)::BIGINT AS n_impressions,
+               sum(CASE WHEN clicked THEN 1 ELSE 0 END)::BIGINT AS n_clicks,
+               sum(ctr_micros)::BIGINT AS sum_ctr_micros
+        FROM cmj GROUP BY item_id)
+SELECT item_id, n_impressions, n_clicks, sum_ctr_micros,
+       CASE WHEN sum_ctr_micros > 0
+            THEN floor(1000000000000.0 * n_clicks::DOUBLE / sum_ctr_micros::DOUBLE)
+            ELSE 0 END::BIGINT AS coec_micros
+FROM cma""",
+    )
+
     # ---- HyperLogLog sketch (operators/sketch.py) ----
     # Distinct-term cardinality per language via a fully-specified HLL:
     # md5-prefix hash → 64 registers, exact-integer Σ2^(27-M_j), one

@@ -373,3 +373,85 @@ def session_bot_stats(
             )
         ).alias("is_bot"),
     )
+
+
+def position_ctr(
+    impressions: DataFrame,
+    rank_col: str = "rank",
+    click_col: str = "clicked",
+) -> DataFrame:
+    """(rank, n_impressions, n_clicks, ctr_micros): the global
+    position-bias curve of a SERP impression log — CTR by displayed
+    rank, the examination prior of the position-based click model
+    (PBM, Craswell et al. WSDM'08) and the denominator COEC debiases
+    against. Exact int64 counts; ctr_micros is the one fixed IEEE
+    floor(1e6·clicks/imps) chain per rank.
+
+    Scale shape: one rank-keyed partial-agg shuffle over the log —
+    combiner-friendly, output is ≤ SERP-depth rows."""
+    clicked = F.col(click_col).cast("boolean")
+    return (
+        impressions.groupBy(F.col(rank_col).alias("rank"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_impressions"),
+            F.sum(clicked.cast("long")).cast("long").alias("n_clicks"),
+        )
+        .select(
+            "rank",
+            "n_impressions",
+            "n_clicks",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("n_clicks").cast("double")
+                / F.col("n_impressions").cast("double")
+            )
+            .cast("long")
+            .alias("ctr_micros"),
+        )
+    )
+
+
+def item_coec(
+    impressions: DataFrame,
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+    click_col: str = "clicked",
+) -> DataFrame:
+    """(item_id, n_impressions, n_clicks, sum_ctr_micros, coec_micros):
+    clicks over expected clicks (COEC, Zhang & Jones 2007) — each
+    item's click count debiased by WHERE it was shown: expected clicks
+    = Σ over its impressions of the global rank-CTR from
+    :func:`position_ctr`. COEC > 1e6 (micros) means the item
+    out-performs its positions; the standard position-debiased
+    relevance prior for LTR labels. sum_ctr_micros is an exact int64
+    sum of per-rank micros; coec_micros is one fixed IEEE
+    floor(1e12·clicks/sum) chain (exact while clicks < 2^53/1e12,
+    deterministic always).
+
+    Scale shape: the ≤ depth-row CTR table broadcasts onto the log
+    (map-side probe), then ONE item-keyed partial-agg shuffle."""
+    ctr = position_ctr(impressions, rank_col=rank_col, click_col=click_col)
+    clicked = F.col(click_col).cast("boolean")
+    joined = impressions.join(
+        F.broadcast(ctr.select(F.col("rank").alias("__ctr_rank"), "ctr_micros")),
+        F.col(rank_col) == F.col("__ctr_rank"),
+    )
+    agg = joined.groupBy(F.col(item_col).alias("item_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_impressions"),
+        F.sum(clicked.cast("long")).cast("long").alias("n_clicks"),
+        F.sum("ctr_micros").cast("long").alias("sum_ctr_micros"),
+    )
+    return agg.select(
+        "item_id",
+        "n_impressions",
+        "n_clicks",
+        "sum_ctr_micros",
+        F.when(F.col("sum_ctr_micros") > 0,
+               F.floor(
+                   F.lit(1000000000000.0)
+                   * F.col("n_clicks").cast("double")
+                   / F.col("sum_ctr_micros").cast("double")
+               ).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("coec_micros"),
+    )
