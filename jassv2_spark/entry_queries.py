@@ -5325,6 +5325,66 @@ bv{i + 1} AS MATERIALIZED (
            FROM documents d LEFT JOIN dpd p USING (doc_id)""",
     )
 
+    # Bigram stupid-backoff surprisal (curation.py:bigram_surprisal):
+    # LM trained on the doc_id % 3 != 0 slice, all docs scored — held-out
+    # scoring makes the backoff branch real. Same exact bit-length math;
+    # DuckDB zips parallel unnests for the bigram pairs.
+    _BGS_MOD = 3
+
+    def _bigram_sup(spark, sf):
+        from jassv2_spark.operators.curation import bigram_surprisal
+
+        docs = _docs(spark, sf)
+        return bigram_surprisal(docs, docs.where(F.col("doc_id") % _BGS_MOD != 0))
+
+    r["text_bigram_surprisal"] = (
+        _bigram_sup,
+        f"""WITH bal AS (SELECT doc_id,
+                    regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS a
+               FROM documents),
+           blm AS (SELECT * FROM bal WHERE doc_id % {_BGS_MOD} <> 0),
+           buni AS (SELECT unnest(a) AS w FROM blm),
+           bu AS (SELECT w, count(*)::BIGINT AS cu FROM buni GROUP BY w),
+           bn AS (SELECT sum(cu)::BIGINT AS n FROM bu),
+           blp AS (SELECT unnest(a[1:len(a) - 1]) AS prev,
+                          unnest(a[2:len(a)]) AS cur
+                   FROM blm WHERE len(a) >= 2),
+           bb AS (SELECT prev, cur, count(*)::BIGINT AS cb FROM blp GROUP BY 1, 2),
+           bsp AS (SELECT doc_id, unnest(a[1:len(a) - 1]) AS prev,
+                          unnest(a[2:len(a)]) AS cur
+                   FROM bal WHERE len(a) >= 2),
+           bfr AS (SELECT f.doc_id,
+                    (length(bin(bn.n))
+                     - length(bin(coalesce(u.cu, 0) + 1)))::BIGINT AS bits,
+                    0::BIGINT AS backoff
+                   FROM (SELECT doc_id, a[1] AS w FROM bal WHERE len(a) >= 1) f
+                   LEFT JOIN bu u ON u.w = f.w CROSS JOIN bn),
+           bpr AS (SELECT p.doc_id,
+                    CASE WHEN g.cb IS NOT NULL
+                         THEN length(bin(up.cu)) - length(bin(g.cb))
+                         ELSE 2 + length(bin(bn.n))
+                              - length(bin(coalesce(uc.cu, 0) + 1))
+                    END::BIGINT AS bits,
+                    CASE WHEN g.cb IS NOT NULL THEN 0 ELSE 1 END::BIGINT AS backoff
+                   FROM bsp p
+                   LEFT JOIN bb g ON g.prev = p.prev AND g.cur = p.cur
+                   LEFT JOIN bu up ON up.w = p.prev
+                   LEFT JOIN bu uc ON uc.w = p.cur
+                   CROSS JOIN bn),
+           bag AS (SELECT doc_id, count(*)::BIGINT AS n_tok,
+                          sum(backoff)::BIGINT AS n_backoff,
+                          sum(bits)::BIGINT AS sum_bits
+                   FROM (SELECT * FROM bfr UNION ALL SELECT * FROM bpr)
+                   GROUP BY doc_id)
+           SELECT d.doc_id, coalesce(g.n_tok, 0)::BIGINT AS n_tok,
+                  coalesce(g.n_backoff, 0)::BIGINT AS n_backoff,
+                  coalesce(g.sum_bits, 0)::BIGINT AS sum_bits,
+                  CASE WHEN coalesce(g.n_tok, 0) > 0
+                       THEN coalesce(g.sum_bits, 0)::DOUBLE / g.n_tok::DOUBLE
+                       ELSE 0.0 END AS mean_bits
+           FROM documents d LEFT JOIN bag g USING (doc_id)""",
+    )
+
     # Per-domain cap sampling (C4-style host bound), md5-rank deterministic.
     _CAP = 15
 

@@ -657,3 +657,141 @@ def dsir_weights(
             .alias("mean_bits"),
         )
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tok, n_backoff, sum_bits, mean_bits): a context-aware
+    perplexity proxy from a bigram LM with stupid backoff (Brants et
+    al. EMNLP'07), trained on `lm_docs` (a reference corpus — e.g. the
+    quality slice; defaults to `docs` itself) — the CCNet
+    quality-bucketing signal one modeling step past
+    :func:`unigram_surprisal`. Per token after the first, surprisal is
+    −log2 S(w|prev) at exact integer bit-length resolution:
+    bits(c(prev)) − bits(c(prev,w)) when the LM saw the bigram, else
+    backoff 2 + bits(N) − bits(c(w)+1) (α = 1/4 so −log2 α is exactly
+    2 bits; add-one for OOV words); the first token pays unigram
+    bits(N) − bits(c(w)+1). n_backoff (how often the model fell to
+    unigrams) is itself a fluency signal — shuffled or boilerplate
+    text backs off constantly. Note when lm_docs is the scored corpus
+    itself every scored bigram is in the table, so n_backoff is 0 by
+    construction; backoff bites when scoring against a held-out or
+    quality-slice LM. All sums exact int64 (bits(x) = length(bin(x))
+    on every engine); mean_bits is the single IEEE division.
+
+    Scale shape: one pass builds the unigram table (vocab-sized,
+    broadcasts) and one the bigram table (corpus-sized — this one joins
+    by SHUFFLE on the bigram key, the honest cost of a context model),
+    then the scoring pass re-joins exploded positions and sums with ONE
+    doc-keyed shuffle. Hot bigram keys are Zipf-bounded by their own
+    frequency — partial agg collapses them map-side.
+    """
+    lm = lm_docs if lm_docs is not None else docs
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        tk = frame.select(F.col(id_col), _toks(text_col).alias("a"))
+        return tk.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "case when size(a) >= 2 then"
+                    " transform(sequence(2, size(a)),"
+                    " i -> struct(a[i-2] as prev, a[i-1] as cur))"
+                    " else array() end"
+                )
+            ).alias("p"),
+        ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+
+    lm_tk = lm.select(F.col(id_col), _toks(text_col).alias("a"))
+    uni = (
+        lm_tk.select(F.explode("a").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    big = _pairs(lm).groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    n_total = uni.agg(F.sum("cu").cast("long").alias("n"))
+
+    tk = docs.select(F.col(id_col), _toks(text_col).alias("a"))
+    firsts = (
+        tk.where(F.size("a") >= 1)
+        .select(F.col(id_col), F.expr("a[0]").alias("w"))
+        .join(F.broadcast(uni), "w", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col(id_col),
+            (
+                F.length(F.bin(F.col("n")))
+                - F.length(F.bin(F.coalesce(F.col("cu"), F.lit(0)) + 1))
+            )
+            .cast("long")
+            .alias("bits"),
+            F.lit(0).cast("long").alias("backoff"),
+        )
+    )
+    scored_pairs = (
+        _pairs(docs)
+        .join(big, ["prev", "cur"], "left")
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("prev"), F.col("cu").alias("cprev"))
+            ),
+            "prev",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("cur"), F.col("cu").alias("ccur"))
+            ),
+            "cur",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("cb").isNotNull(),
+                F.length(F.bin(F.col("cprev"))) - F.length(F.bin(F.col("cb"))),
+            )
+            .otherwise(
+                F.lit(2)
+                + F.length(F.bin(F.col("n")))
+                - F.length(F.bin(F.coalesce(F.col("ccur"), F.lit(0)) + 1))
+            )
+            .cast("long")
+            .alias("bits"),
+            F.when(F.col("cb").isNotNull(), F.lit(0)).otherwise(F.lit(1))
+            .cast("long")
+            .alias("backoff"),
+        )
+    )
+    per_doc = (
+        firsts.unionByName(scored_pairs)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("backoff").cast("long").alias("n_backoff"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+        )
+    )
+    n_tok = F.coalesce(F.col("n_tok"), F.lit(0).cast("long"))
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_tok.alias("n_tok"),
+            F.coalesce(F.col("n_backoff"), F.lit(0).cast("long")).alias("n_backoff"),
+            F.coalesce(F.col("sum_bits"), F.lit(0).cast("long")).alias("sum_bits"),
+            F.when(
+                n_tok > 0,
+                F.coalesce(F.col("sum_bits"), F.lit(0).cast("long")).cast("double")
+                / n_tok.cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_bits"),
+        )
+    )
