@@ -1022,6 +1022,58 @@ qt AS (SELECT query_id, term, sum(q_tf)::BIGINT AS q_tf FROM (
         _sql(_BASE, _SYN_QT, _TOPK_CTES) + _topk_select,
     )
 
+    # Prefix / search-as-you-type top-k (operators/fuzzy.py:search_prefix):
+    # every typed term expands to the max_expand highest-df vocab terms
+    # with that prefix (df DESC, term ASC — the Lucene rewrite-cap rule);
+    # expansions inherit q_tf, unmatched probes pass literal and drop at
+    # the vocab join. p02's one-letter 's' exercises the cap (6 vocab
+    # terms → top 3); p04 matches nothing.
+    _PREFIX_QUERIES = [
+        ("p01", "quer sc"),
+        ("p02", "s"),
+        ("p03", "join fast"),
+        ("p04", "xyz"),
+        ("p05", "ta val"),
+    ]
+    _PX_EXPAND = 3
+
+    def _topk_prefix(spark, sf):
+        from jassv2_spark.operators.fuzzy import search_prefix
+
+        return search_prefix(
+            get_index(spark, sf),
+            spark.createDataFrame(_PREFIX_QUERIES, ["query_id", "query"]),
+            k=K, min_prefix=1, max_expand=_PX_EXPAND, with_keys=False,
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _px_values = ", ".join(f"('{q}', '{t}')" for q, t in _PREFIX_QUERIES)
+    _PX_QT = f"""
+q(query_id, query) AS (VALUES {_px_values}),
+qtok AS (SELECT query_id, unnest(regexp_extract_all(lower(query), '{TOKEN_PATTERN}')) AS term FROM q),
+qt0 AS (SELECT query_id, term, count(*)::BIGINT AS q_tf FROM qtok GROUP BY 1, 2),
+ppr AS (SELECT DISTINCT term AS probe FROM qt0),
+pxc AS (SELECT probe, term FROM (
+          SELECT p.probe, v.term,
+                 row_number() OVER (PARTITION BY p.probe
+                                    ORDER BY v.df DESC, v.term ASC) AS rn
+          FROM ppr p JOIN dfx v ON v.term LIKE p.probe || '%') WHERE rn <= {_PX_EXPAND}),
+qt AS (SELECT query_id, term, sum(q_tf)::BIGINT AS q_tf FROM (
+         SELECT q0.query_id, c.term, q0.q_tf
+         FROM qt0 q0 JOIN pxc c ON c.probe = q0.term
+         UNION ALL
+         SELECT q0.query_id, q0.term, q0.q_tf FROM qt0 q0
+         WHERE NOT EXISTS (SELECT 1 FROM pxc c WHERE c.probe = q0.term))
+       GROUP BY 1, 2),""" + _post_qt_ctes(1.0)
+    r["jass_topk_prefix"] = (
+        _topk_prefix,
+        _sql(_BASE, _PX_QT, _TOPK_CTES) + _topk_select,
+    )
+
     # "Did you mean" query suggestion (operators/fuzzy.py:suggest_queries):
     # the typo query set reassembled in original token order with best
     # distance-1 corrections; uncorrectable OOV tokens stay verbatim.

@@ -226,3 +226,87 @@ def suggest_queries(
         ordered.alias("suggestion"),
         F.sum("fixed").cast("long").alias("n_corrected"),
     )
+
+
+def prefix_term_expansions(
+    term_stats: DataFrame,
+    probes: DataFrame,
+    *,
+    max_expand: int = 8,
+) -> DataFrame:
+    """(probe, term, df, cand_rank): every vocabulary term starting with
+    `probe`, capped at the `max_expand` highest-df matches (df DESC,
+    term ASC — the deterministic analogue of Lucene's top-terms
+    prefix-query rewrite cap). Scale shape: the probe set is tiny and
+    BROADCAST against ONE vocabulary scan (a nested-loop probe per vocab
+    row, never per posting); the cap window partitions by probe over
+    match-sized frames."""
+    cand = F.broadcast(probes.select("probe").distinct()).join(
+        term_stats.select("term", "df"),
+        F.col("term").startswith(F.col("probe")),
+    )
+    w = Window.partitionBy("probe").orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        cand.withColumn("cand_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("cand_rank") <= F.lit(int(max_expand)))
+        .select("probe", "term", "df", "cand_rank")
+    )
+
+
+def search_prefix(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    rho: float = 1.0,
+    *,
+    max_expand: int = 8,
+    min_prefix: int = 2,
+    tokenizer: str | None = None,
+    with_keys: bool = True,
+) -> DataFrame:
+    """Anytime top-k with PREFIX query semantics (the search-as-you-type
+    / Lucene PrefixQuery analogue; the reference serves literal terms
+    only): every parsed query term of length ≥ `min_prefix` is treated
+    as a prefix and expands to the `max_expand` highest-df vocabulary
+    terms starting with it (df DESC, term ASC — so a typed term that IS
+    in vocabulary can still be cut by the cap, exactly like Lucene's
+    rewrite); expansions inherit the typed term's q_tf and colliding
+    expansions sum. Shorter terms, and probes matching nothing, pass
+    through literally (OOV then drops at the vocab join, the engine's
+    ordinary silent-miss rule). n_terms counts the expanded set
+    pre-vocab-drop, mirroring `search`'s pre-drop count.
+
+    Scale shape: expansion is :func:`prefix_term_expansions`'s broadcast
+    nested-loop probe over ONE vocabulary scan; everything downstream is
+    the unchanged serve chain (segment pruning, ρ, top-k)."""
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, _ = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    long_terms = q_terms.where(F.length("term") >= F.lit(int(min_prefix)))
+    cand = prefix_term_expansions(
+        index.term_stats,
+        long_terms.select(F.col("term").alias("probe")),
+        max_expand=max_expand,
+    )
+    expanded_rows = long_terms.join(
+        F.broadcast(cand), long_terms["term"] == cand["probe"]
+    ).select("query_id", cand["term"].alias("term"), "q_tf")
+    literal_short = q_terms.where(
+        F.length("term") < F.lit(int(min_prefix))
+    ).select("query_id", "term", "q_tf")
+    literal_unmatched = long_terms.join(
+        F.broadcast(cand.select("probe").distinct()),
+        long_terms["term"] == F.col("probe"),
+        "left_anti",
+    ).select("query_id", "term", "q_tf")
+    expanded = (
+        expanded_rows.unionByName(literal_short)
+        .unionByName(literal_unmatched)
+        .groupBy("query_id", "term")
+        .agg(F.sum("q_tf").cast("long").alias("q_tf"))
+    )
+    q_meta = expanded.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    return search_from_terms(
+        index, expanded, q_meta, k=k, rho=rho, with_keys=with_keys
+    )

@@ -179,3 +179,46 @@ def test_suggest_queries_did_you_mean(spark):
     assert got["q2"]["n_corrected"] == 0
     assert got["q3"]["suggestion"] == "zzzqqq join"
     assert got["q3"]["n_corrected"] == 0
+
+
+def test_prefix_single_expansion_equals_plain_search(spark, tiny_index):
+    from jassv2_spark.operators.fuzzy import search_prefix
+
+    q = spark.createDataFrame([("q1", "quer")], ["query_id", "query"])
+    full = spark.createDataFrame([("q1", "query")], ["query_id", "query"])
+    got = sorted(map(tuple, search_prefix(tiny_index, q, k=5, with_keys=False).collect()))
+    want = sorted(map(tuple, search(tiny_index, full, k=5, with_keys=False).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_prefix_cap_keeps_highest_df(spark, tiny_index):
+    from jassv2_spark.operators.fuzzy import prefix_term_expansions
+
+    probes = spark.createDataFrame([("c",), ("ta",), ("zz",)], ["probe"])
+    got = {
+        (r["probe"], r["term"]): r["cand_rank"]
+        for r in prefix_term_expansions(
+            tiny_index.term_stats, probes, max_expand=1
+        ).collect()
+    }
+    # 'c' matches cable(df 1) and coin(df 1): tie -> term ASC -> cable
+    assert got == {("c", "cable"): 1, ("ta", "table"): 1}
+
+
+def test_prefix_multi_match_unions_postings(spark, tiny_index):
+    from jassv2_spark.operators.fuzzy import search_prefix
+
+    q = spark.createDataFrame([("q1", "c")], ["query_id", "query"])
+    both = spark.createDataFrame([("q1", "cable coin")], ["query_id", "query"])
+    got = sorted(map(tuple, search_prefix(
+        tiny_index, q, k=5, min_prefix=1, with_keys=False).collect()))
+    want = sorted(map(tuple, search(tiny_index, both, k=5, with_keys=False).collect()))
+    assert got == want and len(got) == 1  # doc 4 only
+
+
+def test_prefix_short_and_unmatched_terms_drop_like_oov(spark, tiny_index):
+    from jassv2_spark.operators.fuzzy import search_prefix
+
+    # 'z' is below min_prefix (literal OOV), 'zzz' matches nothing
+    q = spark.createDataFrame([("q1", "z"), ("q2", "zzz")], ["query_id", "query"])
+    assert search_prefix(tiny_index, q, k=5, with_keys=False).count() == 0
