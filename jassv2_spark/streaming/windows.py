@@ -57,3 +57,52 @@ def tumbling_rollup_stream(
             "sum_value_milli",
         )
     )
+
+
+def session_rollup_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(user_id, session_start, session_end, n_events, sum_value_milli):
+    gap-based SESSION windows per user over a streaming DataFrame — the
+    streaming twin of ``operators.events.sessionize``, expressed with
+    Spark's native ``session_window`` (the idiomatic replacement for a
+    hand-rolled applyInPandasWithState sessionizer: dynamic-gap merging,
+    watermark-bounded state and append-mode exactly-once emission come
+    from the engine).
+
+    A session closes once the watermark passes last-event + gap; in
+    append mode each session row is emitted exactly once. Boundary
+    semantics are half-open: an event landing EXACTLY gap after the
+    previous one starts a new session (the batch sessionizer keeps it —
+    its rule is strictly-greater; the divergence exists only at the
+    exact boundary instant).
+
+    At scale: state is (user, open-session) — one small row per active
+    user bounded by the watermark horizon; the shuffle is one
+    user-keyed exchange, identical to the batch sessionizer's."""
+    if not events.isStreaming:
+        raise ValueError("session_rollup_stream needs a streaming DataFrame; "
+                         "use operators.events.sessionize for batch")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * F.lit(1000.0)).cast("long")).alias(
+                "sum_value_milli"
+            ),
+        )
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value_milli",
+        )
+    )

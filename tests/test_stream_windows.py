@@ -108,3 +108,65 @@ def test_append_mode_drops_watermark_late_rows(spark, tmp_path):
     assert sorted((r.window_start.hour, r.event_type, r.n_events) for r in out2) == [
         (10, "click", 2)
     ]
+
+
+def _run_session_stream(spark, src, name, mode="append"):
+    from jassv2_spark.streaming.windows import session_rollup_stream
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        session_rollup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_session_stream_rejects_batch(spark):
+    from jassv2_spark.streaming.windows import session_rollup_stream
+
+    batch = spark.createDataFrame(_rows([(10, 0, 1, "click", 1.0)]), SCHEMA)
+    with pytest.raises(ValueError):
+        session_rollup_stream(batch)
+
+
+def test_session_stream_gap_merging_matches_batch_sessionizer(spark, tmp_path):
+    from jassv2_spark.operators.events import sessionize
+
+    # user 1: events at 10:00, 10:10, 10:25 (one session: gaps < 30m),
+    #         then 11:30 (new session: gap 65m)
+    # user 2: one event (singleton session)
+    spec = [
+        (10, 0, 1, "click", 1.0), (10, 10, 1, "view", 2.0),
+        (10, 25, 1, "click", 0.5), (11, 30, 1, "view", 4.0),
+        (10, 5, 2, "click", 3.0),
+    ]
+    # session windows only support append mode: a session emits once the
+    # watermark passes its end, so a far-future flush event (user 99)
+    # advances the watermark past every real session; the flush session
+    # itself stays open and is excluded below.
+    flush = [(23, 0, 99, "view", 0.0)]
+    src = str(tmp_path / "ev_sess")
+    batch = spark.createDataFrame(_rows(spec), SCHEMA)
+    spark.createDataFrame(_rows(spec + flush), SCHEMA).repartition(2).write.parquet(src)
+
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value_milli)
+        for r in _run_session_stream(spark, src, "sess_app", "append").collect()
+        if r.user_id != 99
+    }
+    # batch sessionizer ground truth (already one row per session)
+    want_counts = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sessionize(batch).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want_counts
+    assert got[(1, datetime(2024, 1, 1, 10, 0))] == (3, 3500)
+    assert got[(1, datetime(2024, 1, 1, 11, 30))] == (1, 4000)
+    assert got[(2, datetime(2024, 1, 1, 10, 5))] == (1, 3000)
