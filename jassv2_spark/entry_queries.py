@@ -3530,6 +3530,63 @@ SELECT query_id, doc_id, combsum, n_runs, combmnz, rank FROM csr WHERE rank <= {
                FROM ranked WHERE rank <= {K}""",
     )
 
+    # URL blocklist gating (weburls.py:url_block_flags): C4/RefinedWeb-
+    # style pre-fetch filter. Hosts derive deterministically from doc_id
+    # (mod-5 rule: blocked host, its subdomain, a near-miss, two clean
+    # sites), paths carry the 'casino' keyword on the mod-7 rule; the
+    # oracle restates the suffix + substring rules directly.
+    _UBL_HOSTS = ["spam.example", "tracker.net"]
+    _UBL_WORDS = ["casino", "viagra"]
+
+    def _ubl_pages(spark, sf):
+        docs = _docs(spark, sf)
+        host = (
+            F.when(F.col("doc_id") % 5 == 0, F.lit("spam.example"))
+            .when(F.col("doc_id") % 5 == 1, F.lit("ads.spam.example"))
+            .when(F.col("doc_id") % 5 == 2, F.lit("notspam.example"))
+            .when(F.col("doc_id") % 5 == 3, F.lit("tracker.net"))
+            .otherwise(F.lit("clean.org"))
+        )
+        word = F.when(F.col("doc_id") % 7 == 0, F.lit("casino-")).otherwise(F.lit(""))
+        return docs.select(
+            F.concat(
+                F.lit("https://"), host, F.lit("/page/"), word,
+                F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+            ).alias("url")
+        )
+
+    def _url_block(spark, sf):
+        from jassv2_spark.operators.weburls import url_block_flags
+
+        return url_block_flags(_ubl_pages(spark, sf), _UBL_HOSTS, _UBL_WORDS)
+
+    _ubl_h = ", ".join(f"('{h}')" for h in _UBL_HOSTS)
+    _ubl_w = ", ".join(f"('{w}')" for w in _UBL_WORDS)
+    r["web_url_block"] = (
+        _url_block,
+        f"""WITH up AS (SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 'spam.example'
+                               WHEN 1 THEN 'ads.spam.example'
+                               WHEN 2 THEN 'notspam.example'
+                               WHEN 3 THEN 'tracker.net'
+                               ELSE 'clean.org' END AS host,
+               CASE WHEN doc_id % 7 = 0 THEN 'casino-' ELSE '' END AS word
+            FROM documents),
+           uu AS (SELECT host,
+               'https://' || host || '/page/' || word || lpad(doc_id::VARCHAR, 8, '0') AS url,
+               '/page/' || word || lpad(doc_id::VARCHAR, 8, '0') AS pathq
+            FROM up),
+           uf AS (SELECT url, host,
+               EXISTS (SELECT 1 FROM (VALUES {_ubl_h}) b(h)
+                       WHERE uu.host = b.h OR suffix(uu.host, '.' || b.h)) AS host_blocked,
+               EXISTS (SELECT 1 FROM (VALUES {_ubl_w}) w(kw)
+                       WHERE contains(lower(uu.pathq), kw)) AS path_blocked
+            FROM uu)
+           SELECT url, host, host_blocked, path_blocked,
+                  NOT (host_blocked OR path_blocked) AS keep
+           FROM uf""",
+    )
+
     # ---- web link graph (operators/webgraph.py) ----
     # Deterministic out-link rule: doc i links to (7i+3)%n, (13i+5)%n,
     # (i+1)%n (self-links dropped); anchor text = the target's first 3

@@ -186,3 +186,54 @@ def url_features(pages: DataFrame, url_col: str = "url") -> DataFrame:
             "is_https",
         )
     )
+
+
+def url_block_flags(
+    pages: DataFrame,
+    blocked_hosts: list[str],
+    blocked_path_words: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, host, host_blocked, path_blocked, keep): URL blocklist
+    gating — the pre-fetch curation filter every Common-Crawl pipeline
+    runs (C4 dropped pages via a badwords list, Raffel et al. 2020
+    §2.2; RefinedWeb gates on UT1 blocklist domains, Penedo et al. 2023
+    §3.1) applied to the URL alone, before a byte of body is read.
+
+    - host_blocked: the URL's host equals a blocked host OR is a
+      subdomain of one (suffix rule: 'ads.example.com' matches blocked
+      'example.com'; 'notexample.com' does not — the dot boundary is
+      required).
+    - path_blocked: any blocked word appears as a substring of the
+      LOWERCASED path+query (the C4-style keyword rule).
+    - keep = neither.
+
+    Scale shape: both lists ride into the plan as literal arrays
+    (blocklists are 10^4-10^6 entries — for the large end, swap the
+    `exists()` scan for a broadcast join on host; the path-word list
+    stays literal since it is always small). Map-only, no shuffle.
+    """
+    u = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)", 1)
+    )
+    hosts_arr = F.array(*[F.lit(h.lower()) for h in blocked_hosts]) if blocked_hosts else F.expr("array()").cast("array<string>")
+    words_arr = F.array(*[F.lit(w.lower()) for w in blocked_path_words]) if blocked_path_words else F.expr("array()").cast("array<string>")
+    path_q = F.lower(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    )
+    host_blocked = F.exists(
+        hosts_arr,
+        lambda b: (F.col("__h") == b) | F.col("__h").endswith(F.concat(F.lit("."), b)),
+    )
+    path_blocked = F.exists(words_arr, lambda w: F.col("__p").contains(w))
+    return (
+        pages.select(u.alias("url"), host.alias("__h"), path_q.alias("__p"))
+        .select(
+            "url",
+            F.col("__h").alias("host"),
+            host_blocked.alias("host_blocked"),
+            path_blocked.alias("path_blocked"),
+        )
+        .withColumn("keep", ~(F.col("host_blocked") | F.col("path_blocked")))
+    )
