@@ -1515,6 +1515,71 @@ fagg AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_matched,
               JOIN qm USING (query_id)""",
     )
 
+    # Closed-form pointwise LTR training (ltr.py:fit_linear): OLS
+    # rel ~ (rsv, n_matched) + intercept via exact-integer normal
+    # equations + Cramer — the data-sized work is nine Gram sums (one
+    # agg); the oracle replays the identical arithmetic in HUGEINT with
+    # the pmod floor-div recipe (det > 0: Gram is PD when non-singular).
+    # Target = least(sum_tf, 50), the capped matched-term mass — a
+    # genuine (non-identity) regression on (rsv, n_matched): the cap
+    # breaks linear dependence with the features and the fit learns the
+    # corpus's rsv-vs-mass relationship.
+    def _ltr_fit(spark, sf):
+        from jassv2_spark.operators.ltr import fit_linear, ltr_features
+        from jassv2_spark.operators.search import parse_queries
+
+        idx = get_index(spark, sf)
+        feats = ltr_features(idx, _queries_df(spark), k=K)
+        data = feats.select(
+            F.col("rsv").alias("x1"),
+            F.col("n_matched").alias("x2"),
+            F.least(F.col("sum_tf"), F.lit(50)).cast("long").alias("y"),
+        )
+        return fit_linear(data, "x1", "x2", "y")
+
+    def _ltr_fit_sql() -> str:
+        ltr_sql = r["jass_ltr_features"][1]
+        fdiv = lambda a, b: f"(({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b})"
+        return (
+            _sql(
+                _BASE,
+                f"""lfe AS (SELECT * FROM ({ltr_sql})),
+lfd AS (SELECT f.rsv AS x1, f.n_matched AS x2, least(f.sum_tf, 50)::BIGINT AS y
+        FROM lfe f),
+lfs AS (SELECT count(*)::HUGEINT AS n,
+               sum((x1 * x1)::HUGEINT)::HUGEINT AS s11,
+               sum((x1 * x2)::HUGEINT)::HUGEINT AS s12,
+               sum(x1::HUGEINT)::HUGEINT AS s1,
+               sum((x2 * x2)::HUGEINT)::HUGEINT AS s22,
+               sum(x2::HUGEINT)::HUGEINT AS s2,
+               sum((x1 * y)::HUGEINT)::HUGEINT AS b1,
+               sum((x2 * y)::HUGEINT)::HUGEINT AS b2,
+               sum(y::HUGEINT)::HUGEINT AS b0
+        FROM lfd),
+lfdet AS (SELECT n,
+    (s11 * (s22 * n - s2 * s2) - s12 * (s12 * n - s2 * s1)
+     + s1 * (s12 * s2 - s22 * s1)) AS det,
+    (b1 * (s22 * n - s2 * s2) - s12 * (b2 * n - s2 * b0)
+     + s1 * (b2 * s2 - s22 * b0)) AS d1,
+    (s11 * (b2 * n - s2 * b0) - b1 * (s12 * n - s2 * s1)
+     + s1 * (s12 * b0 - b2 * s1)) AS d2,
+    (s11 * (s22 * b0 - b2 * s2) - s12 * (s12 * b0 - b2 * s1)
+     + b1 * (s12 * s2 - s22 * s1)) AS d0
+ FROM lfs)""",
+            )
+            + f""" SELECT n::BIGINT AS n_rows,
+        CASE WHEN n = 0 OR det = 0 THEN 0
+             ELSE ({fdiv('1000000 * d1', 'det')}) END::BIGINT AS w1_micros,
+        CASE WHEN n = 0 OR det = 0 THEN 0
+             ELSE ({fdiv('1000000 * d2', 'det')}) END::BIGINT AS w2_micros,
+        CASE WHEN n = 0 OR det = 0 THEN 0
+             ELSE ({fdiv('1000000 * d0', 'det')}) END::BIGINT AS w0_micros,
+        (n = 0 OR det = 0) AS singular
+ FROM lfdet"""
+        )
+
+    r["jass_ltr_fit"] = (_ltr_fit, _ltr_fit_sql())
+
     # DPR hard-negative mining (Karpukhin et al. 2020): BM25 top-k minus
     # the positives. Positives = docs containing EVERY parsed query term
     # with tf ≥ 2, restricted to doc_id % 3 == 0 — the % 3 models

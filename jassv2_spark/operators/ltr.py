@@ -151,3 +151,73 @@ def mine_hard_negatives(
         .where(F.col("neg_rank") <= F.lit(n_neg))
         .select("query_id", "doc_id", "rsv", "orig_rank", "neg_rank")
     )
+
+
+def fit_linear(
+    features: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    *,
+    scale: int = MICRO,
+) -> DataFrame:
+    """One row (n_rows, w1_micros, w2_micros, w0_micros, singular):
+    closed-form pointwise LTR training — ordinary least squares
+    y ≈ w1·x1 + w2·x2 + w0 solved EXACTLY via the normal equations and
+    Cramer's rule, the distributed-ML pattern where the data-sized work
+    is one aggregation: the 3×3 Gram matrix and 3-vector are nine
+    exact integer sums (per-row products in int64, accumulated in
+    DECIMAL(38,0) so 10^12-row corpora cannot overflow — partial-agg,
+    one reduce to ONE row), and the solve is driver-side python bigint
+    arithmetic on that row (arbitrary precision: determinants of
+    sum-products exceed int64 by design). Weights come back as
+    floor(scale·det_i/det) — python floor division, mirrored by the
+    oracle's pmod floor-div recipe over HUGEINTs — so the fitted model
+    is bitwise identical on any engine at any parallelism. A singular
+    Gram (collinear features) yields zero weights and singular=true.
+
+    The one-row driver hop is the same legitimate pattern as the
+    k-means centroid collect (cluster.py) and lmdir's ln lookups:
+    O(k²) values, independent of corpus size.
+    """
+    spark = features.sparkSession
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
+
+    def _s(expr, name):
+        return F.sum(expr.cast("decimal(38,0)")).cast("decimal(38,0)").alias(name)
+
+    row = features.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _s(x1 * x1, "s11"), _s(x1 * x2, "s12"), _s(x1, "s1"),
+        _s(x2 * x2, "s22"), _s(x2, "s2"),
+        _s(x1 * y, "b1"), _s(x2 * y, "b2"), _s(y, "b0"),
+    ).collect()[0]
+    n = int(row["n"])
+    if n == 0:
+        out = [(0, 0, 0, 0, True)]
+    else:
+        s11, s12, s1 = int(row["s11"]), int(row["s12"]), int(row["s1"])
+        s22, s2 = int(row["s22"]), int(row["s2"])
+        b1, b2, b0 = int(row["b1"]), int(row["b2"]), int(row["b0"])
+
+        def det3(a, b, c, d, e, f, g, h, i):
+            return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+        det = det3(s11, s12, s1, s12, s22, s2, s1, s2, n)
+        if det == 0:
+            out = [(n, 0, 0, 0, True)]
+        else:
+            d1 = det3(b1, s12, s1, b2, s22, s2, b0, s2, n)
+            d2 = det3(s11, b1, s1, s12, b2, s2, s1, b0, n)
+            d0 = det3(s11, s12, b1, s12, s22, b2, s1, s2, b0)
+            out = [(
+                n,
+                (int(scale) * d1) // det,
+                (int(scale) * d2) // det,
+                (int(scale) * d0) // det,
+                False,
+            )]
+    return spark.createDataFrame(
+        out,
+        schema="n_rows long, w1_micros long, w2_micros long, w0_micros long, singular boolean",
+    )

@@ -1,0 +1,47 @@
+"""Closed-form OLS (fit_linear): exact recovery of a planted linear
+model, numpy lstsq parity on noisy data, and singular-Gram handling."""
+
+import numpy as np
+
+from jassv2_spark.operators.ltr import fit_linear
+
+COLS = ["x1", "x2", "y"]
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, COLS)
+    r = fit_linear(df, "x1", "x2", "y").collect()[0]
+    return (r["n_rows"], r["w1_micros"], r["w2_micros"], r["w0_micros"], r["singular"])
+
+
+def test_recovers_planted_integer_model_exactly(spark):
+    # y = 3*x1 - 2*x2 + 7, exact integer data -> exact micros weights
+    rows = [(x1, x2, 3 * x1 - 2 * x2 + 7)
+            for x1 in range(0, 6) for x2 in range(0, 4)]
+    assert _run(spark, rows) == (24, 3_000_000, -2_000_000, 7_000_000, False)
+
+
+def test_matches_numpy_lstsq_on_nonexact_data(spark):
+    rng = np.random.default_rng(5)
+    X1 = rng.integers(0, 50, 40)
+    X2 = rng.integers(0, 20, 40)
+    Y = 2 * X1 + 5 * X2 + rng.integers(-3, 4, 40)
+    rows = [(int(a), int(b), int(c)) for a, b, c in zip(X1, X2, Y)]
+    n, w1, w2, w0, sing = _run(spark, rows)
+    A = np.stack([X1, X2, np.ones_like(X1)], axis=1).astype(float)
+    ref = np.linalg.lstsq(A, Y.astype(float), rcond=None)[0]
+    assert not sing and n == 40
+    for got_micros, want in zip((w1, w2, w0), ref):
+        assert abs(got_micros / 1e6 - want) < 1e-5  # floor(1e6·exact) vs float
+
+
+def test_collinear_features_flag_singular(spark):
+    rows = [(i, 2 * i, i + 1) for i in range(10)]  # x2 = 2*x1
+    n, w1, w2, w0, sing = _run(spark, rows)
+    assert sing is True and (w1, w2, w0) == (0, 0, 0)
+
+
+def test_empty_input_singular(spark):
+    df = spark.createDataFrame([], "x1 long, x2 long, y long")
+    r = fit_linear(df, "x1", "x2", "y").collect()[0]
+    assert r["singular"] is True and r["n_rows"] == 0
