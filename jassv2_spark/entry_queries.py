@@ -4184,6 +4184,42 @@ lp{i + 1} AS MATERIALIZED (SELECT d.doc_id, coalesce(b.lab, l.lab) AS lab
         + f" SELECT doc_id, lab AS community FROM lp{_LPA_ROUNDS}",
     )
 
+    # Modularity of the LPA partition (webgraph.py:modularity): Newman-
+    # Girvan Q from three exact int64 sums + one fixed IEEE micros
+    # chain; oracle replays the LPA rounds then the same sums.
+    def _web_modularity(spark, sf):
+        from jassv2_spark.operators.webgraph import (
+            label_propagation,
+            modularity,
+            synthesize_links,
+        )
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        comm = label_propagation(docs.select("doc_id"), links, iterations=_LPA_ROUNDS)
+        return modularity(links, comm)
+
+    r["web_modularity"] = (
+        _web_modularity,
+        _sql(
+            _LINKS_CTES,
+            *_lpa_parts(),
+            f"""mdeg AS (SELECT src AS n, count(*)::BIGINT AS d FROM lsym GROUP BY src),
+mm2 AS (SELECT count(*)::BIGINT AS m2 FROM lsym),
+mboth AS (SELECT a.lab AS cs, b.lab AS cd
+          FROM lsym e JOIN lp{_LPA_ROUNDS} a ON a.doc_id = e.src
+          JOIN lp{_LPA_ROUNDS} b ON b.doc_id = e.dst),
+mintra AS (SELECT count(*)::BIGINT AS sum_intra FROM mboth WHERE cs = cd),
+mdc AS (SELECT a.lab AS c, sum(d.d)::BIGINT AS dc
+        FROM mdeg d JOIN lp{_LPA_ROUNDS} a ON a.doc_id = d.n GROUP BY a.lab),
+mdc2 AS (SELECT sum(dc * dc)::BIGINT AS sum_deg_sq FROM mdc)""",
+        )
+        + """ SELECT m2 AS m2_edges, sum_intra, sum_deg_sq,
+        floor(1000000.0 * (m2 * sum_intra - sum_deg_sq)::DOUBLE
+              / (m2::DOUBLE * m2::DOUBLE))::BIGINT AS modularity_micros
+ FROM mm2, mintra, mdc2""",
+    )
+
     # k-core peeling (webgraph.py:k_core): nodes surviving `rounds`
     # degree-< k peels of the symmetrized graph, with induced-subgraph
     # degree — link-farm density QA. Oracle unrolls the same peels.

@@ -160,6 +160,7 @@ def fit_linear(
     y_col: str,
     *,
     scale: int = MICRO,
+    ridge: int = 0,
 ) -> DataFrame:
     """One row (n_rows, w1_micros, w2_micros, w0_micros, singular):
     closed-form pointwise LTR training — ordinary least squares
@@ -196,8 +197,8 @@ def fit_linear(
     if n == 0:
         out = [(0, 0, 0, 0, True)]
     else:
-        s11, s12, s1 = int(row["s11"]), int(row["s12"]), int(row["s1"])
-        s22, s2 = int(row["s22"]), int(row["s2"])
+        s11, s12, s1 = int(row["s11"]) + int(ridge), int(row["s12"]), int(row["s1"])
+        s22, s2 = int(row["s22"]) + int(ridge), int(row["s2"])
         b1, b2, b0 = int(row["b1"]), int(row["b2"]), int(row["b0"])
 
         def det3(a, b, c, d, e, f, g, h, i):

@@ -1184,3 +1184,67 @@ def assortativity(edges: DataFrame) -> DataFrame:
         )
         .alias("assortativity_micros"),
     )
+
+
+def modularity(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """One row (m2_edges, sum_intra, sum_deg_sq, modularity_micros):
+    Newman-Girvan modularity Q of a community partition over the
+    symmetrized link graph — the standard quality score for
+    :func:`label_propagation` / :func:`connected_components` output
+    (Q ≳ 0.3 signals real community structure; ≈ 0 means the partition
+    is no better than random).
+
+    With m2 = |directed symmetric edges| (= 2m), intra_c = symmetric
+    edges inside community c and deg_c = Σ member degrees:
+    Q = (m2·Σ intra_c − Σ deg_c²) / m2², computed from three exact
+    int64 sums and ONE fixed IEEE floor(1e6·num/den) chain — bitwise
+    cross-engine; the sums ride along for overflow audit (Σdeg_c²
+    nears int64 at 10^12-edge graphs with giant communities — shard
+    such communities or scale degrees down first).
+
+    Scale shape: one (node)-keyed degree agg; the assignment table
+    joins onto both edge endpoints ((src)- then (dst)-keyed — the
+    standard two-hop exchange); one community-keyed partial agg, one
+    global agg."""
+    asg = assignment.select(
+        F.col(assignment.columns[0]).alias("n"),
+        F.col(assignment.columns[1]).alias("c"),
+    )
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    deg = sym.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    both = (
+        sym.join(asg.select(F.col("n").alias("src"), F.col("c").alias("cs")), "src")
+        .join(asg.select(F.col("n").alias("dst"), F.col("c").alias("cd")), "dst")
+    )
+    m2 = sym.count()
+    intra = (
+        both.where(F.col("cs") == F.col("cd"))
+        .groupBy("cs")
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    degc = (
+        deg.join(asg, "n")
+        .groupBy("c")
+        .agg(F.sum("d").alias("dc"))
+        .select((F.col("dc") * F.col("dc")).alias("dc2"))
+    )
+    sums = intra.agg(F.sum("ic").cast("long").alias("sum_intra")).crossJoin(
+        degc.agg(F.sum("dc2").cast("long").alias("sum_deg_sq"))
+    )
+    si = F.coalesce(F.col("sum_intra"), F.lit(0)).cast("long")
+    sd = F.coalesce(F.col("sum_deg_sq"), F.lit(0)).cast("long")
+    num = F.lit(int(m2)) * si - sd
+    den = float(m2) * float(m2)
+    return sums.select(
+        F.lit(int(m2)).cast("long").alias("m2_edges"),
+        si.alias("sum_intra"),
+        sd.alias("sum_deg_sq"),
+        (
+            F.floor(F.lit(1000000.0) * num.cast("double") / F.lit(den)).cast("long")
+            if m2 > 0
+            else F.lit(0).cast("long")
+        ).alias("modularity_micros"),
+    )

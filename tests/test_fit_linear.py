@@ -45,3 +45,18 @@ def test_empty_input_singular(spark):
     df = spark.createDataFrame([], "x1 long, x2 long, y long")
     r = fit_linear(df, "x1", "x2", "y").collect()[0]
     assert r["singular"] is True and r["n_rows"] == 0
+
+
+def test_ridge_resolves_collinearity_and_shrinks(spark):
+    from jassv2_spark.operators.ltr import fit_linear
+
+    rows = [(i, 2 * i, 3 * i + 1) for i in range(1, 11)]  # x2 = 2*x1
+    df = spark.createDataFrame(rows, COLS)
+    r0 = fit_linear(df, "x1", "x2", "y").collect()[0]
+    assert r0["singular"] is True
+    r1 = fit_linear(df, "x1", "x2", "y", ridge=1).collect()[0]
+    assert r1["singular"] is False
+    big = fit_linear(df, "x1", "x2", "y", ridge=10**9).collect()[0]
+    # huge lambda crushes feature weights toward 0, intercept -> mean(y)
+    assert abs(big["w1_micros"]) < abs(r1["w1_micros"])
+    assert abs(big["w1_micros"]) < 1000 and abs(big["w2_micros"]) < 1000

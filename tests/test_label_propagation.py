@@ -66,3 +66,60 @@ def test_lpa_direction_and_duplicates_ignored(spark):
     got_a = _run(spark, 4, [(2, 1), (3, 2), (4, 3)], iterations=6)
     got_b = _run(spark, 4, [(1, 2), (2, 3), (3, 4), (3, 4), (4, 3)], iterations=6)
     assert got_a == got_b
+
+
+def _py_modularity(edges, assign):
+    sym = set()
+    for s, d in edges:
+        if s != d:
+            sym.add((s, d))
+            sym.add((d, s))
+    m2 = len(sym)
+    deg = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    intra = sum(1 for s, d in sym if assign[s] == assign[d])
+    dc = {}
+    for n, c in assign.items():
+        if n in deg:
+            dc[c] = dc.get(c, 0) + deg[n]
+    sum_dc2 = sum(v * v for v in dc.values())
+    import math
+
+    q = math.floor(1e6 * (m2 * intra - sum_dc2) / (m2 * m2))
+    return m2, intra, sum_dc2, q
+
+
+def test_modularity_two_triangles_bridge(spark):
+    from jassv2_spark.operators.webgraph import modularity
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    assign = {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    a = spark.createDataFrame(list(assign.items()), ["doc_id", "community"])
+    row = modularity(e, a).collect()[0]
+    got = (row["m2_edges"], row["sum_intra"], row["sum_deg_sq"],
+           row["modularity_micros"])
+    assert got == _py_modularity(edges, assign)
+    assert row["modularity_micros"] > 300000  # genuine structure
+
+    # everything in ONE community: Q = (m2*m2 - (2m2)^2/... ) < 0 side;
+    # exact parity either way
+    a1 = spark.createDataFrame([(i, 1) for i in range(1, 7)], ["doc_id", "community"])
+    row1 = modularity(e, a1).collect()[0]
+    assert (row1["m2_edges"], row1["sum_intra"], row1["sum_deg_sq"],
+            row1["modularity_micros"]) == _py_modularity(edges, {i: 1 for i in range(1, 7)})
+    assert row1["modularity_micros"] <= 0
+
+
+def test_modularity_of_lpa_partition(spark):
+    from jassv2_spark.operators.webgraph import label_propagation, modularity
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4)]
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    comm = label_propagation(nodes, e, iterations=4)
+    row = modularity(e, comm).collect()[0]
+    # two clean triangles: m2=12, intra=12, sum_dc2 = 2*6^2 = 72
+    # -> Q = (12*12 - 72)/144 = 0.5 exactly
+    assert row["modularity_micros"] == 500000
