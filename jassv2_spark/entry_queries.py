@@ -5595,6 +5595,51 @@ bv{i + 1} AS MATERIALIZED (
            FROM documents d LEFT JOIN bag g USING (doc_id)""",
     )
 
+    # PPMI term-context features (curation.py:ppmi_term_contexts): the
+    # count-based distributional matrix (Levy-Goldberg NIPS'14), map-side
+    # pair fan-out + one (w,c) shuffle, bit-length PPMI. Oracle generates
+    # the identical pairs with nested list_transform/flatten.
+    _PPMI_W, _PPMI_M, _PPMI_MIN = 2, 3, 2
+
+    def _ppmi(spark, sf):
+        from jassv2_spark.operators.curation import ppmi_term_contexts
+
+        return ppmi_term_contexts(
+            _docs(spark, sf), window=_PPMI_W, top_m=_PPMI_M,
+            min_pair_count=_PPMI_MIN,
+        )
+
+    r["text_ppmi_contexts"] = (
+        _ppmi,
+        f"""WITH ptk AS (SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS a
+               FROM documents),
+           ppr AS (SELECT unnest(flatten(list_transform(generate_series(1, len(a)), i ->
+                     flatten(list_transform(generate_series(1, {_PPMI_W}), o ->
+                       CASE WHEN i + o <= len(a)
+                            THEN [{{'w': a[i], 'c': a[i + o]}},
+                                  {{'w': a[i + o], 'c': a[i]}}]
+                            ELSE [] END))))) AS p
+               FROM ptk),
+           ppc AS (SELECT p.w AS w, p.c AS c, count(*)::BIGINT AS n_pair
+                   FROM ppr GROUP BY 1, 2),
+           pun AS (SELECT p.w AS w, count(*)::BIGINT AS n_w FROM ppr GROUP BY 1),
+           pnt AS (SELECT sum(n_w)::BIGINT AS n_all FROM pun),
+           psc AS (SELECT c0.w, c0.c, c0.n_pair,
+                    greatest(0, length(bin(c0.n_pair)) + length(bin(t.n_all))
+                                - length(bin(uw.n_w)) - length(bin(uc.n_w)))::BIGINT AS ppmi_bits
+                   FROM ppc c0
+                   JOIN pun uw ON uw.w = c0.w
+                   JOIN pun uc ON uc.w = c0.c
+                   CROSS JOIN pnt t
+                   WHERE c0.n_pair >= {_PPMI_MIN}),
+           prk AS (SELECT w, c, n_pair, ppmi_bits,
+                    (row_number() OVER (PARTITION BY w
+                        ORDER BY ppmi_bits DESC, n_pair DESC, c ASC))::BIGINT AS ctx_rank
+                   FROM psc)
+           SELECT w AS term, c AS context, n_pair, ppmi_bits, ctx_rank
+           FROM prk WHERE ctx_rank <= {_PPMI_M}""",
+    )
+
     # Per-domain cap sampling (C4-style host bound), md5-rank deterministic.
     _CAP = 15
 

@@ -795,3 +795,88 @@ def bigram_surprisal(
             .alias("mean_bits"),
         )
     )
+
+
+def ppmi_term_contexts(
+    docs: DataFrame,
+    *,
+    window: int = 3,
+    top_m: int = 5,
+    min_pair_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, context, n_pair, ppmi_bits, ctx_rank): the top-m PPMI
+    context terms per vocabulary term — the count-based distributional
+    representation (Levy & Goldberg NIPS'14 showed skip-gram factorizes
+    exactly this matrix), the from-scratch ingredient for related-term
+    expansion and embedding pretraining over a web corpus.
+
+    Pairs are generated MAP-SIDE from each document's token array (for
+    every position and offset 1..window, both directions — a pure JVM
+    transform/flatten, no positional self-join ever touches the
+    shuffle); one (term, context) exchange counts them (Zipf-hot pairs
+    partial-aggregate upstream). PPMI at the repo's integer bit-length
+    resolution, overflow-proof by construction:
+    ppmi_bits = max(0, bits(n_pair) + bits(N) − bits(n_w) − bits(n_c))
+    (each bits() stays on an int64 count; no products ever form).
+    Ranking (ppmi DESC, n_pair DESC, context ASC) is total, so top-m is
+    engine-portable. min_pair_count drops hapax pairs before the rank
+    window — the standard noise floor.
+
+    Scale shape: pair fan-out is 2·window per token (map-side), ONE
+    (w, c)-keyed shuffle, unigram table broadcast onto it, one
+    term-partitioned rank window over the surviving pairs."""
+    tk = docs.select(F.col(id_col), _toks(text_col).alias("a"))
+    pairs = tk.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, size(a)), i ->
+                      flatten(transform(sequence(1, {int(window)}), o ->
+                        case when i + o <= size(a) then
+                          array(struct(a[i-1] as w, a[i+o-1] as c),
+                                struct(a[i+o-1] as w, a[i-1] as c))
+                        else array() end))))"""
+            )
+        ).alias("p")
+    ).select(F.col("p.w").alias("w"), F.col("p.c").alias("c"))
+    pc = pairs.groupBy("w", "c").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = pairs.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    n_total = uni.agg(F.sum("n_w").cast("long").alias("n_all"))
+    scored = (
+        pc.where(F.col("n_pair") >= F.lit(int(min_pair_count)))
+        .join(F.broadcast(uni), "w")
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("c"), F.col("n_w").alias("n_c"))),
+            "c",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w",
+            "c",
+            "n_pair",
+            F.greatest(
+                F.lit(0),
+                F.length(F.bin("n_pair"))
+                + F.length(F.bin("n_all"))
+                - F.length(F.bin("n_w"))
+                - F.length(F.bin("n_c")),
+            )
+            .cast("long")
+            .alias("ppmi_bits"),
+        )
+    )
+    rk = Window.partitionBy("w").orderBy(
+        F.col("ppmi_bits").desc(), F.col("n_pair").desc(), F.col("c").asc()
+    )
+    return (
+        scored.withColumn("ctx_rank", F.row_number().over(rk).cast("long"))
+        .where(F.col("ctx_rank") <= F.lit(int(top_m)))
+        .select(
+            F.col("w").alias("term"),
+            F.col("c").alias("context"),
+            F.col("n_pair").cast("long").alias("n_pair"),
+            "ppmi_bits",
+            "ctx_rank",
+        )
+    )
