@@ -5640,6 +5640,41 @@ bv{i + 1} AS MATERIALIZED (
            FROM prk WHERE ctx_rank <= {_PPMI_M}""",
     )
 
+    # Distributional related terms (curation.py:related_terms): exact
+    # integer dot over shared PPMI contexts — corpus-mined synonym
+    # candidates; oracle reuses the verified PPMI SQL as a derived table.
+    _RT_S, _RT_MIN = 2, 2
+
+    def _related_terms(spark, sf):
+        from jassv2_spark.operators.curation import (
+            ppmi_term_contexts,
+            related_terms,
+        )
+
+        ctx = ppmi_term_contexts(
+            _docs(spark, sf), window=_PPMI_W, top_m=_PPMI_M,
+            min_pair_count=_PPMI_MIN,
+        )
+        return related_terms(ctx, top_s=_RT_S, min_shared=_RT_MIN)
+
+    def _related_terms_sql() -> str:
+        ppmi_sql = r["text_ppmi_contexts"][1]
+        return f"""WITH rts AS (SELECT * FROM ({ppmi_sql})),
+           rtd AS (SELECT a.term AS w1, b.term AS w2,
+                          count(*)::BIGINT AS n_shared,
+                          sum(a.ppmi_bits * b.ppmi_bits)::BIGINT AS dot
+                   FROM rts a JOIN rts b
+                     ON a.context = b.context AND a.term <> b.term
+                   GROUP BY 1, 2 HAVING count(*) >= {_RT_MIN}),
+           rtr AS (SELECT w1, w2, n_shared, dot,
+                    (row_number() OVER (PARTITION BY w1
+                        ORDER BY dot DESC, n_shared DESC, w2 ASC))::BIGINT AS sim_rank
+                   FROM rtd)
+           SELECT w1 AS term, w2 AS related, n_shared, dot, sim_rank
+           FROM rtr WHERE sim_rank <= {_RT_S}"""
+
+    r["text_related_terms"] = (_related_terms, _related_terms_sql())
+
     # Per-domain cap sampling (C4-style host bound), md5-rank deterministic.
     _CAP = 15
 

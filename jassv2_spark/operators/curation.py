@@ -880,3 +880,57 @@ def ppmi_term_contexts(
             "ctx_rank",
         )
     )
+
+
+def related_terms(
+    contexts: DataFrame,
+    *,
+    top_s: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(term, related, n_shared, dot, sim_rank): second-order
+    distributional similarity — two terms are related when their
+    :func:`ppmi_term_contexts` feature rows overlap, scored by the
+    exact integer dot product Σ ppmi_bits·ppmi_bits' over shared
+    contexts (the count-based cousin of embedding cosine; this is how
+    corpus-mined synonym candidates for `fuzzy.search_synonyms` are
+    born without any trained model). min_shared ≥ 2 kills one-context
+    coincidences; ranking (dot DESC, n_shared DESC, related ASC) is
+    total.
+
+    Scale shape: the input is already top-m-per-term (vocab × m rows);
+    the self equi-join keys on CONTEXT, so fan-out per context row is
+    the number of terms listing that context among their top-m — PPMI
+    already demoted stopword contexts, which is what makes this join
+    safe where a raw co-occurrence self-join would go quadratic. One
+    (term, related)-keyed partial agg + a term-partitioned rank
+    window."""
+    a = contexts.select(
+        F.col("term").alias("w1"), F.col("context").alias("ctx"),
+        F.col("ppmi_bits").alias("p1"),
+    )
+    b = contexts.select(
+        F.col("term").alias("w2"), F.col("context").alias("ctx"),
+        F.col("ppmi_bits").alias("p2"),
+    )
+    dots = (
+        a.join(b, "ctx")
+        .where(F.col("w1") != F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(F.col("p1") * F.col("p2")).cast("long").alias("dot"),
+        )
+        .where(F.col("n_shared") >= F.lit(int(min_shared)))
+    )
+    rk = Window.partitionBy("w1").orderBy(
+        F.col("dot").desc(), F.col("n_shared").desc(), F.col("w2").asc()
+    )
+    return (
+        dots.withColumn("sim_rank", F.row_number().over(rk).cast("long"))
+        .where(F.col("sim_rank") <= F.lit(int(top_s)))
+        .select(
+            F.col("w1").alias("term"), F.col("w2").alias("related"),
+            "n_shared", "dot", "sim_rank",
+        )
+    )

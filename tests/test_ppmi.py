@@ -70,3 +70,41 @@ def test_ppmi_window_respects_document_boundary(spark):
     got = _run(spark, [(1, "alpha beta"), (2, "gamma delta")],
                window=5, top_m=5, min_pair_count=1)
     assert ("alpha", "gamma") not in got and ("beta", "gamma") not in got
+
+
+def test_related_terms_python_parity_and_symmetry(spark):
+    from jassv2_spark.operators.curation import related_terms
+
+    corpus = [
+        (1, "cat dog pet animal cat dog"),
+        (2, "dog cat pet animal dog cat"),
+        (3, "car road drive fast car road"),
+        (4, "road car drive fast road car"),
+        (5, "cat dog pet " * 3),
+        (6, "car road drive " * 3),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    ctx = ppmi_term_contexts(docs, window=2, top_m=4, min_pair_count=2)
+    got = {
+        (r["term"], r["related"]): (r["n_shared"], r["dot"], r["sim_rank"])
+        for r in related_terms(ctx, top_s=2, min_shared=2).collect()
+    }
+    # python re-simulation over the collected context table
+    feats = {}
+    for r in ctx.collect():
+        feats.setdefault(r["term"], {})[r["context"]] = r["ppmi_bits"]
+    want = {}
+    for w1, f1 in feats.items():
+        cands = []
+        for w2, f2 in feats.items():
+            if w1 == w2:
+                continue
+            shared = set(f1) & set(f2)
+            if len(shared) >= 2:
+                cands.append((w2, len(shared), sum(f1[c] * f2[c] for c in shared)))
+        cands.sort(key=lambda t: (-t[2], -t[1], t[0]))
+        for rk, (w2, ns, dot) in enumerate(cands[:2], 1):
+            want[(w1, w2)] = (ns, dot, rk)
+    assert got == want
+    # cross-domain terms must not relate: 'cat' never pairs with 'car'
+    assert ("cat", "car") not in got and ("car", "cat") not in got
