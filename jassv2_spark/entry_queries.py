@@ -5675,6 +5675,58 @@ bv{i + 1} AS MATERIALIZED (
 
     r["text_related_terms"] = (_related_terms, _related_terms_sql())
 
+    # End-to-end mined-synonym serving: related_terms' top-1 per term IS
+    # the synonym table for search_synonyms — corpus-mined expansion
+    # through the unchanged serve chain, no hand-written synonym list.
+    def _topk_mined_syn(spark, sf):
+        from jassv2_spark.operators.curation import (
+            ppmi_term_contexts,
+            related_terms,
+        )
+        from jassv2_spark.operators.fuzzy import search_synonyms
+
+        ctx = ppmi_term_contexts(
+            _docs(spark, sf), window=_PPMI_W, top_m=_PPMI_M,
+            min_pair_count=_PPMI_MIN,
+        )
+        syn = (
+            related_terms(ctx, top_s=_RT_S, min_shared=_RT_MIN)
+            .where(F.col("sim_rank") == 1)
+            .select("term", F.col("related").alias("synonym"))
+        )
+        return search_synonyms(
+            get_index(spark, sf), _queries_df(spark), syn, k=K, with_keys=False
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    def _topk_mined_syn_sql() -> str:
+        rt_sql = _related_terms_sql()
+        return (
+            _sql(
+                _BASE,
+                f"""msyn AS (SELECT term, related AS synonym
+         FROM ({rt_sql}) WHERE sim_rank = 1),
+mq(query_id, query) AS (VALUES {_values_clause()}),
+mqtok AS (SELECT query_id, unnest(regexp_extract_all(lower(query), '{TOKEN_PATTERN}')) AS term FROM mq),
+mqt0 AS (SELECT query_id, term, count(*)::BIGINT AS q_tf FROM mqtok GROUP BY 1, 2),
+qt AS (SELECT query_id, term, sum(q_tf)::BIGINT AS q_tf FROM (
+         SELECT query_id, term, q_tf FROM mqt0
+         UNION ALL
+         SELECT q0.query_id, s.synonym AS term, q0.q_tf
+         FROM mqt0 q0 JOIN msyn s USING (term))
+       GROUP BY 1, 2),"""
+                + _post_qt_ctes(1.0),
+                _TOPK_CTES,
+            )
+            + _topk_select
+        )
+
+    r["jass_topk_mined_synonyms"] = (_topk_mined_syn, _topk_mined_syn_sql())
+
     # Per-domain cap sampling (C4-style host bound), md5-rank deterministic.
     _CAP = 15
 
