@@ -427,6 +427,21 @@ class Engine:
             tokenizer=self.query_tokenizer, **kw,
         )
 
+    def search_prefix(
+        self, queries: DataFrame, k: int | None = None,
+        max_expand: int = 8, min_prefix: int = 2, **kw,
+    ) -> DataFrame:
+        """Prefix / search-as-you-type serving: typed terms expand to the
+        highest-df vocabulary terms sharing the prefix (operators/fuzzy.py,
+        Lucene PrefixQuery rewrite-cap analogue)."""
+        from jassv2_spark.operators.fuzzy import search_prefix
+
+        return search_prefix(
+            self.index, queries, k=k or self.top_k, rho=self.rho,
+            max_expand=max_expand, min_prefix=min_prefix,
+            tokenizer=self.query_tokenizer, **kw,
+        )
+
     def trending_terms(
         self, docs: DataFrame, doc_ts: DataFrame,
         bucket_s: int = 3600, top_m: int = 10, **kw,

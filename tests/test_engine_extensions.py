@@ -95,3 +95,13 @@ def test_anytime_quality_curve_facade(spark, eng):
     # the budgeted run can only lose overlap, never gain
     assert rows[250_000]["sum_common"] <= rows[250_000]["sum_full"]
     assert rows[250_000]["n_queries"] == 2
+
+
+def test_search_prefix_facade(spark, eng):
+    q = spark.createDataFrame([("q1", "sp win")], ["query_id", "query"])
+    got = eng.search_prefix(q, k=3, min_prefix=2)
+    assert got.count() > 0  # 'sp' -> spark, 'win' -> window
+    # equivalent to literal search on the expanded terms
+    full = spark.createDataFrame([("q1", "spark window")], ["query_id", "query"])
+    want = sorted(map(tuple, eng.search(full, k=3).collect()))
+    assert sorted(map(tuple, got.collect())) == want
