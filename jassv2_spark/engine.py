@@ -427,6 +427,16 @@ class Engine:
             tokenizer=self.query_tokenizer, **kw,
         )
 
+    def explain(self, queries: DataFrame, k: int | None = None) -> DataFrame:
+        """Per-term rsv decomposition of each top-k hit (operators/search.py:
+        explain_topk); Σ contrib over a hit's terms equals its rsv exactly."""
+        from jassv2_spark.operators.search import explain_topk
+
+        return explain_topk(
+            self.index, queries, k=k or self.top_k, rho=self.rho,
+            tokenizer=self.query_tokenizer,
+        )
+
     def search_prefix(
         self, queries: DataFrame, k: int | None = None,
         max_expand: int = 8, min_prefix: int = 2, **kw,

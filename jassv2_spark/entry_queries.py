@@ -2457,6 +2457,32 @@ ranked2 AS (SELECT query_id, doc_id, rsv,
         + f" SELECT query_id, doc_id, rsv, rank FROM ranked2 WHERE rank <= {K}",
     )
 
+    # Score explanation (search.py:explain_topk): each top-k hit's rsv
+    # decomposed into exact per-term contributions under identical serve
+    # semantics (Σ contrib = rsv bit-for-bit); oracle re-groups the same
+    # kept×imp join by term.
+    def _explain(spark, sf):
+        from jassv2_spark.operators.search import explain_topk
+
+        return explain_topk(get_index(spark, sf), _queries_df(spark), k=K)
+
+    r["jass_explain"] = (
+        _explain,
+        _sql(
+            _BASE,
+            _query_ctes(1.0),
+            _TOPK_CTES,
+            """expl AS (SELECT k.query_id, i.doc_id, k.term,
+                count(*)::BIGINT AS n_segments, sum(k.scaled)::BIGINT AS contrib
+         FROM kept k JOIN imp i ON i.term = k.term AND i.impact = k.impact
+         GROUP BY 1, 2, 3)""",
+        )
+        + f""" SELECT e.query_id, e.doc_id, e.term, e.n_segments, e.contrib,
+                      r.rsv, r.rank
+               FROM expl e JOIN ranked r USING (query_id, doc_id)
+               WHERE r.rank <= {K}""",
+    )
+
     r["jass_query_metrics"] = (
         lambda spark, sf: search_metrics(get_index(spark, sf), _queries_df(spark), rho=1.0).select(
             "query_id",

@@ -404,3 +404,49 @@ def search_after(
         page = F.broadcast(page).join(index.doc_map, "doc_id")
         return page.select("query_id", "doc_id", "key", "rsv", "rank")
     return page.select("query_id", "doc_id", "rsv", "rank")
+
+
+def explain_topk(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    rho: float = 1.0,
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, term, n_segments, contrib, rsv, rank): the
+    Lucene-`explain` analogue — each top-k hit's rsv decomposed into
+    exact per-term contributions under the IDENTICAL serve semantics
+    (q_tf scaling, uint8 rescale, ρ budget all included, because the
+    rows come from the same processed-segment set the ranker summed).
+    Invariant: Σ contrib over a hit's terms = its rsv, bit-for-bit —
+    the debugging contract scoring changes are validated against.
+
+    Scale shape: the same broadcast-join + explode as serving, with the
+    tiny top-k broadcast back in so only hit docids survive to the one
+    (query, doc, term)-keyed agg — explain costs one extra serve pass,
+    never a corpus pass."""
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    seg = gather_segments(index, q_terms, q_meta, rho=rho)
+    topk = search_from_terms(
+        index, q_terms, q_meta, k=k, rho=rho, with_keys=False
+    )
+    processed = F.broadcast(seg.select("query_id", "term", "impact", "scaled"))
+    return (
+        processed.join(_pruned_segments(index, q_terms), ["term", "impact"])
+        .select("query_id", "term", F.explode("doc_ids").alias("doc_id"), "scaled")
+        .join(
+            F.broadcast(topk.select("query_id", "doc_id", "rsv", "rank")),
+            ["query_id", "doc_id"],
+        )
+        .groupBy("query_id", "doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("scaled").cast("long").alias("contrib"),
+            F.first("rsv").cast("long").alias("rsv"),
+            F.first("rank").cast("long").alias("rank"),
+        )
+        .select("query_id", "doc_id", "term", "n_segments", "contrib", "rsv", "rank")
+    )

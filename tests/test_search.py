@@ -234,3 +234,45 @@ def test_conjunctive_and_semantics(ten, spark):
     # single-term AND == single-term OR
     single = {(r["doc_id"], r["rsv"]) for r in by.get("qs", [])}
     assert single == {(d, v) for d, v in py.search("ten", k=10)[0]}
+
+
+def test_explain_contributions_sum_to_rsv(spark, ten):
+    from jassv2_spark.operators.search import explain_topk, search
+
+    ten_index, _ = ten
+    q = spark.createDataFrame(
+        [("q1", "spark join"), ("q2", "hash hash table")], ["query_id", "query"]
+    )
+    exp = explain_topk(ten_index, q, k=5).collect()
+    want = {
+        (r["query_id"], r["doc_id"]): (r["rsv"], r["rank"])
+        for r in search(ten_index, q, k=5, with_keys=False).collect()
+    }
+    by_hit = {}
+    for r in exp:
+        key = (r["query_id"], r["doc_id"])
+        by_hit.setdefault(key, [0, None, None])
+        by_hit[key][0] += r["contrib"]
+        by_hit[key][1:] = [r["rsv"], r["rank"]]
+    assert set(by_hit) == set(want)
+    for key, (csum, rsv, rank) in by_hit.items():
+        assert (rsv, rank) == want[key]
+        assert csum == rsv  # exact decomposition
+
+
+def test_explain_respects_rho_budget(spark, ten):
+    from jassv2_spark.operators.search import explain_topk, search
+
+    ten_index, _ = ten
+    q = spark.createDataFrame([("q1", "spark join table")], ["query_id", "query"])
+    full = explain_topk(ten_index, q, k=5, rho=1.0)
+    tight = explain_topk(ten_index, q, k=5, rho=0.3)
+    run_tight = {
+        (r["query_id"], r["doc_id"]): r["rsv"]
+        for r in search(ten_index, q, k=5, rho=0.3, with_keys=False).collect()
+    }
+    got = {}
+    for r in tight.collect():
+        got[(r["query_id"], r["doc_id"])] = got.get((r["query_id"], r["doc_id"]), 0) + r["contrib"]
+    assert got == run_tight  # decomposition of the BUDGETED run
+    assert tight.count() <= full.count()
