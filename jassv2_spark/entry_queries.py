@@ -1980,6 +1980,52 @@ best AS (SELECT query_id, doc_id, anchor, n_terms,
         _sql(_base_del, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
     )
 
+    # Recrawl replacement (plans/merge.py:update_docs): every 50th doc is
+    # re-ingested with ' spark spark' appended — stale version deleted by
+    # key, fresh version appended with dense-key-ranked ids offset past
+    # the surviving max. Oracle: the whole SQL chain over the final
+    # corpus with the same id rule (string-key order, like docids.py).
+    _upd_cache: dict = {}
+
+    def _topk_updated(spark, sf):
+        from jassv2_spark.plans.merge import update_docs
+
+        idx = _upd_cache.get(sf)
+        if idx is None:
+            fresh = (
+                _docs(spark, sf)
+                .where(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+                .select(
+                    F.col("doc_id").cast("string").alias("key"),
+                    F.concat(F.col("text"), F.lit(" spark spark")).alias("text"),
+                )
+            )
+            idx = update_docs(
+                get_index(spark, sf), fresh, text_col="text", key_col="key"
+            )
+            _upd_cache[sf] = idx
+        return search(idx, _queries_df(spark), k=K, rho=1.0, with_keys=False).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _base_upd = _BASE.replace(
+        "FROM documents",
+        """FROM (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+      UNION ALL
+      SELECT (SELECT max(doc_id) FROM documents WHERE doc_id % 50 <> 0)
+             + row_number() OVER (ORDER BY doc_id::VARCHAR) AS doc_id,
+             text || ' spark spark' AS text
+      FROM documents WHERE doc_id % 50 = 0)""",
+    )
+    r["jass_update_topk"] = (
+        _topk_updated,
+        _sql(_base_upd, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
+    )
+
     # Exact phrase top-k (operators/phrase.py): adjacent-token runs scored
     # as BM25 pseudo-terms; map-only corpus pass via JVM higher-order fns,
     # only matches shuffle. idf driver-side (CPython ln) as everywhere.

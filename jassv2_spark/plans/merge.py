@@ -213,6 +213,43 @@ def add_docs(
     return merge_indexes([index, shard], conf=conf, rekey=rekey, cache=cache)
 
 
+def update_docs(
+    index: "Index",
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "key",
+    conf: BuildConf | None = None,
+    cache: bool = True,
+) -> "Index":
+    """Recrawl replacement (upsert by key): every index document whose
+    key appears in `docs` is deleted (the `delete_docs` exactness
+    contract), then ALL incoming docs are appended as a fresh shard
+    (`add_docs`: only the new docs are tokenized; ids dense-ranked by
+    key, offset past the surviving max — a freed id below the offset is
+    never reused, but the offset itself may land on a previously-deleted
+    id, which is fine because the new index is self-consistent). Net:
+    the standard web-crawl refresh — changed pages re-enter with fresh
+    ids, unchanged pages keep theirs, and every collection-global
+    statistic (df, idf, mean dl, quantization range) is recomputed
+    exactly as a fresh build over the final corpus would.
+
+    Scale shape: the incoming batch is the small side (a recrawl slice
+    of the corpus); its key set broadcasts into the doc_map for the
+    stale-id anti-join, tokenization touches only the batch, and the
+    heavy surviving-counts base is reused untouched."""
+    keys = F.broadcast(
+        docs.select(F.col(key_col).cast("string").alias("__k")).distinct()
+    )
+    stale = index.doc_map.join(
+        keys, index.doc_map["key"] == F.col("__k")
+    ).select("doc_id")
+    pruned = delete_docs(index, stale, conf=conf, cache=cache)
+    return add_docs(
+        pruned, docs, text_col=text_col, key_col=key_col, conf=conf, cache=cache
+    )
+
+
 def delete_docs_build_dir(
     spark: SparkSession,
     src_dir: str,

@@ -233,3 +233,67 @@ def test_vocab_diff_hand_checked(spark):
     # |delta|=1 group ties break term ASC: q before w before z
     assert [got[t]["move_rank"] for t in ("q", "w", "z")] == [2, 3, 4]
     assert got["y"]["delta"] == 0
+
+
+def test_update_docs_replaces_by_key(spark):
+    from jassv2_spark.operators.build import BuildConf, build_index
+    from jassv2_spark.operators.search import search
+    from jassv2_spark.plans.merge import update_docs
+
+    docs = spark.createDataFrame(
+        [("a", "old stale words here"), ("b", "spark join table"),
+         ("c", "window scan query")],
+        ["key", "text"],
+    )
+    idx = build_index(docs, text_col="text", key_col="key",
+                      conf=BuildConf(tokenizer="parity"))
+    fresh = spark.createDataFrame(
+        [("a", "brand new content spark")], ["key", "text"]
+    )
+    idx2 = update_docs(idx, fresh, text_col="text", key_col="key")
+
+    def hits(index, qtext):
+        q = spark.createDataFrame([("q", qtext)], ["query_id", "query"])
+        return {r["key"] for r in search(index, q, k=10).collect()}
+
+    assert idx2.n_docs == 3  # replaced, not appended
+    assert hits(idx2, "stale") == set()          # old version gone
+    assert hits(idx2, "brand") == {"a"}          # new version serves
+    assert hits(idx2, "spark") == {"a", "b"}     # merged vocab consistent
+    # unchanged docs keep their ids
+    old_ids = {r["key"]: r["doc_id"] for r in idx.doc_map.collect()}
+    new_ids = {r["key"]: r["doc_id"] for r in idx2.doc_map.collect()}
+    assert new_ids["b"] == old_ids["b"] and new_ids["c"] == old_ids["c"]
+    assert new_ids["a"] != old_ids["a"]  # replaced doc got a fresh id
+
+
+def test_update_docs_equals_fresh_build_results(spark):
+    from jassv2_spark.operators.build import BuildConf, build_index
+    from jassv2_spark.operators.search import search
+    from jassv2_spark.plans.merge import update_docs
+
+    conf = BuildConf(tokenizer="parity")
+    base = [(f"k{i}", f"term{i} common spark") for i in range(6)]
+    docs = spark.createDataFrame(base, ["key", "text"])
+    idx = build_index(docs, text_col="text", key_col="key", conf=conf)
+    fresh = spark.createDataFrame(
+        [("k2", "replaced common join"), ("k4", "replaced join window")],
+        ["key", "text"],
+    )
+    idx2 = update_docs(idx, fresh, text_col="text", key_col="key")
+
+    final = {k: t for k, t in base}
+    final["k2"] = "replaced common join"
+    final["k4"] = "replaced join window"
+    ref = build_index(
+        spark.createDataFrame(sorted(final.items()), ["key", "text"]),
+        text_col="text", key_col="key", conf=conf,
+    )
+    q = spark.createDataFrame(
+        [("q1", "common spark"), ("q2", "replaced join")], ["query_id", "query"]
+    )
+    got = sorted((r["query_id"], r["key"], r["rsv"])
+                 for r in search(idx2, q, k=10).collect())
+    want = sorted((r["query_id"], r["key"], r["rsv"])
+                  for r in search(ref, q, k=10).collect())
+    assert got == want  # key-level results identical to a fresh build
