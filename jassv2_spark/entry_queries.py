@@ -5799,6 +5799,35 @@ qt AS (SELECT query_id, term, sum(q_tf)::BIGINT AS q_tf FROM (
 
     r["jass_topk_mined_synonyms"] = (_topk_mined_syn, _topk_mined_syn_sql())
 
+    # Exact nearest-rank percentiles (textstats.py:exact_percentiles):
+    # per-language doc-length order statistics — the deterministic
+    # complement to approx_percentile for corpus-QA gates.
+    _PCT_PS = [25, 50, 75, 95, 99]
+
+    def _dl_percentiles(spark, sf):
+        from jassv2_spark.operators.textstats import _toks, exact_percentiles
+
+        base = _docs(spark, sf).select(
+            "lang", F.size(_toks("text")).cast("long").alias("dl")
+        )
+        return exact_percentiles(base, "dl", _PCT_PS, ["lang"])
+
+    _pct_vals = ", ".join(f"({p})" for p in _PCT_PS)
+    r["text_dl_percentiles"] = (
+        _dl_percentiles,
+        f"""WITH pct0 AS (SELECT lang,
+                  len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::BIGINT AS dl
+               FROM documents),
+           pctr AS (SELECT lang, dl,
+                  (row_number() OVER (PARTITION BY lang ORDER BY dl ASC))::BIGINT AS rk,
+                  (count(*) OVER (PARTITION BY lang))::BIGINT AS n_rows
+               FROM pct0),
+           pp(p) AS (VALUES {_pct_vals})
+           SELECT lang, p::BIGINT AS p, dl::BIGINT AS value, n_rows
+           FROM pctr CROSS JOIN pp
+           WHERE rk = ceil(p * n_rows / 100)::BIGINT""",
+    )
+
     # Per-domain cap sampling (C4-style host bound), md5-rank deterministic.
     _CAP = 15
 

@@ -647,3 +647,46 @@ def stopword_candidates(
     return head.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "term", "df", "df_ppm"
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: list[int],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., p, value, n_rows): EXACT nearest-rank percentiles
+    (ceil(p/100·n)-th smallest value — the classic definition, no
+    interpolation) of an integer column, optionally per group. The
+    deterministic complement to Spark's approx_percentile: identical on
+    every engine because the answer is an order statistic, not an
+    estimate, so it can gate corpus QA thresholds (dl p99, rsv p50)
+    that an approximate sketch would make flaky.
+
+    Scale shape: one rank window per group (the honest cost of an exact
+    order statistic — grouped data sorts within its partition; for
+    ungrouped corpus-wide use at 10^12 rows prefer dl_histogram /
+    approx_percentile, which is why both exist) and a broadcast-sized
+    join of the requested ranks."""
+    spark = df.sparkSession
+    gcols = list(group_cols or [])
+    gexprs = [F.col(c) for c in gcols] or [F.lit(0).alias("__g")]
+    part = gcols or ["__g"]
+    base = df.select(*gexprs, F.col(value_col).cast("long").alias("__v"))
+    w = Window.partitionBy(*part).orderBy(F.col("__v").asc())
+    ranked = base.select(
+        *part,
+        "__v",
+        F.row_number().over(w).cast("long").alias("__rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(*part)).cast("long").alias("n_rows"),
+    )
+    ps = F.broadcast(
+        spark.createDataFrame([(int(p),) for p in percentiles], "p long")
+    )
+    hit = ranked.crossJoin(ps).where(
+        F.col("__rk") == F.ceil(F.col("p") * F.col("n_rows") / F.lit(100)).cast("long")
+    )
+    out_cols = gcols + ["p"]
+    return hit.select(
+        *out_cols, F.col("__v").alias("value"), "n_rows"
+    ).orderBy(*out_cols)

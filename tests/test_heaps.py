@@ -45,3 +45,24 @@ def test_dl_histogram_buckets(spark):
            for r in dl_histogram(dls).collect()}
     # 1 -> bucket 0; 2,3 -> bucket 1; 8 -> bucket 3; 0 -> bucket -1
     assert got == {0: (1, 1), 1: (2, 5), 3: (1, 8), -1: (1, 0)}
+
+
+def test_exact_percentiles_nearest_rank(spark):
+    from jassv2_spark.operators.textstats import exact_percentiles
+
+    vals = [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]  # 1..10
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = {r["p"]: (r["value"], r["n_rows"])
+           for r in exact_percentiles(df, "x", [10, 50, 90, 100]).collect()}
+    # nearest-rank: ceil(p/100 * 10)-th smallest
+    assert got == {10: (1, 10), 50: (5, 10), 90: (9, 10), 100: (10, 10)}
+
+
+def test_exact_percentiles_grouped(spark):
+    from jassv2_spark.operators.textstats import exact_percentiles
+
+    rows = [("a", v) for v in range(1, 5)] + [("b", v) for v in (10, 20)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    got = {(r["g"], r["p"]): r["value"]
+           for r in exact_percentiles(df, "x", [50, 100], ["g"]).collect()}
+    assert got == {("a", 50): 2, ("a", 100): 4, ("b", 50): 10, ("b", 100): 20}
