@@ -1307,6 +1307,50 @@ franked AS (SELECT query_id, facet, n_hits, sum_rsv, max_rsv,
     r["jass_facets_lang"] = (_facets_fn("lang"), _facets_sql("lang"))
     r["jass_facets_source"] = (_facets_fn("source"), _facets_sql("source"))
 
+    # Numeric range facets (facets.py:range_facet_counts): the ES range-
+    # aggregation shape — doc-length buckets over each query's full match
+    # set; bucketing is a map-side CASE, match-set semantics unchanged.
+    _RF_BOUNDS = [40, 55, 70]
+
+    def _range_facets(spark, sf):
+        from jassv2_spark.operators.facets import range_facet_counts
+
+        idx = get_index(spark, sf)
+        return range_facet_counts(
+            idx, _queries_df(spark),
+            idx.doc_lengths.select("doc_id", F.col("dl").cast("long").alias("dl")),
+            "dl", _RF_BOUNDS,
+        )
+
+    _rf_case = (
+        f"CASE WHEN dl < {_RF_BOUNDS[0]} THEN 'lt_{_RF_BOUNDS[0]}'"
+        + "".join(
+            f" WHEN dl < {hi} THEN '{lo}_{hi}'"
+            for lo, hi in zip(_RF_BOUNDS, _RF_BOUNDS[1:])
+        )
+        + f" ELSE 'ge_{_RF_BOUNDS[-1]}' END"
+    )
+    r["jass_facets_dl_range"] = (
+        _range_facets,
+        _sql(
+            _BASE,
+            _query_ctes(1.0),
+            _TOPK_CTES,
+            f"""
+rfb AS (SELECT doc_id, {_rf_case} AS facet FROM dlx),
+rfac AS (SELECT h.query_id, b.facet, count(*)::BIGINT AS n_hits,
+               sum(h.rsv)::BIGINT AS sum_rsv, max(h.rsv)::BIGINT AS max_rsv
+        FROM hits h JOIN rfb b USING (doc_id)
+        GROUP BY h.query_id, b.facet),
+rfranked AS (SELECT query_id, facet, n_hits, sum_rsv, max_rsv,
+                   (row_number() OVER (PARTITION BY query_id
+                                       ORDER BY n_hits DESC, facet ASC))::BIGINT AS facet_rank
+            FROM rfac)
+""",
+        )
+        + " SELECT query_id, facet, n_hits, sum_rsv, max_rsv, facet_rank FROM rfranked",
+    )
+
     # Significant terms (operators/sigterms.py): vocabulary
     # overrepresented in each query's full match set vs the collection —
     # exact integer lift (no transcendentals), rank-stable tie-breaks.

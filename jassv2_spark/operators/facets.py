@@ -68,3 +68,35 @@ def facet_counts(
         F.col("n_hits").desc(), F.col("facet").asc()
     )
     return agg.withColumn("facet_rank", F.row_number().over(w).cast("long"))
+
+
+def range_bucket(value, boundaries: list[int]):
+    """Column: deterministic half-open range label for `value` given
+    ascending `boundaries` [b1..bk] — 'lt_b1', 'b1_b2', …, 'ge_bk'
+    (labels sort meaningfully and carry their bounds)."""
+    bs = sorted(int(b) for b in boundaries)
+    expr = F.when(value < bs[0], F.lit(f"lt_{bs[0]}"))
+    for lo, hi in zip(bs, bs[1:]):
+        expr = expr.when(value < hi, F.lit(f"{lo}_{hi}"))
+    return expr.otherwise(F.lit(f"ge_{bs[-1]}"))
+
+
+def range_facet_counts(
+    index: Index,
+    queries: DataFrame,
+    doc_values: DataFrame,
+    value_col: str,
+    boundaries: list[int],
+    rho: float = 1.0,
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """Numeric range facets (the Elasticsearch range-aggregation shape):
+    :func:`facet_counts` over half-open buckets of an integer per-doc
+    value (doc length, crawl age, quality score). Same match-set
+    semantics and scale shape; the bucketing is a map-side CASE."""
+    buckets = doc_values.select(
+        "doc_id", range_bucket(F.col(value_col), boundaries).alias("bucket")
+    )
+    return facet_counts(
+        index, queries, buckets, "bucket", rho=rho, tokenizer=tokenizer
+    )

@@ -122,3 +122,28 @@ def test_doc_keyterms_topm_per_doc(spark, idx):
     r4 = by_doc[4][0]
     assert r4["weight_micros"] == 2 * math.floor(1_000_000 * math.log(5 / 1))
     assert all(len(rows) == 2 for rows in by_doc.values())
+
+
+def test_range_facets_bucket_semantics(spark, idx):
+    from jassv2_spark.operators.facets import facet_counts, range_facet_counts
+
+    queries = spark.createDataFrame([("q1", "table query")], ["query_id", "query"])
+    dls = idx.doc_lengths.select(
+        "doc_id", F.col("dl").cast("long").alias("dl")
+    )
+    got = range_facet_counts(idx, queries, dls, "dl", [3, 5]).collect()
+    # every label well-formed, and counts equal a manual facet_counts over
+    # the same CASE-bucketed column
+    import pyspark.sql.functions as SF
+    manual = dls.select(
+        "doc_id",
+        SF.when(SF.col("dl") < 3, "lt_3")
+        .when(SF.col("dl") < 5, "3_5")
+        .otherwise("ge_5")
+        .alias("bucket"),
+    )
+    want = facet_counts(idx, queries, manual, "bucket").collect()
+    key = lambda r: (r["query_id"], r["facet"], r["n_hits"], r["sum_rsv"],
+                     r["max_rsv"], r["facet_rank"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert all(r["facet"] in {"lt_3", "3_5", "ge_5"} for r in got)
