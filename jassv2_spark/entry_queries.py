@@ -3768,6 +3768,52 @@ SELECT query_id, doc_id, combsum, n_runs, combmnz, rank FROM csr WHERE rank <= {
            FROM uf""",
     )
 
+    # Boilerplate stripping (weburls.py:strip_boilerplate): C4's line-dedup
+    # action — paragraphs with corpus df >= min_docs removed, survivors
+    # re-joined in order. The synthetic text has no sentence breaks, so
+    # even docs get a deterministic footer injected; the op must strip it
+    # from every even doc and leave odd docs byte-identical.
+    _BP_FOOTER = "subscribe to the cookie banner"
+
+    def _strip_bp(spark, sf):
+        from jassv2_spark.operators.weburls import strip_boilerplate
+
+        pages = _docs(spark, sf).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.col("text"), F.lit(f". {_BP_FOOTER}")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return strip_boilerplate(pages, min_docs=3)
+
+    r["web_strip_boilerplate"] = (
+        _strip_bp,
+        f"""WITH bpd AS (SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN text || '. {_BP_FOOTER}'
+                      ELSE text END AS text
+            FROM documents),
+           bpp AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\. ')) AS para,
+                          generate_subscripts(regexp_split_to_array(text, '\\. '), 1) AS idx
+                   FROM bpd),
+           bpf AS (SELECT doc_id, para, idx, md5(para) AS h FROM bpp
+                   WHERE length(trim(para)) > 0),
+           bpb AS (SELECT h FROM bpf GROUP BY h HAVING count(DISTINCT doc_id) >= 3),
+           bpm AS (SELECT f.doc_id, f.para, f.idx, (b.h IS NOT NULL) AS boiler
+                   FROM bpf f LEFT JOIN bpb b ON b.h = f.h),
+           bpr AS (SELECT doc_id, count(*)::BIGINT AS n_paras,
+                          sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+                          coalesce(string_agg(CASE WHEN NOT boiler THEN para END,
+                                              '. ' ORDER BY idx), '') AS clean_text
+                   FROM bpm GROUP BY doc_id)
+           SELECT d.doc_id, coalesce(r2.clean_text, '') AS clean_text,
+                  coalesce(r2.n_paras, 0)::BIGINT AS n_paras,
+                  coalesce(r2.n_dropped, 0)::BIGINT AS n_dropped
+           FROM documents d LEFT JOIN bpr r2 USING (doc_id)""",
+    )
+
     # ---- web link graph (operators/webgraph.py) ----
     # Deterministic out-link rule: doc i links to (7i+3)%n, (13i+5)%n,
     # (i+1)%n (self-links dropped); anchor text = the target's first 3

@@ -237,3 +237,68 @@ def url_block_flags(
         )
         .withColumn("keep", ~(F.col("host_blocked") | F.col("path_blocked")))
     )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\\. ",
+    min_docs: int = 3,
+) -> DataFrame:
+    """(doc_id, clean_text, n_paras, n_dropped): the ACTION op for
+    :func:`paragraph_duplicates` — C4's line-deduplication rule (Raffel
+    et al. 2020 §2.2 removed any 3-sentence span occurring more than
+    once; the standard production form drops lines/paragraphs whose
+    corpus document-frequency ≥ `min_docs`, i.e. navigation, footers,
+    cookie banners). Surviving paragraphs are re-joined IN ORIGINAL
+    ORDER with '. ' — the output is separator-normalized (split drops
+    the original separators), documented rather than hidden. Documents
+    whose every paragraph is boilerplate come back with clean_text = ''.
+
+    Scale shape: paragraph df is a (hash)-keyed partial agg over the
+    exploded pieces; the boilerplate hash set (small: only df ≥
+    min_docs survive) BROADCASTS back onto the exploded side as an
+    anti-join, and one (doc)-keyed sorted-struct rebuild ends it —
+    two corpus passes, no skew (hashes uniform)."""
+    pieces = F.split(F.col(text_col), sep)
+    paras = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(pieces).alias("para_idx", "para"),
+        )
+        .where(F.length(F.trim("para")) > 0)
+        .withColumn("para_hash", F.md5(F.col("para").cast("binary")))
+    )
+    boiler = (
+        paras.groupBy("para_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+        .select("para_hash")
+    )
+    marked = paras.join(
+        F.broadcast(boiler.withColumn("__boiler", F.lit(1))), "para_hash", "left"
+    )
+    rebuilt = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("__boiler").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN __boiler IS NULL"
+                " THEN struct(para_idx, para) END)), x -> x.para)"
+            ),
+            ". ",
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_paras", F.lit(0).cast("long")).alias("n_paras"),
+            F.coalesce("n_dropped", F.lit(0).cast("long")).alias("n_dropped"),
+        )
+    )

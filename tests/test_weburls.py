@@ -63,3 +63,41 @@ def test_lang_ngram_heuristic(spark):
     )
     got = {r["doc_id"]: r["lang_ngram"] for r in lang_ngram_scores(docs).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_strip_boilerplate_drops_common_paragraphs(spark):
+    from jassv2_spark.operators.weburls import strip_boilerplate
+
+    footer = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha content. {footer}. more alpha"),
+            (2, f"{footer}. unique beta content"),
+            (3, f"unique gamma. {footer}"),
+            (4, f"{footer}"),           # all boilerplate
+            (5, "entirely unique text"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_dropped"])
+        for r in strip_boilerplate(docs, min_docs=3).collect()
+    }
+    assert got[1] == ("unique alpha content. more alpha", 3, 1)
+    assert got[2] == ("unique beta content", 2, 1)
+    assert got[3] == ("unique gamma", 2, 1)
+    assert got[4] == ("", 1, 1)
+    assert got[5] == ("entirely unique text", 1, 0)
+
+
+def test_strip_boilerplate_threshold_respected(spark):
+    from jassv2_spark.operators.weburls import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "twice seen. own line one"), (2, "twice seen. own line two")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["clean_text"]
+           for r in strip_boilerplate(docs, min_docs=3).collect()}
+    # df=2 < min_docs=3 -> nothing stripped
+    assert got == {1: "twice seen. own line one", 2: "twice seen. own line two"}
