@@ -3934,6 +3934,48 @@ r{i + 1} AS (SELECT d.doc_id,
 
     r["web_pagerank"] = (_web_pagerank, _pr_sql())
 
+    # Recrawl priority (webgraph.py:recrawl_priority): refresh value =
+    # PageRank × capped staleness (Cho & Garcia-Molina family); warc_ts
+    # synthesis rule 2024-01-01 + doc_id s, "now" a fixed literal, cap 7d.
+    _RC_NOW = "2024-02-01 00:00:00"
+    _RC_CAP = 7 * 86400
+
+    def _web_recrawl(spark, sf):
+        from jassv2_spark.operators.webgraph import (
+            pagerank,
+            recrawl_priority,
+            synthesize_links,
+        )
+
+        docs = _docs(spark, sf)
+        links = synthesize_links(docs, anchor_tokens=_ANCHOR_N).select("src", "dst")
+        pr = pagerank(docs.select("doc_id"), links, iterations=_PR_ITERS)
+        ts = docs.select(
+            "doc_id",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)"
+            ).alias("ts"),
+        )
+        return recrawl_priority(pr, ts, now_ts=_RC_NOW, age_cap_s=_RC_CAP)
+
+    def _web_recrawl_sql() -> str:
+        pr_sql = r["web_pagerank"][1]
+        return f"""WITH wrp AS (SELECT * FROM ({pr_sql})),
+           wrt AS (SELECT doc_id,
+                    TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS ts
+                   FROM documents),
+           wrs AS (SELECT p.doc_id, p.pr,
+                    date_diff('second', t.ts, TIMESTAMP '{_RC_NOW}')::BIGINT AS age_s
+                   FROM wrp p JOIN wrt t USING (doc_id)),
+           wrr AS (SELECT doc_id, pr, age_s,
+                    (pr * least(age_s, {_RC_CAP}))::BIGINT AS priority
+                   FROM wrs)
+           SELECT doc_id, pr, age_s, priority,
+                  (row_number() OVER (ORDER BY priority DESC, doc_id ASC))::BIGINT AS prio_rank
+           FROM wrr"""
+
+    r["web_recrawl_priority"] = (_web_recrawl, _web_recrawl_sql())
+
     # TrustRank (Gyöngyi et al. VLDB'04): PageRank with teleport mass
     # restricted to a vetted seed set (here the deterministic rule
     # doc_id % 97 == 0), so trust decays with link distance from seeds.

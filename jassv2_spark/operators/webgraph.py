@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jassv2_spark.sources.webpages import URL_PREFIX
@@ -1248,3 +1248,43 @@ def modularity(edges: DataFrame, assignment: DataFrame) -> DataFrame:
             else F.lit(0).cast("long")
         ).alias("modularity_micros"),
     )
+
+
+def recrawl_priority(
+    ranks: DataFrame,
+    doc_ts: DataFrame,
+    *,
+    now_ts: str,
+    age_cap_s: int = 86400 * 30,
+    top_k: int | None = None,
+) -> DataFrame:
+    """(doc_id, pr, age_s, priority, prio_rank): crawl scheduling —
+    refresh value = page importance × staleness (the Cho &
+    Garcia-Molina VLDB'00 refresh-policy family, with :func:`pagerank`
+    as the importance prior): priority = pr · min(age_s, cap), all
+    exact int64 (pr is already integer fixed point; age is a timestamp
+    difference in whole seconds against the caller-supplied `now_ts`
+    literal — passed in, never read from a clock, so runs reproduce).
+    The cap stops ancient-but-worthless pages from starving the queue;
+    rank ties break (priority DESC, doc_id ASC).
+
+    Scale shape: one doc-keyed equi-join (ranks ⋈ timestamps — both
+    node-sized) and, when `top_k` is set, one global rank window over
+    the already-reduced frame; the frontier consumer usually takes the
+    whole ordered table instead."""
+    j = ranks.join(doc_ts, "doc_id")
+    age = F.expr(f"CAST(timestampdiff(SECOND, ts, timestamp'{now_ts}') AS BIGINT)")
+    scored = j.select(
+        "doc_id",
+        F.col("pr").cast("long").alias("pr"),
+        age.alias("age_s"),
+        (
+            F.col("pr").cast("long")
+            * F.least(age, F.lit(int(age_cap_s)).cast("bigint"))
+        ).alias("priority"),
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+    out = scored.withColumn("prio_rank", F.row_number().over(w).cast("long"))
+    if top_k is not None:
+        out = out.where(F.col("prio_rank") <= F.lit(int(top_k)))
+    return out

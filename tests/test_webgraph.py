@@ -116,3 +116,28 @@ def test_pagerank_checkpoint_option(spark, docs):
         for r in pagerank(docs.select("doc_id"), links, checkpoint_every=3).collect()
     }
     assert plain == ckpt
+
+
+def test_recrawl_priority_importance_times_staleness(spark):
+    from jassv2_spark.operators.webgraph import recrawl_priority
+
+    ranks = spark.createDataFrame(
+        [(1, 1000), (2, 100), (3, 1000)], ["doc_id", "pr"]
+    )
+    ts = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"),   # old + important
+         (2, "2024-01-01 00:00:00"),   # old + unimportant
+         (3, "2024-01-10 00:00:00")],  # fresh + important
+        ["doc_id", "ts"],
+    ).select("doc_id", F.col("ts").cast("timestamp").alias("ts"))
+    got = {
+        r["doc_id"]: (r["age_s"], r["priority"], r["prio_rank"])
+        for r in recrawl_priority(
+            ranks, ts, now_ts="2024-01-11 00:00:00", age_cap_s=86400 * 5
+        ).collect()
+    }
+    # doc1: age 10d capped at 5d -> 1000*432000; doc2: 100*432000;
+    # doc3: age 1d=86400 -> 1000*86400
+    assert got[1] == (864000, 1000 * 432000, 1)
+    assert got[3] == (86400, 1000 * 86400, 2)
+    assert got[2] == (864000, 100 * 432000, 3)
