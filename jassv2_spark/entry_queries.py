@@ -2024,6 +2024,40 @@ best AS (SELECT query_id, doc_id, anchor, n_terms,
         _sql(_base_del, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
     )
 
+    # Batch query dedup serving (search.py:search_deduped): duplicate and
+    # permuted-duplicate queries served once through a representative and
+    # fanned back out — results bit-identical to plain serving, which is
+    # exactly what the oracle states (the plain chain over the same list).
+    _DD_QUERIES = (
+        ENTRY_QUERIES
+        + [(f"d{i:02d}", q) for i, (_, q) in enumerate(ENTRY_QUERIES[:4], 1)]
+        + [("d90", " ".join(reversed(ENTRY_QUERIES[0][1].split())))]
+    )
+
+    def _topk_deduped(spark, sf):
+        from jassv2_spark.operators.search import search_deduped
+
+        return search_deduped(
+            get_index(spark, sf),
+            spark.createDataFrame(_DD_QUERIES, ["query_id", "query"]),
+            k=K, with_keys=False,
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _dd_values = ", ".join(f"('{qid}', '{q}')" for qid, q in _DD_QUERIES)
+    _DD_CTES = f"""
+q(query_id, query) AS (VALUES {_dd_values}),
+qtok AS (SELECT query_id, unnest(regexp_extract_all(lower(query), '{TOKEN_PATTERN}')) AS term FROM q),
+qt AS (SELECT query_id, term, count(*)::BIGINT AS q_tf FROM qtok GROUP BY query_id, term),""" + _post_qt_ctes(1.0)
+    r["jass_topk_deduped"] = (
+        _topk_deduped,
+        _sql(_BASE, _DD_CTES, _TOPK_CTES) + _topk_select,
+    )
+
     # Recrawl replacement (plans/merge.py:update_docs): every 50th doc is
     # re-ingested with ' spark spark' appended — stale version deleted by
     # key, fresh version appended with dense-key-ranked ids offset past

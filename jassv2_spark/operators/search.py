@@ -450,3 +450,60 @@ def explain_topk(
         )
         .select("query_id", "doc_id", "term", "n_segments", "contrib", "rsv", "rank")
     )
+
+
+def search_deduped(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    rho: float = 1.0,
+    tokenizer: str | None = None,
+    with_keys: bool = True,
+) -> DataFrame:
+    """`search` with BATCH QUERY DEDUPLICATION: queries whose parsed
+    term multiset is identical (including reorderings — bag-of-words
+    serving is permutation-invariant) are served ONCE through the
+    representative (smallest query_id) and the results fanned back out
+    to every duplicate. Real query logs are Zipf-headed — navigational
+    duplicates dominate large batches — so this removes the bulk of
+    the segment work while returning bit-identical results per query
+    (pinned in tests against plain `search`).
+
+    Scale shape: the canonical key is one tiny agg over parsed terms
+    (query-sized frames throughout); the serve chain runs on the
+    distinct-key representatives only; fan-out is a broadcast join of
+    the query→representative map onto the top-k rows."""
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    keys = q_terms.groupBy("query_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.concat_ws(":", "term", F.col("q_tf").cast("string")))
+            ),
+            " ",
+        ).alias("__qkey")
+    )
+    reps = keys.groupBy("__qkey").agg(F.min("query_id").alias("__rep"))
+    qmap = keys.join(reps, "__qkey").select("query_id", "__rep")
+    rep_terms = (
+        q_terms.join(
+            F.broadcast(qmap.where(F.col("query_id") == F.col("__rep"))), "query_id"
+        )
+        .select("query_id", "term", "q_tf")
+    )
+    rep_meta = q_meta.join(
+        F.broadcast(qmap.where(F.col("query_id") == F.col("__rep"))), "query_id"
+    ).select("query_id", "n_terms")
+    res = search_from_terms(
+        index, rep_terms, rep_meta, k=k, rho=rho, with_keys=with_keys
+    )
+    out_cols = ["query_id", "doc_id", "key", "rsv", "rank"] if with_keys else [
+        "query_id", "doc_id", "rsv", "rank"
+    ]
+    return (
+        res.withColumnRenamed("query_id", "__rep")
+        .join(F.broadcast(qmap), "__rep")
+        .select(*out_cols)
+    )

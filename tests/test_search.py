@@ -276,3 +276,26 @@ def test_explain_respects_rho_budget(spark, ten):
         got[(r["query_id"], r["doc_id"])] = got.get((r["query_id"], r["doc_id"]), 0) + r["contrib"]
     assert got == run_tight  # decomposition of the BUDGETED run
     assert tight.count() <= full.count()
+
+
+def test_search_deduped_identical_to_plain(spark, ten):
+    from jassv2_spark.operators.search import search, search_deduped
+
+    ten_index, _ = ten
+    q = spark.createDataFrame(
+        [("q1", "ten nine"), ("q2", "nine ten"),    # permuted duplicate
+         ("q3", "ten nine"), ("q4", "three seven"),
+         ("q5", "zzz"), ("q6", "zzz")],             # OOV duplicates
+        ["query_id", "query"],
+    )
+    got = sorted(map(tuple,
+        search_deduped(ten_index, q, k=5, with_keys=False).collect()))
+    want = sorted(map(tuple,
+        search(ten_index, q, k=5, with_keys=False).collect()))
+    assert got == want
+    # q1..q3 all present with identical results
+    by_q = {}
+    for qid, doc, rsv, rank in got:
+        by_q.setdefault(qid, []).append((doc, rsv, rank))
+    assert by_q["q1"] == by_q["q2"] == by_q["q3"]
+    assert "q5" not in by_q and "q6" not in by_q  # OOV: no rows, like plain
