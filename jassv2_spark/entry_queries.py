@@ -2024,6 +2024,45 @@ best AS (SELECT query_id, doc_id, anchor, n_terms,
         _sql(_base_del, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
     )
 
+    # Minimum-should-match serving (search.py:search_min_match): docs must
+    # match >= 2 distinct query terms (counted over processed segments) —
+    # the Lucene/ES midpoint between OR and AND.
+    _MM = 2
+
+    def _topk_min_match(spark, sf):
+        from jassv2_spark.operators.search import search_min_match
+
+        return search_min_match(
+            get_index(spark, sf), _queries_df(spark), min_match=_MM,
+            k=K, with_keys=False,
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            "n_terms_matched",
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    r["jass_topk_min2"] = (
+        _topk_min_match,
+        _sql(
+            _BASE,
+            _query_ctes(1.0),
+            f"""
+mmh AS (SELECT k.query_id, i.doc_id, sum(k.scaled)::BIGINT AS rsv,
+               count(DISTINCT k.term)::BIGINT AS n_terms_matched
+        FROM kept k JOIN imp i ON i.term = k.term AND i.impact = k.impact
+        GROUP BY 1, 2 HAVING count(DISTINCT k.term) >= {_MM}),
+mmr AS (SELECT query_id, doc_id, rsv, n_terms_matched,
+               (row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rsv DESC, doc_id DESC))::BIGINT AS rank
+        FROM mmh)
+""",
+        )
+        + f""" SELECT query_id, doc_id, rsv, n_terms_matched, rank
+               FROM mmr WHERE rank <= {K}""",
+    )
+
     # Batch query dedup serving (search.py:search_deduped): duplicate and
     # permuted-duplicate queries served once through a representative and
     # fanned back out — results bit-identical to plain serving, which is

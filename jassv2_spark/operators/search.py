@@ -507,3 +507,54 @@ def search_deduped(
         .join(F.broadcast(qmap), "__rep")
         .select(*out_cols)
     )
+
+
+def search_min_match(
+    index: Index,
+    queries: DataFrame,
+    min_match: int = 2,
+    k: int = DEFAULT_K,
+    rho: float = 1.0,
+    tokenizer: str | None = None,
+    with_keys: bool = True,
+) -> DataFrame:
+    """(query_id, doc_id[, key], rsv, n_terms_matched, rank): top-k with
+    the Lucene/ES minimum_should_match rule — a document qualifies only
+    when ≥ `min_match` DISTINCT query terms touched it, the practical
+    midpoint between the engine's OR (any term) and `search_conjunctive`
+    (every term). Matching is counted over PROCESSED segments, so under
+    ρ < 1 the filter sees exactly what the anytime accumulator saw —
+    same contract as the facet/metric ops. Scoring, rescale and
+    tie-breaks are the plain serve chain's.
+
+    Scale shape: identical to `search` except the one hash-agg carries
+    the term through the explode (same shuffle key, one extra small
+    column) and adds a count-distinct per (query, doc)."""
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    seg = gather_segments(index, q_terms, q_meta, rho=rho)
+    processed = F.broadcast(seg.select("query_id", "term", "impact", "scaled"))
+    hits = (
+        processed.join(_pruned_segments(index, q_terms), ["term", "impact"])
+        .select("query_id", "term", F.explode("doc_ids").alias("doc_id"), "scaled")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("scaled").alias("rsv"),
+            F.count_distinct("term").cast("long").alias("n_terms_matched"),
+        )
+        .where(F.col("n_terms_matched") >= F.lit(int(min_match)))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("doc_id").desc()
+    )
+    topk = hits.withColumn("rank", F.row_number().over(wk).cast("long")).where(
+        F.col("rank") <= F.lit(int(k))
+    )
+    if with_keys:
+        topk = F.broadcast(topk).join(index.doc_map, "doc_id")
+        return topk.select(
+            "query_id", "doc_id", "key", "rsv", "n_terms_matched", "rank"
+        )
+    return topk.select("query_id", "doc_id", "rsv", "n_terms_matched", "rank")

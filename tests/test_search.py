@@ -299,3 +299,34 @@ def test_search_deduped_identical_to_plain(spark, ten):
         by_q.setdefault(qid, []).append((doc, rsv, rank))
     assert by_q["q1"] == by_q["q2"] == by_q["q3"]
     assert "q5" not in by_q and "q6" not in by_q  # OOV: no rows, like plain
+
+
+def test_min_match_between_or_and_and(spark, ten):
+    from jassv2_spark.operators.search import search, search_min_match
+
+    ten_index, _ = ten
+    q = spark.createDataFrame(
+        [("q1", "one two three")], ["query_id", "query"]
+    )
+    # one:{10} two:{9,10} three:{8,9,10} -> mm=1: {8,9,10}; mm=2: {9,10};
+    # mm=3: {10}
+    def docs_at(mm):
+        return {
+            r["doc_id"]
+            for r in search_min_match(
+                ten_index, q, min_match=mm, k=10, with_keys=False
+            ).collect()
+        }
+
+    assert docs_at(1) == {8, 9, 10}
+    assert docs_at(2) == {9, 10}
+    assert docs_at(3) == {10}
+    # mm=1 equals plain OR search exactly (same rsv and ranks)
+    mm1 = sorted(
+        (r["query_id"], r["doc_id"], r["rsv"], r["rank"])
+        for r in search_min_match(ten_index, q, min_match=1, k=10, with_keys=False).collect()
+    )
+    plain = sorted(
+        map(tuple, search(ten_index, q, k=10, with_keys=False).collect())
+    )
+    assert mm1 == plain
