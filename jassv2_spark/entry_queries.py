@@ -1074,6 +1074,63 @@ qt AS (SELECT query_id, term, sum(q_tf)::BIGINT AS q_tf FROM (
         _sql(_BASE, _PX_QT, _TOPK_CTES) + _topk_select,
     )
 
+    # Wildcard top-k (operators/wildcard.py:search_wildcard): '*'-bearing
+    # tokens expand through a PERMUTERM rotation table (Garfield 1976) —
+    # one rotation-prefix probe per pattern, capped at the max_expand
+    # highest-df matches (df DESC, term ASC). The oracle states the same
+    # match set as SQL LIKE ('*'→'%'), the semantics the permuterm probe
+    # is exactly equivalent to for single-'*' and '*x*' patterns — the
+    # differing-implementation/same-answer cross-check. w02 exercises the
+    # cap ('*a*' matches many terms), w06 a literal colliding with its
+    # own pattern expansion (q_tf sums), w05 a no-match pattern beside a
+    # literal.
+    _WILD_QUERIES = [
+        ("w01", "jo* table"),
+        ("w02", "*a* scan"),
+        ("w03", "h*h"),
+        ("w04", "*er"),
+        ("w05", "zz* merge"),
+        ("w06", "s*m stream"),
+    ]
+    _WILD_EXPAND = 3
+
+    def _topk_wild(spark, sf):
+        from jassv2_spark.operators.wildcard import search_wildcard
+
+        return search_wildcard(
+            get_index(spark, sf),
+            spark.createDataFrame(_WILD_QUERIES, ["query_id", "query"]),
+            k=K, max_expand=_WILD_EXPAND, with_keys=False,
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _wild_values = ", ".join(f"('{q}', '{t}')" for q, t in _WILD_QUERIES)
+    _WILD_QT = f"""
+q(query_id, query) AS (VALUES {_wild_values}),
+wtok AS (SELECT query_id, unnest(regexp_extract_all(lower(query), '[a-z0-9*]+')) AS term FROM q),
+wqt0 AS (SELECT query_id, term, count(*)::BIGINT AS q_tf FROM wtok GROUP BY 1, 2),
+wpat AS (SELECT DISTINCT term AS pattern FROM wqt0 WHERE contains(term, '*')),
+wcand AS (SELECT pattern, term FROM (
+           SELECT p.pattern, v.term,
+                  row_number() OVER (PARTITION BY p.pattern
+                                     ORDER BY v.df DESC, v.term ASC) AS rn
+           FROM wpat p JOIN dfx v ON v.term LIKE replace(p.pattern, '*', '%'))
+          WHERE rn <= {_WILD_EXPAND}),
+qt AS (SELECT query_id, term, sum(q_tf)::BIGINT AS q_tf FROM (
+         SELECT q0.query_id, c.term, q0.q_tf
+         FROM wqt0 q0 JOIN wcand c ON c.pattern = q0.term
+         UNION ALL
+         SELECT query_id, term, q_tf FROM wqt0 WHERE NOT contains(term, '*'))
+       GROUP BY 1, 2),""" + _post_qt_ctes(1.0)
+    r["jass_topk_wildcard"] = (
+        _topk_wild,
+        _sql(_BASE, _WILD_QT, _TOPK_CTES) + _topk_select,
+    )
+
     # "Did you mean" query suggestion (operators/fuzzy.py:suggest_queries):
     # the typo query set reassembled in original token order with best
     # distance-1 corrections; uncorrectable OOV tokens stay verbatim.
