@@ -3898,6 +3898,101 @@ SELECT query_id, doc_id, combsum, n_runs, combmnz, rank FROM csr WHERE rank <= {
            FROM uf""",
     )
 
+    # robots.txt gating (operators/crawl.py:robots_gate): RFC 9309 §2.2.2
+    # precedence — longest matching path prefix wins, allow beats disallow
+    # on a same-length tie, no match → allowed. Hosts cycle mod-4, paths
+    # mod-3, so every rule branch fires: nested prefixes (/priv vs
+    # /priv/ok), a root disallow with a carve-out, the same-length tie,
+    # and a rule-less host.
+    _ROB_RULES = [
+        ("a.example", False, "/priv"),
+        ("a.example", True, "/priv/ok"),
+        ("a.example", True, "/"),
+        ("b.example", False, "/"),
+        ("b.example", True, "/pub"),
+        ("c.example", False, "/x"),
+        ("c.example", True, "/x"),
+    ]
+    _ROB_HOST = (
+        "CASE doc_id % 4 WHEN 0 THEN 'a.example' WHEN 1 THEN 'b.example'"
+        " WHEN 2 THEN 'c.example' ELSE 'd.example' END"
+    )
+    _ROB_PATH = (
+        "CASE doc_id % 3 WHEN 0 THEN '/priv/ok' || doc_id"
+        " WHEN 1 THEN '/pub/q' || doc_id ELSE '/x' || doc_id END"
+    )
+
+    def _rob_pages(spark, sf):
+        docs = _docs(spark, sf)
+        return docs.select(
+            F.concat(F.lit("https://"), F.expr(_ROB_HOST), F.expr(_ROB_PATH)).alias("url")
+        )
+
+    def _robots(spark, sf):
+        from jassv2_spark.operators.crawl import robots_gate
+
+        return robots_gate(
+            _rob_pages(spark, sf),
+            spark.createDataFrame(_ROB_RULES, ["host", "allow", "path_prefix"]),
+        )
+
+    _rob_values = ", ".join(
+        f"('{h}', {str(a).upper()}, '{p}')" for h, a, p in _ROB_RULES
+    )
+    r["web_robots_gate"] = (
+        _robots,
+        f"""WITH rp AS (SELECT doc_id, {_ROB_HOST} AS host, {_ROB_PATH} AS path
+              FROM documents),
+           ru AS (SELECT 'https://' || host || path AS url, host, path FROM rp),
+           rr(host, allow, path_prefix) AS (VALUES {_rob_values}),
+           rm AS (SELECT u.url, r.allow, r.path_prefix,
+                    row_number() OVER (PARTITION BY u.url
+                       ORDER BY length(r.path_prefix) DESC, r.allow DESC) AS rn
+                  FROM ru u JOIN rr r ON r.host = u.host
+                       AND starts_with(u.path, r.path_prefix))
+           SELECT u.url, u.host, coalesce(m.allow, TRUE) AS allowed,
+                  m.path_prefix AS matched_prefix
+           FROM ru u LEFT JOIN (SELECT * FROM rm WHERE rn = 1) m USING (url)""",
+    )
+
+    # Politeness crawl scheduling (operators/crawl.py:crawl_schedule):
+    # per-host fetch lanes — fetch_seq by (priority DESC, url ASC), fire
+    # at (seq-1)·delay, host pinned to a worker by the portable 32-bit
+    # md5 hash. Priorities are a deterministic pseudo-shuffle of doc_id.
+    _CRAWL_WORKERS = 8
+    _CRAWL_DELAY = 700
+
+    def _frontier(spark, sf):
+        from jassv2_spark.operators.crawl import crawl_schedule
+
+        fr = _rob_pages(spark, sf).select(
+            "url",
+            (F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("long") % 97)
+            .alias("priority"),
+        )
+        return crawl_schedule(
+            fr, default_delay_ms=_CRAWL_DELAY, n_workers=_CRAWL_WORKERS
+        )
+
+    r["web_crawl_frontier"] = (
+        _frontier,
+        f"""WITH rp AS (SELECT doc_id, {_ROB_HOST} AS host, {_ROB_PATH} AS path
+              FROM documents),
+           ru AS (SELECT 'https://' || host || path AS url, host FROM rp),
+           fr AS (SELECT url, host,
+                    (('0x' || substr(md5(url), 1, 8))::UBIGINT % 97)::BIGINT AS priority
+                  FROM ru),
+           sq AS (SELECT url, host, priority,
+                    row_number() OVER (PARTITION BY host
+                       ORDER BY priority DESC, url ASC) AS seq
+                  FROM fr)
+           SELECT url, host,
+                  (('0x' || substr(md5(host), 1, 8))::UBIGINT % {_CRAWL_WORKERS})::BIGINT AS worker,
+                  seq::BIGINT AS fetch_seq,
+                  ((seq - 1) * {_CRAWL_DELAY})::BIGINT AS fetch_time_ms
+           FROM sq""",
+    )
+
     # Boilerplate stripping (weburls.py:strip_boilerplate): C4's line-dedup
     # action — paragraphs with corpus df >= min_docs removed, survivors
     # re-joined in order. The synthetic text has no sentence breaks, so

@@ -1,0 +1,135 @@
+"""Crawl-side operators: robots.txt gating and politeness scheduling.
+
+The reference engine starts where a crawl ends (documents arrive as an
+instream, `source/instream_document_warc.cpp`); a Common-Crawl-scale
+pipeline also owns the step BEFORE fetch. Two operators cover it,
+public-knowledge only (RFC 9309; the crawler-commons / Heritrix
+politeness model):
+
+- robots_gate: apply a parsed robots-rule table to a URL set with the
+  RFC 9309 §2.2.2 precedence — among the rules of the URL's host whose
+  path prefix matches, the LONGEST octet-length prefix wins, and on an
+  allow/disallow tie at the same length allow wins; a URL with no
+  matching rule (or an unknown host) is allowed. Rules here are the
+  already-parsed (host, allow, path_prefix) rows a fetcher caches per
+  host — prefix rules only (the '*'/'$' wildcard extension is a
+  straightforward LIKE-rewrite on top of the same precedence, left
+  out to keep the gate engine-portable).
+- crawl_schedule: turn a prioritized frontier into per-host politeness
+  lanes — fetch_seq ranks a host's URLs (priority DESC, url ASC), the
+  fetch fires at (fetch_seq - 1) · crawl_delay_ms on that host's lane,
+  and the host pins to one of n_workers fetch workers by portable hash
+  (host affinity is what makes per-host delays enforceable on a fleet:
+  one worker owns all of a host's fetches).
+
+Scale shape: the rules table is hosts-sized — orders of magnitude
+smaller than the URL set — and joins on host (broadcast when it fits,
+an ordinary equi-join shuffle otherwise; never a cross join: the
+prefix test runs inside the matched-host pairs). The winner pick is a
+(url)-keyed window over match-count-sized frames (a host's rule list
+is tens of rows, so frames are tiny). The schedule is one host-keyed
+window — the honest cost of per-host sequencing — plus map-only
+arithmetic; hosts are many and Zipf-mild, and a pathological mega-host
+bounds its own lane, not the shuffle (one partition holds its rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)"
+
+
+def _host(u):
+    return F.lower(F.regexp_extract(u, _HOST_RE, 1))
+
+
+def _path(u):
+    # path with query/fragment stripped; empty path normalizes to '/'
+    p = F.regexp_replace(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""), r"[?#].*$", ""
+    )
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_gate(
+    pages: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """(url, host, allowed, matched_prefix): RFC 9309 gate of each URL
+    against a parsed rule table (host, allow: bool, path_prefix).
+
+    Precedence per URL: longest matching path_prefix wins; same-length
+    allow beats disallow; no match → allowed with a NULL
+    matched_prefix. Empty-prefix rules ('' — the parsed form of
+    `Disallow:` with no value) match nothing, per the RFC."""
+    u = F.col(url_col)
+    base = pages.select(u.alias("url"), _host(u).alias("host"), _path(u).alias("__p"))
+    r = rules.select(
+        F.lower(F.col("host")).alias("host"),
+        F.col("allow").cast("boolean").alias("allow"),
+        F.col("path_prefix"),
+    ).where(F.length("path_prefix") > 0)
+    if broadcast_rules:
+        r = F.broadcast(r)
+    matched = base.join(r, "host").where(F.col("__p").startswith(F.col("path_prefix")))
+    w = Window.partitionBy("url").orderBy(
+        F.length("path_prefix").desc(), F.col("allow").desc()
+    )
+    winner = (
+        matched.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("url", F.col("allow").alias("__a"), F.col("path_prefix").alias("matched_prefix"))
+    )
+    return (
+        base.join(winner, "url", "left")
+        .select(
+            "url",
+            "host",
+            F.coalesce(F.col("__a"), F.lit(True)).alias("allowed"),
+            "matched_prefix",
+        )
+    )
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    *,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    delay_col: str | None = None,
+    default_delay_ms: int = 1000,
+    n_workers: int = 64,
+) -> DataFrame:
+    """(url, host, worker, fetch_seq, fetch_time_ms): per-host politeness
+    lanes over a prioritized frontier. fetch_seq orders a host's URLs by
+    (priority DESC, url ASC — deterministic); the fetch fires at
+    (fetch_seq − 1) · delay on the host's lane; the host pins to worker
+    = 32-bit-md5(host) mod n_workers (the repo's portable hash recipe),
+    so one worker owns each host's lane end to end."""
+    u = F.col(url_col)
+    host = _host(u)
+    delay = (
+        F.col(delay_col).cast("long")
+        if delay_col
+        else F.lit(int(default_delay_ms)).cast("long")
+    )
+    base = frontier.select(
+        u.alias("url"),
+        host.alias("host"),
+        F.col(priority_col).alias("__pri"),
+        delay.alias("__delay"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("__pri").desc(), F.col("url").asc())
+    h32 = F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10).cast("long")
+    return base.select(
+        "url",
+        "host",
+        (h32 % F.lit(int(n_workers))).cast("long").alias("worker"),
+        F.row_number().over(w).cast("long").alias("fetch_seq"),
+        ((F.row_number().over(w) - 1) * F.col("__delay")).cast("long").alias("fetch_time_ms"),
+    )

@@ -1,0 +1,87 @@
+"""Robots gating (RFC 9309 precedence) and politeness crawl scheduling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jassv2_spark.operators.crawl import crawl_schedule, robots_gate
+
+RULES = [
+    # host, allow, path_prefix
+    ("a.example", False, "/priv"),
+    ("a.example", True, "/priv/ok"),
+    ("a.example", True, "/"),
+    ("b.example", False, "/"),
+    ("b.example", True, "/pub"),
+    ("c.example", False, "/x"),
+    ("c.example", True, "/x"),      # same length tie → allow wins
+    ("c.example", False, ""),       # empty prefix matches nothing
+]
+
+URLS = [
+    "https://a.example/priv/secret",      # /priv (len 5) beats / → blocked
+    "https://a.example/priv/ok/page",     # /priv/ok (len 8) wins → allowed
+    "https://a.example/open",             # only / matches → allowed
+    "https://b.example/anything",         # / disallow → blocked
+    "https://b.example/pub/doc",          # /pub beats / → allowed
+    "https://c.example/xyz",              # tie at /x → allow wins
+    "https://d.example/no/rules",         # no rules → allowed
+    "https://b.example",                  # empty path → '/' → blocked
+]
+
+
+@pytest.fixture(scope="module")
+def gated(spark):
+    pages = spark.createDataFrame([(u,) for u in URLS], ["url"])
+    rules = spark.createDataFrame(RULES, ["host", "allow", "path_prefix"])
+    return {r["url"]: r for r in robots_gate(pages, rules).collect()}
+
+
+def test_longest_prefix_wins(gated):
+    assert gated["https://a.example/priv/secret"]["allowed"] is False
+    assert gated["https://a.example/priv/ok/page"]["allowed"] is True
+    assert gated["https://b.example/pub/doc"]["allowed"] is True
+
+
+def test_tie_allow_wins(gated):
+    assert gated["https://c.example/xyz"]["allowed"] is True
+
+
+def test_default_allow_and_root_block(gated):
+    assert gated["https://d.example/no/rules"]["allowed"] is True
+    assert gated["https://d.example/no/rules"]["matched_prefix"] is None
+    assert gated["https://b.example"]["allowed"] is False  # '' path → '/'
+    assert gated["https://a.example/open"]["matched_prefix"] == "/"
+
+
+def test_schedule_politeness_lanes(spark):
+    rows = [
+        ("https://h1.example/a", 5),
+        ("https://h1.example/b", 9),
+        ("https://h1.example/c", 9),
+        ("https://h2.example/z", 1),
+    ]
+    frontier = spark.createDataFrame(rows, ["url", "priority"])
+    out = {r["url"]: r for r in crawl_schedule(
+        frontier, default_delay_ms=500, n_workers=8
+    ).collect()}
+    # priority DESC, url ASC within host
+    assert out["https://h1.example/b"]["fetch_seq"] == 1
+    assert out["https://h1.example/c"]["fetch_seq"] == 2
+    assert out["https://h1.example/a"]["fetch_seq"] == 3
+    assert out["https://h1.example/a"]["fetch_time_ms"] == 1000
+    assert out["https://h2.example/z"]["fetch_seq"] == 1
+    assert out["https://h2.example/z"]["fetch_time_ms"] == 0
+    # host affinity: every URL of a host lands on one worker
+    w1 = {out[u]["worker"] for u in out if "h1" in u}
+    assert len(w1) == 1 and 0 <= w1.pop() < 8
+
+
+def test_schedule_per_host_delay_column(spark):
+    frontier = spark.createDataFrame(
+        [("https://h1.example/a", 2, 100), ("https://h1.example/b", 1, 100)],
+        ["url", "priority", "delay_ms"],
+    )
+    out = {r["url"]: r["fetch_time_ms"] for r in crawl_schedule(
+        frontier, delay_col="delay_ms"
+    ).collect()}
+    assert out == {"https://h1.example/a": 0, "https://h1.example/b": 100}
