@@ -6547,6 +6547,41 @@ FROM cma""",
         FROM sx JOIN ex ON ex.lang = sx.lang""",
     )
 
+    # ---- KMV distinct sketch (operators/sketch.py:kmv_sketch) ----
+    # k-minimum-values beside HLL: k smallest distinct md5-32 hashes per
+    # language, estimate (k-1)·2^32 div (kth+1) in exact integers, exact
+    # count below k. k=8 so the estimator branch fires on the small-SF
+    # vocabulary; the union-closure (merge) law is pytest-verified.
+    _KMV_ENTRY_K = 8
+
+    def _kmv(spark, sf):
+        from jassv2_spark.functions.tokenizer import spark_tokens
+        from jassv2_spark.operators.sketch import kmv_sketch
+
+        toks = _docs(spark, sf).select(
+            "lang", F.explode(spark_tokens("text", mode="parity")).alias("term")
+        )
+        return kmv_sketch(toks, ["lang"], "term", k=_KMV_ENTRY_K)
+
+    r["sketch_kmv_distinct"] = (
+        _kmv,
+        f"""WITH toksl AS (SELECT lang, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+                 FROM documents),
+        kh AS (SELECT DISTINCT lang,
+                      CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)::BIGINT AS h
+               FROM toksl),
+        kr AS (SELECT lang, h,
+                      row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+               FROM kh),
+        kk AS (SELECT lang, h, rn FROM kr WHERE rn <= {_KMV_ENTRY_K})
+        SELECT lang, count(*)::BIGINT AS n_kept,
+               max(CASE WHEN rn = {_KMV_ENTRY_K} THEN h END)::BIGINT AS kth_hash,
+               coalesce({(_KMV_ENTRY_K - 1) * (1 << 32)} //
+                        (max(CASE WHEN rn = {_KMV_ENTRY_K} THEN h END) + 1),
+                        count(*))::BIGINT AS est_distinct
+        FROM kk GROUP BY lang""",
+    )
+
     # ---- count-min sketch (operators/sketch.py) ----
     # Term-occurrence point estimates from a 4×512 grid; exact counts ride
     # along. Same fully-specified md5 hash family on both engines, so the

@@ -283,3 +283,92 @@ def bloom_probe(
         .groupBy(value_col)
         .agg((F.sum(F.col("hit").cast("int")) == k_hashes).alias("maybe_present"))
     )
+
+
+# --------------------------------------------------------------------- KMV
+# k-minimum-values distinct sketch (Bar-Yossef et al. 2002; the unbiased
+# estimator form of Beyer et al., SIGMOD 2007): keep the k smallest
+# distinct 32-bit hash values per group; with U = (kth smallest + 1) /
+# 2^32 as the uniform-order-statistic estimate, D ≈ (k - 1) / U — here
+# kept EXACT-INTEGER as (k - 1) · 2^32 div (kth + 1) (the +1 maps the
+# hash range onto (0, 1] so a zero hash cannot divide by zero; both
+# engines state the identical formula). Groups with fewer than k
+# distinct hashes report their exact distinct-hash count instead (the
+# sketch IS exact below k). Unlike HLL the sketch also supports set
+# EXPRESSIONS (union = merge the hash lists and re-cut to k; the
+# estimator is closed under it — kmv_merge below), which is why both
+# live in this module.
+
+KMV_K = 32
+_KMV_SALTS = 64  # first-level cut fan-out (see kmv_hashes plan note)
+
+
+def kmv_hashes(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(group..., h, rn): the k smallest distinct hashes per group,
+    rn = 1-based rank. Plan: the distinct-hash set is cut TWICE — first
+    a (group, h mod 64)-keyed window keeps k per salt lane (64·k rows
+    per group max, each lane's frame sorted independently — no single
+    per-group sort of the full distinct set ever runs), then the final
+    (group)-keyed window ranks ≤ 64·k rows. Both windows sort bounded
+    frames; the one corpus-sized exchange is the distinct()."""
+    from pyspark.sql import Window
+
+    h = _h32(F.col(value_col).cast("string"))
+    per = df.select(*group_cols, h.alias("h")).distinct()
+    lane = Window.partitionBy(*group_cols, F.col("h") % _KMV_SALTS).orderBy("h")
+    cut = (
+        per.withColumn("__ln", F.row_number().over(lane))
+        .where(F.col("__ln") <= k)
+        .drop("__ln")
+    )
+    final = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        cut.withColumn("rn", F.row_number().over(final).cast("long"))
+        .where(F.col("rn") <= k)
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(group..., n_kept, kth_hash, est_distinct): the KMV summary per
+    group. est_distinct = (k-1)·2^32 div (kth_hash+1) when the group
+    holds k hashes, else the exact kept count; kth_hash is NULL below k."""
+    kept = kmv_hashes(df, group_cols, value_col, k)
+    two32 = 1 << 32
+    return kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).cast("long").alias("kth_hash"),
+    ).select(
+        *group_cols,
+        "n_kept",
+        "kth_hash",
+        F.when(
+            F.col("kth_hash").isNotNull(),
+            F.expr(f"cast({(k - 1) * two32} as bigint) div (kth_hash + 1)"),
+        )
+        .otherwise(F.col("n_kept"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+def kmv_merge(
+    *hash_dfs: DataFrame, group_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """Sketch union: pool the per-shard hash lists, re-distinct, re-cut
+    to the k smallest — identical to sketching the unioned input (the
+    KMV closure property; pytest asserts the equality)."""
+    pooled = hash_dfs[0].select(*group_cols, "h")
+    for other in hash_dfs[1:]:
+        pooled = pooled.unionByName(other.select(*group_cols, "h"))
+    from pyspark.sql import Window
+
+    final = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        pooled.distinct()
+        .withColumn("rn", F.row_number().over(final).cast("long"))
+        .where(F.col("rn") <= k)
+    )

@@ -164,3 +164,58 @@ def test_bloom_no_false_negatives_and_merge(spark):
     assert all(got[v] for v in vs[:50])  # no false negatives, ever
     # m=4096/k=5/n=400 → fp rate ~2.6e-3; 50 absent probes: expect ~all false
     assert sum(got[f"absent-{i}"] for i in range(50)) <= 2
+
+
+# ----------------------------------------------------------------- KMV
+
+def _py_h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_kmv_matches_python_reference(spark):
+    from jassv2_spark.operators.sketch import kmv_sketch
+
+    vals = [f"v{i}" for i in range(200)]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    k = 16
+    got = kmv_sketch(df, ["g"], "v", k=k).collect()[0]
+    hs = sorted({_py_h32(v) for v in vals})[:k]
+    assert got["n_kept"] == k
+    assert got["kth_hash"] == hs[-1]
+    assert got["est_distinct"] == (k - 1) * (1 << 32) // (hs[-1] + 1)
+
+
+def test_kmv_exact_below_k(spark):
+    from jassv2_spark.operators.sketch import kmv_sketch
+
+    df = spark.createDataFrame([("g", f"v{i % 5}") for i in range(50)], ["g", "v"])
+    got = kmv_sketch(df, ["g"], "v", k=16).collect()[0]
+    assert got["n_kept"] == 5 and got["kth_hash"] is None
+    assert got["est_distinct"] == 5  # exact below k; duplicates free
+
+
+def test_kmv_union_closure(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) — the KMV closure
+    law that makes per-shard sketches composable."""
+    from jassv2_spark.operators.sketch import kmv_hashes, kmv_merge
+
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(120)], ["g", "v"])
+    b = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(60, 180)] + [("g", f"b{i}") for i in range(40)],
+        ["g", "v"],
+    )
+    k = 16
+    merged = kmv_merge(
+        kmv_hashes(a, ["g"], "v", k), kmv_hashes(b, ["g"], "v", k), group_cols=["g"], k=k
+    )
+    whole = kmv_hashes(a.unionByName(b), ["g"], "v", k)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_kmv_estimate_accuracy(spark):
+    from jassv2_spark.operators.sketch import kmv_sketch
+
+    n = 5000
+    df = spark.createDataFrame([("g", f"item-{i}") for i in range(n)], ["g", "v"])
+    est = kmv_sketch(df, ["g"], "v", k=64).collect()[0]["est_distinct"]
+    assert abs(est - n) / n < 0.35  # k=64 → ~12% std error; generous bound
