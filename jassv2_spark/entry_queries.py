@@ -3126,6 +3126,34 @@ FROM nrel n FULL OUTER JOIN nret t ON t.query_id = n.query_id
 
     r["dedup_clusters"] = (_clusters, _clusters_sql())
 
+    # Quality-aware dedup retention (dedup.py:dedup_keep_best): per
+    # near-dup cluster keep the highest-quality member (distinct-token
+    # count, tie → smallest id) instead of the min-id default — the
+    # curation policy that keeps the richest copy of a family.
+    def _keep_best(spark, sf):
+        from jassv2_spark.operators.dedup import dedup_keep_best
+
+        return dedup_keep_best(_docs(spark, sf), n=3, num_hashes=16, bands=4)
+
+    r["dedup_keep_best"] = (
+        _keep_best,
+        f"""WITH cq AS (
+              SELECT c.doc_id, c.cluster_id, c.cluster_size,
+                     coalesce(q.quality, 0)::BIGINT AS quality
+              FROM ({_clusters_sql()}) c
+              LEFT JOIN (SELECT doc_id, count(DISTINCT term)::BIGINT AS quality
+                         FROM (SELECT doc_id,
+                                      unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+                               FROM documents)
+                         GROUP BY doc_id) q USING (doc_id)),
+            rp AS (SELECT *, (first_value(doc_id) OVER (PARTITION BY cluster_id
+                             ORDER BY quality DESC, doc_id ASC))::BIGINT AS rep_doc_id
+                   FROM cq)
+            SELECT doc_id, cluster_id, cluster_size, quality, rep_doc_id,
+                   doc_id = rep_doc_id AS keep
+            FROM rp""",
+    )
+
     # Leakage-safe split (operators/textstats.py): split hashed from the
     # near-dup CLUSTER id, so a val doc can never have a near-identical
     # twin in train. Same md5-prefix rule as text_split_assign, applied to

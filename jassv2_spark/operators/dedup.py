@@ -24,7 +24,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jassv2_spark.operators.textstats import TOKEN_PATTERN
@@ -576,3 +576,64 @@ def substring_dup_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    clusters: DataFrame | None = None,
+    quality: DataFrame | None = None,
+    quality_col: str = "quality",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, quality, rep_doc_id, keep):
+    near-dup retention by QUALITY instead of the min-id default — per
+    cluster the survivor is the highest-quality member (tie → smallest
+    doc id), the policy corpus curation actually wants (keep the
+    richest copy of a boilerplate family, not whichever crawled first;
+    cf. the dedup-then-filter ordering discussion in web-corpus
+    pipelines, e.g. RefinedWeb §3.3 / C4's dedup choices).
+
+    Defaults: clusters = :func:`dedup_cluster_assign` (MinHash-LSH
+    closure), quality = distinct-token count (`n_types` — an
+    exact-integer richness proxy; pass any (doc_id, quality) table for
+    model-based scores).
+
+    Scale shape: quality is a map-only pass; the join is doc-keyed; the
+    survivor pick is one window per cluster over cluster-sized frames
+    (bounded — near-dup families are small; a pathological mega-cluster
+    bounds its own frame, not the shuffle)."""
+    if clusters is None:
+        clusters = dedup_cluster_assign(
+            docs, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
+        )
+    if quality is None:
+        from jassv2_spark.operators.textstats import quality_scores
+
+        quality = quality_scores(docs, text_col=text_col, id_col=id_col).select(
+            id_col, F.col("n_types").alias(quality_col)
+        )
+    joined = clusters.join(
+        quality.select(F.col(id_col).cast("long").alias(id_col), quality_col),
+        id_col,
+        "left",
+    ).select(
+        F.col(id_col),
+        "cluster_id",
+        "cluster_size",
+        F.coalesce(F.col(quality_col), F.lit(0)).cast("long").alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    return joined.select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        "quality",
+        F.first(id_col).over(w).cast("long").alias("rep_doc_id"),
+    ).withColumn("keep", F.col(id_col) == F.col("rep_doc_id"))

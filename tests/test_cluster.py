@@ -121,3 +121,45 @@ def test_cluster_labels_topm_tfidf(spark):
     assert 2 * math.log(4) > 3 * math.log(2)
     assert got[(1, "window")] == (2, 1, 2 * im(1), 1)
     assert got[(1, "coin")] == (3, 2, 3 * im(2), 2)
+
+
+def test_keep_best_picks_highest_quality_rep(spark):
+    from jassv2_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (10, "y")], ["doc_id", "text"]
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 1)],
+        ["doc_id", "cluster_id", "cluster_size"],
+    )
+    quality = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9)], ["doc_id", "quality"]  # 10 missing → 0
+    )
+    out = {r["doc_id"]: r for r in dedup_keep_best(
+        docs, clusters=clusters, quality=quality
+    ).collect()}
+    # tie at quality 9 between 2 and 3 → smaller id wins
+    assert out[2]["rep_doc_id"] == 2 and out[2]["keep"] is True
+    assert out[3]["rep_doc_id"] == 2 and out[3]["keep"] is False
+    assert out[1]["keep"] is False
+    # singleton with missing quality keeps itself at quality 0
+    assert out[10]["quality"] == 0 and out[10]["keep"] is True
+
+
+def test_keep_best_default_quality_is_n_types(spark):
+    from jassv2_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta gamma delta"),   # 4 types
+            (2, "alpha beta alpha beta gamma"),          # 3 types, same shingles head
+        ],
+        ["doc_id", "text"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 2)], ["doc_id", "cluster_id", "cluster_size"]
+    )
+    out = {r["doc_id"]: r for r in dedup_keep_best(docs, clusters=clusters).collect()}
+    assert out[1]["keep"] is True and out[1]["quality"] == 4
+    assert out[2]["keep"] is False and out[2]["quality"] == 3
