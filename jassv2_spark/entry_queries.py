@@ -2618,9 +2618,13 @@ exps AS (SELECT query_id, term, exp_score,
          FROM expn),
 expk AS (SELECT * FROM exps WHERE exp_rank <= {_FB_TERMS})
 """
-    _RM3_PASS2 = """
+    # pass-2 serve tail shared by every feedback flavor: everything from
+    # qm2 down is identical once a qt2(query_id, term, q_tf) CTE exists.
+    _RM3_QT2 = """
 qt2 AS (SELECT query_id, term, q_tf FROM qt
-        UNION ALL SELECT query_id, term, 1::BIGINT AS q_tf FROM expk),
+        UNION ALL SELECT query_id, term, 1::BIGINT AS q_tf FROM expk)
+"""
+    _PASS2_TAIL = """
 qm2 AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM qt2 GROUP BY query_id),
 mseg2 AS (SELECT q.query_id, q.term, s.impact, s.seg_freq,
                  (s.impact * q.q_tf)::BIGINT AS simpact
@@ -2643,6 +2647,7 @@ ranked2 AS (SELECT query_id, doc_id, rsv,
                                  ORDER BY rsv DESC, doc_id DESC))::BIGINT AS rank
             FROM hits2)
 """
+    _RM3_PASS2 = _RM3_QT2 + "," + _PASS2_TAIL
 
     def _rm3_terms(spark, sf):
         from jassv2_spark.operators.feedback import rm3_expansion_terms
@@ -2674,6 +2679,60 @@ ranked2 AS (SELECT query_id, doc_id, rsv,
     r["jass_rm3_topk"] = (
         _rm3_topk,
         _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _RM3_CTES, _RM3_PASS2)
+        + f" SELECT query_id, doc_id, rsv, rank FROM ranked2 WHERE rank <= {K}",
+    )
+
+    # Rocchio (1971) feedback beside RM3: centroid weight = Σ tf over the
+    # fb docs (rsv-free), original terms NOT excluded from the centroid,
+    # pass-2 weights q_tf' = α·q_tf + β·[t ∈ centroid top-N] — all exact
+    # small integers through the unchanged serve chain.
+    _ROC_ALPHA, _ROC_BETA = 2, 1
+    _ROC_CTES = f"""
+fbr AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {_FB_DOCS}),
+rcc AS (SELECT f.query_id, t.term, sum(t.tf)::BIGINT AS cent_score
+        FROM fbr f JOIN tfx t USING (doc_id) GROUP BY 1, 2),
+rck AS (SELECT query_id, term, cent_score, cent_rank FROM (
+          SELECT query_id, term, cent_score,
+                 (row_number() OVER (PARTITION BY query_id
+                     ORDER BY cent_score DESC, term ASC))::BIGINT AS cent_rank
+          FROM rcc) WHERE cent_rank <= {_FB_TERMS}),
+qt2 AS (SELECT query_id, term, sum(q_tf)::BIGINT AS q_tf FROM (
+         SELECT query_id, term, (q_tf * {_ROC_ALPHA})::BIGINT AS q_tf FROM qt
+         UNION ALL SELECT query_id, term, {_ROC_BETA}::BIGINT FROM rck)
+        GROUP BY 1, 2)
+"""
+
+    def _roc_terms(spark, sf):
+        from jassv2_spark.operators.feedback import rocchio_centroid_terms
+
+        return rocchio_centroid_terms(
+            get_index(spark, sf), _queries_df(spark),
+            fb_docs=_FB_DOCS, fb_terms=_FB_TERMS,
+        ).select("query_id", "term", "cent_score", "cent_rank")
+
+    r["jass_rocchio_terms"] = (
+        _roc_terms,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _ROC_CTES)
+        + " SELECT query_id, term, cent_score, cent_rank FROM rck",
+    )
+
+    def _roc_topk(spark, sf):
+        from jassv2_spark.operators.feedback import rocchio_search
+
+        return rocchio_search(
+            get_index(spark, sf), _queries_df(spark), k=K,
+            fb_docs=_FB_DOCS, fb_terms=_FB_TERMS,
+            alpha=_ROC_ALPHA, beta=_ROC_BETA, with_keys=False,
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    r["jass_rocchio_topk"] = (
+        _roc_topk,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _ROC_CTES, _PASS2_TAIL)
         + f" SELECT query_id, doc_id, rsv, rank FROM ranked2 WHERE rank <= {K}",
     )
 

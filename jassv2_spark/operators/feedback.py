@@ -103,3 +103,83 @@ def rm3_search(
     return search_from_terms(
         index, qt2, qm2, k=k, rho=rho, with_keys=with_keys
     )
+
+
+ROCCHIO_ALPHA = 2
+ROCCHIO_BETA = 1
+
+
+def rocchio_centroid_terms(
+    index: Index,
+    queries: DataFrame,
+    fb_docs: int = FB_DOCS_DEFAULT,
+    fb_terms: int = FB_TERMS_DEFAULT,
+    rho: float = 1.0,
+) -> DataFrame:
+    """(query_id, term, cent_score, cent_rank): the fb_terms strongest
+    CENTROID terms of the top-fb_docs first-pass results — cent_score =
+    Σ tf(t, d) over the feedback docs (Rocchio's relevant-centroid Σd,
+    exact integers; UNLIKE RM3 the weight ignores the document's rsv
+    and original query terms are NOT excluded — re-finding a query term
+    is Rocchio's way of re-weighting it)."""
+    first = search(index, queries, k=fb_docs, rho=rho, with_keys=False)
+    fb = F.broadcast(first.select("query_id", "doc_id"))
+    scores = (
+        fb.join(index.postings.select("doc_id", "term", "tf"), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").cast("long").alias("cent_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_score").desc(), F.col("term").asc()
+    )
+    return (
+        scores.withColumn("cent_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("cent_rank") <= fb_terms)
+        .select("query_id", "term", "cent_score", "cent_rank")
+    )
+
+
+def rocchio_search(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    fb_docs: int = FB_DOCS_DEFAULT,
+    fb_terms: int = FB_TERMS_DEFAULT,
+    alpha: int = ROCCHIO_ALPHA,
+    beta: int = ROCCHIO_BETA,
+    rho: float = 1.0,
+    with_keys: bool = True,
+) -> DataFrame:
+    """Two-pass Rocchio (1971) top-k in the engine's integer algebra:
+    pass-2 query weights are q_tf' = α·q_tf + β·[t ∈ centroid top
+    fb_terms] — the classic α·q + β·Σd/|Dr| with the centroid reduced
+    to its selected unit-weight terms so every weight stays an exact
+    small integer (the impact×q_tf multiply and uint8 rescale then
+    apply unchanged). α anchors the typed query (a typed term keeps
+    ≥ α× the pull of any expansion term); β admits recall terms.
+    Differs from rm3_search in both the feedback weight (plain tf
+    centroid vs tf·rsv relevance model) and the treatment of original
+    terms (re-found query terms gain β instead of being excluded).
+
+    Scale shape: identical to RM3 — pass 1 is the ordinary serve path,
+    the centroid agg is (query, term)-keyed over fb_docs × doc-length
+    rows, pass 2 re-enters the same serve chain with ≤ fb_terms extra
+    terms."""
+    exp = rocchio_centroid_terms(
+        index, queries, fb_docs=fb_docs, fb_terms=fb_terms, rho=rho
+    )
+    q_terms, _ = parse_queries(
+        queries, tokenizer=index.conf.tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    qt2 = (
+        q_terms.select(
+            "query_id", "term", (F.col("q_tf") * F.lit(int(alpha))).alias("w")
+        )
+        .unionByName(
+            exp.select("query_id", "term", F.lit(int(beta)).alias("w"))
+        )
+        .groupBy("query_id", "term")
+        .agg(F.sum("w").cast("long").alias("q_tf"))
+    )
+    qm2 = qt2.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    return search_from_terms(index, qt2, qm2, k=k, rho=rho, with_keys=with_keys)

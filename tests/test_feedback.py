@@ -73,3 +73,65 @@ def test_rm3_search_recall_grows_and_oov_unchanged(spark, index):
     # expanded query scores every doc at least as reachable: candidate pool
     # can only grow (original terms kept at their q_tf)
     assert len(r1) >= len([r for r in plain if r["query_id"] == "q1"])
+
+
+# --------------------------------------------------------------- Rocchio
+
+def test_rocchio_centroid_includes_query_terms(spark, index):
+    """Unlike RM3, a re-found query term stays in the centroid."""
+    from jassv2_spark.operators.feedback import (
+        rm3_expansion_terms,
+        rocchio_centroid_terms,
+    )
+
+    q = _q(spark, ("q1", "w0000 w0001"))
+    cent = {r["term"] for r in rocchio_centroid_terms(
+        index, q, fb_docs=3, fb_terms=500
+    ).collect()}
+    rm3 = {r["term"] for r in rm3_expansion_terms(
+        index, q, fb_docs=3, fb_terms=500
+    ).collect()}
+    # tokenizer splits alpha/numeric runs: the query terms are
+    # {w, 0000, 0001}
+    assert "0000" in cent or "0001" in cent or "w" in cent
+    assert {"w", "0000", "0001"}.isdisjoint(rm3)
+
+
+def test_rocchio_alpha1_beta0_equals_plain_search(spark, index):
+    """beta=0, alpha=1 reduces Rocchio exactly to the plain serve."""
+    from jassv2_spark.operators.feedback import rocchio_search
+
+    q = _q(spark, ("q1", "w0000 w0001"))
+    got = sorted(map(tuple, rocchio_search(
+        index, q, k=5, fb_docs=3, fb_terms=5, alpha=1, beta=0, with_keys=False
+    ).collect()))
+    want = sorted(map(tuple, search(index, q, k=5, with_keys=False).collect()))
+    assert got == want
+
+
+def test_rocchio_weights_are_alpha_qtf_plus_beta(spark, index):
+    """The pass-2 weight law: a typed term in the centroid serves at
+    alpha*q_tf + beta; a centroid-only term at beta."""
+    from jassv2_spark.operators.feedback import (
+        rocchio_centroid_terms,
+        rocchio_search,
+    )
+    from jassv2_spark.operators.search import search_from_terms, parse_queries
+
+    q = _q(spark, ("q1", "w0000 w0000 w0001"))
+    exp = rocchio_centroid_terms(index, q, fb_docs=4, fb_terms=6)
+    q_terms, _ = parse_queries(q, tokenizer=index.conf.tokenizer)
+    import pyspark.sql.functions as F
+    qt2 = (
+        q_terms.select("query_id", "term", (F.col("q_tf") * 2).alias("w"))
+        .unionByName(exp.select("query_id", "term", F.lit(1).alias("w")))
+        .groupBy("query_id", "term").agg(F.sum("w").cast("long").alias("q_tf"))
+    )
+    qm2 = qt2.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    want = sorted(map(tuple, search_from_terms(
+        index, qt2, qm2, k=7, with_keys=False
+    ).collect()))
+    got = sorted(map(tuple, rocchio_search(
+        index, q, k=7, fb_docs=4, fb_terms=6, alpha=2, beta=1, with_keys=False
+    ).collect()))
+    assert got == want
