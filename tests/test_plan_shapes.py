@@ -69,3 +69,42 @@ def test_lpa_and_kcore_no_cartesian(spark):
         label_propagation(nodes, edges, iterations=2)
     )
     assert "CartesianProduct" not in _plan(k_core(nodes, edges, k=1, rounds=2))
+
+
+def test_wildcard_expansion_broadcasts_probe_side(spark):
+    from jassv2_spark.operators.wildcard import wildcard_term_expansions
+
+    stats = spark.createDataFrame(
+        [("spark", 4), ("scan", 2), ("table", 3)], ["term", "df"]
+    )
+    pats = spark.createDataFrame([("s*",), ("*ab*",)], ["pattern"])
+    plan = _plan(wildcard_term_expansions(stats, pats, max_expand=3))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_robots_rules_broadcast_no_cartesian(spark):
+    from jassv2_spark.operators.crawl import robots_gate
+
+    pages = spark.createDataFrame(
+        [("https://a.example/x",), ("https://b.example/y",)], ["url"]
+    )
+    rules = spark.createDataFrame(
+        [("a.example", False, "/x")], ["host", "allow", "path_prefix"]
+    )
+    plan = _plan(robots_gate(pages, rules))
+    assert "CartesianProduct" not in plan
+    # the host equi-key must reach the join (broadcast hash, not NL)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmv_no_corpuswide_single_partition_sort(spark):
+    """The first window must be keyed by (group, lane), not group alone:
+    both window sorts partition by at least one key column."""
+    from jassv2_spark.operators.sketch import kmv_hashes
+
+    df = spark.createDataFrame([("g", f"v{i}") for i in range(50)], ["g", "v"])
+    plan = _plan(kmv_hashes(df, ["g"], "v", k=8))
+    # a missing partition key would appear as a global Sort before Window
+    assert "Window" in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") == 0
