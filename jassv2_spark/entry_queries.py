@@ -4166,6 +4166,31 @@ lnk AS (SELECT d.src, d.dst, a.anchor FROM ded d JOIN atk a USING (dst))
         _sql(_LINKS_CTES) + " SELECT src, dst, anchor FROM lnk",
     )
 
+    # Host-level link graph (webgraph.py:host_graph): page edges collapsed
+    # to (src_host, dst_host) with edge weight + distinct-linking-pages
+    # weight, intra-host edges dropped — the granularity host PageRank /
+    # spam-mass runs at. Hosts assigned by the mod-4 rule.
+    def _host_graph(spark, sf):
+        from jassv2_spark.operators.webgraph import host_graph, synthesize_links
+
+        docs = _docs(spark, sf)
+        hosts = docs.select("doc_id", F.expr(_ROB_HOST).alias("host"))
+        return host_graph(synthesize_links(docs, anchor_tokens=_ANCHOR_N), hosts)
+
+    r["web_host_graph"] = (
+        _host_graph,
+        _sql(_LINKS_CTES)
+        + f""",
+hmap AS (SELECT doc_id, {_ROB_HOST} AS host FROM documents),
+he AS (SELECT hs.host AS src_host, hd.host AS dst_host, d.src
+       FROM ded d JOIN hmap hs ON hs.doc_id = d.src
+                  JOIN hmap hd ON hd.doc_id = d.dst
+       WHERE hs.host <> hd.host)
+SELECT src_host, dst_host, count(*)::BIGINT AS n_links,
+       count(DISTINCT src)::BIGINT AS n_src_pages
+FROM he GROUP BY src_host, dst_host""",
+    )
+
     # Triangle census via degree-ordered orientation (Suri &
     # Vassilvitskii WWW'11): apex = lowest-(degree, id) vertex, so each
     # triangle counts once and wedge fan-out is arboricity-bounded.

@@ -1288,3 +1288,42 @@ def recrawl_priority(
     if top_k is not None:
         out = out.where(F.col("prio_rank") <= F.lit(int(top_k)))
     return out
+
+
+def host_graph(
+    links: DataFrame,
+    hosts: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    keep_self: bool = False,
+) -> DataFrame:
+    """(src_host, dst_host, n_links, n_src_pages): the page link graph
+    aggregated to host level — the graph host-level PageRank/TrustRank
+    and spam-mass actually run on at web scale (Castillo et al.'s spam
+    pipelines and Common Crawl's published host-level graphs both work
+    at this granularity; 10^12 pages collapse to 10^8 hosts, two
+    orders less state per iteration).
+
+    n_links counts page-level edges between the host pair (a weight
+    for weighted walks); n_src_pages counts distinct linking source
+    pages (the "how many pages vouch" version that resists a single
+    page stuffing links). Intra-host edges drop unless keep_self
+    (host-level self-votes are the classic nepotism artifact).
+
+    Scale shape: two doc-keyed equi-joins attach hosts to the edge
+    endpoints (the host map broadcasts when it fits, shuffles
+    otherwise), then ONE (src_host, dst_host)-keyed partial agg; hot
+    host pairs combine map-side."""
+    h = hosts.select(F.col(id_col).cast("long").alias(id_col), F.col(host_col))
+    e = links.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+    joined = (
+        e.join(h.select(F.col(id_col).alias("src"), F.col(host_col).alias("src_host")), "src")
+        .join(h.select(F.col(id_col).alias("dst"), F.col(host_col).alias("dst_host")), "dst")
+    )
+    if not keep_self:
+        joined = joined.where(F.col("src_host") != F.col("dst_host"))
+    return joined.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.count_distinct("src").cast("long").alias("n_src_pages"),
+    )

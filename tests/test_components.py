@@ -73,3 +73,31 @@ def test_components_preconvergence_round_parity(spark):
 def test_components_direction_ignored(spark):
     got = _run(spark, 4, [(2, 1), (3, 2), (4, 3)], rounds=4)
     assert set(got.values()) == {1}
+
+
+def test_host_graph_weights_and_self_drop(spark):
+    from jassv2_spark.operators.webgraph import host_graph
+
+    links = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 2), (4, 3), (1, 4), (2, 1)],
+        ["src", "dst"],
+    )
+    hosts = spark.createDataFrame(
+        [(1, "a"), (4, "a"), (2, "b"), (3, "b")], ["doc_id", "host"]
+    )
+    out = {(r["src_host"], r["dst_host"]): r for r in host_graph(links, hosts).collect()}
+    # a→b: edges 1→2, 1→3, 4→2, 4→3 = 4 links from 2 distinct pages
+    assert out[("a", "b")]["n_links"] == 4
+    assert out[("a", "b")]["n_src_pages"] == 2
+    # b→a: 2→1 only
+    assert out[("b", "a")]["n_links"] == 1
+    # intra-host 1→4 dropped
+    assert ("a", "a") not in out
+
+
+def test_host_graph_keep_self(spark):
+    from jassv2_spark.operators.webgraph import host_graph
+
+    links = spark.createDataFrame([(1, 4)], ["src", "dst"])
+    hosts = spark.createDataFrame([(1, "a"), (4, "a")], ["doc_id", "host"])
+    assert host_graph(links, hosts, keep_self=True).count() == 1
