@@ -3145,6 +3145,59 @@ FROM nrel n FULL OUTER JOIN nret t ON t.query_id = n.query_id
         _minhash_sql(),
     )
 
+    # LSH banding audit (dedup.py:lsh_candidate_quality): realized
+    # precision/recall of the MinHash-LSH candidates against exact
+    # Jaccard ≥ 1/2 ground truth — τ compared as an exact rational, ppm
+    # ratios exact integer div. The number a banding choice is tuned by,
+    # measured instead of read off the (1-(1-s^r)^b) curve.
+    def _lsh_quality(spark, sf):
+        from jassv2_spark.operators.dedup import lsh_candidate_quality
+
+        return lsh_candidate_quality(
+            _docs(spark, sf), tau_num=1, tau_den=2, n=3, num_hashes=16, bands=4
+        )
+
+    def _lsh_quality_sql() -> str:
+        sigs = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+        bands = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, md5(h{4*b} || h{4*b+1} || h{4*b+2} || h{4*b+3}) AS band_hash FROM sig"
+            for b in range(4)
+        )
+        return (
+            _sql(_SHINGLE3)
+            + f""",
+qsz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+qpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+qtru AS (SELECT qpr.doc_a, qpr.doc_b
+         FROM qpr JOIN qsz sa ON sa.doc_id = qpr.doc_a
+                  JOIN qsz sb ON sb.doc_id = qpr.doc_b
+         WHERE qpr.inter * 2 >= 1 * (sa.n_sh + sb.n_sh - qpr.inter)),
+sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+banded AS ({bands}),
+qcnd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b ON a.band_idx = b.band_idx
+              AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+qj AS (SELECT coalesce(t.doc_a, c.doc_a) AS doc_a,
+              t.doc_a IS NOT NULL AS is_true,
+              c.doc_a IS NOT NULL AS is_cand
+       FROM qtru t FULL OUTER JOIN qcnd c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+qa AS (SELECT count(*) FILTER (is_true)::BIGINT AS n_true,
+              count(*) FILTER (is_cand)::BIGINT AS n_candidates,
+              count(*) FILTER (is_true AND is_cand)::BIGINT AS tp,
+              count(*) FILTER (is_cand AND NOT is_true)::BIGINT AS fp,
+              count(*) FILTER (is_true AND NOT is_cand)::BIGINT AS fn
+       FROM qj)
+SELECT n_true, n_candidates, tp, fp, fn,
+       coalesce(1000000 * tp // nullif(n_candidates, 0), 1000000)::BIGINT AS precision_ppm,
+       coalesce(1000000 * tp // nullif(n_true, 0), 1000000)::BIGINT AS recall_ppm
+FROM qa"""
+        )
+
+    r["dedup_lsh_quality"] = (_lsh_quality, _lsh_quality_sql())
+
     # Duplicate clusters = transitive closure of the LSH candidate pairs.
     # Spark: iterative min-label propagation + pointer jumping
     # (operators/dedup.py:connected_components). Oracle: DuckDB recursive

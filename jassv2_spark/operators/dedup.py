@@ -637,3 +637,68 @@ def dedup_keep_best(
         "quality",
         F.first(id_col).over(w).cast("long").alias("rep_doc_id"),
     ).withColumn("keep", F.col(id_col) == F.col("rep_doc_id"))
+
+
+def lsh_candidate_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ONE summary row measuring the MinHash-LSH candidate generator
+    against exact n-gram Jaccard ground truth at threshold τ = tau_num /
+    tau_den: (n_true, n_candidates, tp, fp, fn, precision_ppm,
+    recall_ppm). The number every banding choice (rows × bands) is
+    tuned by — the S-curve's realized precision/recall on THIS corpus —
+    computed exactly rather than from the (1-(1-s^r)^b) formula.
+
+    τ compares as an exact rational (inter·den ≥ num·uni — no float
+    threshold drift between engines); ppm ratios are exact integer
+    div, with the vacuous-case convention precision = recall = 10^6
+    when the denominator set is empty.
+
+    Scale shape: reuses the two existing pair plans (banded LSH join;
+    df-capped shingle join for truth) plus one full-outer pair-keyed
+    join and a global agg. Exact truth is the expensive side by design
+    — at 10^12 docs run this on a sampled slice (hash-prefix of doc_id)
+    to audit the banding, never corpus-wide."""
+    truth = (
+        ngram_jaccard_pairs(
+            docs, text_col, id_col, n=n, max_shingle_df=max_shingle_df
+        )
+        .where(F.col("inter") * F.lit(int(tau_den)) >= F.lit(int(tau_num)) * F.col("uni"))
+        .select("doc_a", "doc_b", F.lit(True).alias("is_true"))
+    )
+    cand = minhash_lsh_pairs(
+        docs, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
+    ).select("doc_a", "doc_b", F.lit(True).alias("is_cand"))
+    j = truth.join(cand, ["doc_a", "doc_b"], "full")
+
+    def _n(c):  # empty-input agg must read 0, not NULL
+        return F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0)).cast("long")
+
+    return j.agg(
+        _n(F.col("is_true")).alias("n_true"),
+        _n(F.col("is_cand")).alias("n_candidates"),
+        _n(F.col("is_true") & F.col("is_cand")).alias("tp"),
+        _n(F.col("is_cand") & F.col("is_true").isNull()).alias("fp"),
+        _n(F.col("is_true") & F.col("is_cand").isNull()).alias("fn"),
+    ).select(
+        "n_true",
+        "n_candidates",
+        "tp",
+        "fp",
+        "fn",
+        F.coalesce(
+            F.expr("1000000 * tp div nullif(n_candidates, 0)"), F.lit(1000000)
+        ).cast("long").alias("precision_ppm"),
+        F.coalesce(
+            F.expr("1000000 * tp div nullif(n_true, 0)"), F.lit(1000000)
+        ).cast("long").alias("recall_ppm"),
+    )

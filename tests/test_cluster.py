@@ -163,3 +163,46 @@ def test_keep_best_default_quality_is_n_types(spark):
     out = {r["doc_id"]: r for r in dedup_keep_best(docs, clusters=clusters).collect()}
     assert out[1]["keep"] is True and out[1]["quality"] == 4
     assert out[2]["keep"] is False and out[2]["quality"] == 3
+
+
+def test_lsh_quality_counts_against_brute_force(spark):
+    from jassv2_spark.operators.dedup import (
+        lsh_candidate_quality,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),    # near-dup of 1
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six eight"),     # near-dup of 3
+        (5, "totally different words here now"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = lsh_candidate_quality(docs, tau_num=1, tau_den=2).collect()[0]
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs).collect()
+        if 2 * r["inter"] >= r["uni"]
+    }
+    cand = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert out["n_true"] == len(truth)
+    assert out["n_candidates"] == len(cand)
+    assert out["tp"] == len(truth & cand)
+    assert out["fp"] == len(cand - truth)
+    assert out["fn"] == len(truth - cand)
+    assert out["tp"] + out["fn"] == out["n_true"]
+    if out["n_candidates"]:
+        assert out["precision_ppm"] == 10**6 * out["tp"] // out["n_candidates"]
+
+
+def test_lsh_quality_vacuous_conventions(spark):
+    from jassv2_spark.operators.dedup import lsh_candidate_quality
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "ee ff gg hh")], ["doc_id", "text"]
+    )
+    out = lsh_candidate_quality(docs, tau_num=1, tau_den=2).collect()[0]
+    assert out["n_true"] == 0 and out["n_candidates"] == 0
+    assert out["precision_ppm"] == 10**6 and out["recall_ppm"] == 10**6
