@@ -3467,6 +3467,28 @@ SELECT qid, vec_id, cos, rank FROM r WHERE rank <= {K}"""
 
     r["ann_lsh_topk"] = (_lsh, _lsh_sql())
 
+    # ANN acceptance audit (ann.py:ann_recall_audit): per-query recall@k
+    # of the LSH-bucketed top-k vs exact brute force — the measured
+    # number an (n_tables, n_planes) choice is accepted by. The oracle
+    # composes the two already-verified top-k statements as derived
+    # tables and counts the set overlap.
+    def _ann_recall(spark, sf):
+        from jassv2_spark.operators.ann import ann_recall_audit
+
+        return ann_recall_audit(_emb(spark, sf), ANN_QUERY_IDS, k=K, dim=EMB_DIM)
+
+    _brute_sql = r["ann_cosine_topk"][1]
+    r["ann_recall_audit"] = (
+        _ann_recall,
+        f"""WITH bx AS ({_brute_sql}),
+            ax AS ({_lsh_sql()}),
+            hv AS (SELECT b.qid, CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+                   FROM bx b LEFT JOIN ax a ON a.qid = b.qid AND a.vec_id = b.vec_id)
+            SELECT qid, {K}::BIGINT AS k, sum(hit)::BIGINT AS n_overlap,
+                   (1000000 * sum(hit) // {K})::BIGINT AS recall_ppm
+            FROM hv GROUP BY qid""",
+    )
+
     # IVF ANN: coarse quantizer partitions the corpus into lists; a query
     # probes the nprobe closest lists and exact-reranks only their members.
     # The ENTRY uses seed-derived random unit centroids so the oracle can

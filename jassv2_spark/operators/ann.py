@@ -562,3 +562,59 @@ def semdedup(
         "centroid_cos",
         F.coalesce(~F.col("rm"), F.lit(True)).alias("keep"),
     )
+
+
+def ann_recall_audit(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    approx: DataFrame | None = None,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(qid, k, n_overlap, recall_ppm): per-query recall@k of an
+    approximate top-k against the exact brute-force cosine top-k — THE
+    acceptance metric for any ANN parameter choice (n_tables/n_planes
+    for LSH, nprobe for IVF), measured on this corpus instead of
+    trusted from collision-probability formulas.
+
+    `approx` defaults to :func:`lsh_bucketed_topk` with the given
+    parameters; pass any (qid, vec_id, …) top-k DataFrame (IVF, PQ) to
+    audit that instead. Overlap is exact set intersection — both sides
+    use the engine's deterministic (cos DESC, vec_id ASC) tie-break, so
+    the top-k SETS are well-defined; recall_ppm = 10⁶·overlap div k,
+    exact integer.
+
+    Scale shape: the exact side is one corpus scan per query batch
+    (the audit's honest cost — run on a query SAMPLE at 10^12 rows);
+    the final join is (qid, vec_id)-keyed over 2·|queries|·k rows."""
+    exact = cosine_topk(embeddings, query_ids, k, id_col, vec_col)
+    if approx is None:
+        approx = lsh_bucketed_topk(
+            embeddings, query_ids, k, n_planes, n_tables, seed,
+            id_col, vec_col, dim,
+        )
+    hit = exact.select("qid", "vec_id").join(
+        approx.select("qid", "vec_id", F.lit(True).alias("__hit")),
+        ["qid", "vec_id"],
+        "left",
+    )
+    return (
+        hit.groupBy("qid")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("__hit"), 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("n_overlap")
+        )
+        .select(
+            "qid",
+            F.lit(int(k)).cast("long").alias("k"),
+            "n_overlap",
+            F.expr(f"1000000 * n_overlap div {int(k)}").cast("long").alias("recall_ppm"),
+        )
+    )

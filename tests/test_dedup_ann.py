@@ -198,3 +198,27 @@ def test_semdedup_no_cartesian_plan(spark):
     plan = semdedup(emb, dim=64, eps=0.4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_ann_recall_audit_perfect_when_approx_is_exact(spark, emb):
+    from jassv2_spark.operators.ann import ann_recall_audit, cosine_topk
+
+    exact = cosine_topk(emb, [1, 2], k=5)
+    out = ann_recall_audit(emb, [1, 2], k=5, approx=exact).collect()
+    assert len(out) == 2
+    assert all(r["n_overlap"] == 5 and r["recall_ppm"] == 10**6 for r in out)
+
+
+def test_ann_recall_audit_counts_misses(spark, emb):
+    from jassv2_spark.operators.ann import ann_recall_audit, cosine_topk
+    import pyspark.sql.functions as F
+
+    # an "approx" that returns only the top-2 of the exact list → recall 2/5
+    crippled = cosine_topk(emb, [1], k=5).where(F.col("rank") <= 2)
+    out = ann_recall_audit(emb, [1], k=5, approx=crippled).collect()[0]
+    assert out["n_overlap"] == 2 and out["recall_ppm"] == 400000
