@@ -1170,6 +1170,78 @@ sfix AS (SELECT t.query_id, t.pos,
               FROM sfix GROUP BY query_id""",
     )
 
+    # Context-aware "did you mean" (fuzzy.py:suggest_queries_context):
+    # distance-1 candidates (df-capped top-5) re-ranked by the corpus
+    # bigram count of (previous token, candidate) — the noisy-channel
+    # prior — so the SAME typo corrects differently under different left
+    # context; pos-0/unseen contexts fall back to the df rule exactly.
+    # 'sow'→{row, slow} and 'ag'→{a, agg} are the ambiguous probes.
+    _CTX_QUERIES = [
+        ("c01", "fast sow"),
+        ("c02", "the sow merge"),
+        ("c03", "ag table"),
+        ("c04", "data ag"),
+        ("c05", "zzzqqq vale"),
+        ("c06", "query sort"),
+    ]
+    _CTX_NCAND = 5
+
+    def _suggest_ctx(spark, sf):
+        from jassv2_spark.operators.fuzzy import (
+            corpus_bigrams,
+            suggest_queries_context,
+        )
+
+        return suggest_queries_context(
+            get_index(spark, sf),
+            spark.createDataFrame(_CTX_QUERIES, ["query_id", "query"]),
+            corpus_bigrams(_docs(spark, sf)),
+            n_candidates=_CTX_NCAND,
+        )
+
+    _ctx_values = ", ".join(f"('{q}', '{t}')" for q, t in _CTX_QUERIES)
+    _CTX_CTES = f"""
+cfq(query_id, query) AS (VALUES {_ctx_values}),
+cqs AS (SELECT query_id, regexp_extract_all(lower(query), '{TOKEN_PATTERN}') AS tk FROM cfq),
+cqp AS (SELECT query_id, unnest(range(1, len(tk) + 1)) AS pos, tk FROM cqs),
+cqt AS (SELECT query_id, pos, tk[pos] AS term,
+               CASE WHEN pos > 1 THEN tk[pos - 1] END AS prev
+        FROM cqp),
+cvb AS (SELECT term, count(*)::BIGINT AS df FROM tfx GROUP BY term),
+cov AS (SELECT DISTINCT term AS probe FROM cqt
+        WHERE term NOT IN (SELECT term FROM cvb)),
+ccd AS (SELECT probe, term AS cand, df FROM (
+          SELECT o.probe, v.term, v.df,
+                 row_number() OVER (PARTITION BY o.probe
+                    ORDER BY v.df DESC, v.term ASC) AS rn
+          FROM cov o JOIN cvb v ON levenshtein(o.probe, v.term) = 1)
+        WHERE rn <= {_CTX_NCAND}),
+cbg AS (SELECT tk[i] AS prev, tk[i + 1] AS cur, count(*)::BIGINT AS b_cnt
+        FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+              FROM (SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+                    FROM documents))
+        GROUP BY 1, 2),
+cpk AS (SELECT query_id, pos, cand FROM (
+          SELECT t.query_id, t.pos, c.cand,
+                 row_number() OVER (PARTITION BY t.query_id, t.pos
+                    ORDER BY coalesce(b.b_cnt, 0) DESC, c.df DESC, c.cand ASC) AS rn
+          FROM cqt t JOIN ccd c ON c.probe = t.term
+               LEFT JOIN cbg b ON b.prev = t.prev AND b.cur = c.cand)
+        WHERE rn = 1),
+cfx AS (SELECT t.query_id, t.pos,
+               coalesce(p.cand, t.term) AS out_term,
+               CASE WHEN p.cand IS NOT NULL THEN 1 ELSE 0 END AS fixed
+        FROM cqt t LEFT JOIN cpk p ON p.query_id = t.query_id AND p.pos = t.pos)
+"""
+    r["jass_suggest_context"] = (
+        _suggest_ctx,
+        _sql(_BASE, _CTX_CTES)
+        + """ SELECT query_id,
+                     string_agg(out_term, ' ' ORDER BY pos) AS suggestion,
+                     sum(fixed)::BIGINT AS n_corrected
+              FROM cfx GROUP BY query_id""",
+    )
+
     # More-like-this (operators/mlt.py): the query is DERIVED from a seed
     # document — its top-25 terms by tf·idf (ln driver-side, repo
     # determinism standard) — then served through the unchanged segment

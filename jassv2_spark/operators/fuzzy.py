@@ -310,3 +310,115 @@ def search_prefix(
     return search_from_terms(
         index, expanded, q_meta, k=k, rho=rho, with_keys=with_keys
     )
+
+
+def corpus_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "parity",
+) -> DataFrame:
+    """(prev, cur, b_cnt): adjacent-token bigram counts over the corpus —
+    the context table `suggest_queries_context` re-ranks corrections
+    with. Pairs fan out MAP-SIDE from each doc's token array (no
+    positional self-join); ONE (prev, cur)-keyed partial-agg shuffle."""
+    from jassv2_spark.functions.tokenizer import spark_tokens
+
+    t = docs.select(spark_tokens(text_col, mode=tokenizer).alias("__a"))
+    # sequence(2, n) flips DESCENDING when n < 2 — guard short docs
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__a) >= 2 THEN"
+                " transform(sequence(2, size(__a)),"
+                "  i -> struct(element_at(__a, i - 1) as prev,"
+                "              element_at(__a, i) as cur))"
+                " ELSE array() END"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("b_cnt"))
+    )
+
+
+def suggest_queries_context(
+    index: Index,
+    queries: DataFrame,
+    bigrams: DataFrame,
+    *,
+    n_candidates: int = 5,
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """(query_id, suggestion, n_corrected): "did you mean" with LEFT-
+    CONTEXT re-ranking — the classic upgrade over df-only correction
+    (Kernighan/Church/Gale'90 noisy channel with a bigram LM prior;
+    what search-engine spellers actually ship). Each OOV token's
+    distance-1 candidates (the `n_candidates` best by df — the same cap
+    rule as `fuzzy_term_candidates`) are re-scored by the corpus bigram
+    count c(prev_token, candidate); the winner is (b_cnt DESC, df DESC,
+    term ASC), so the SAME typo can correct differently under different
+    left context, and position 0 / unseen contexts fall back to the
+    df-only rule exactly. In-vocab tokens are never touched;
+    uncorrectable OOV stays verbatim.
+
+    Scale shape: adds ONE broadcast-sized join onto `suggest_queries`'
+    plan — candidates × left-contexts is (distinct OOV probes ×
+    n_candidates × distinct prevs), tiny; the bigram table joins by its
+    (prev, cur) key (equi-join; the Zipf-hot pairs were partial-agged
+    at count time)."""
+    from jassv2_spark.functions.tokenizer import spark_tokens
+
+    tokenizer = tokenizer or index.conf.tokenizer
+    toks = queries.select(
+        "query_id",
+        F.posexplode(spark_tokens("query", mode=tokenizer, xml=False)).alias("pos", "term"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("pos")
+    toks = toks.withColumn("prev", F.lag("term").over(wq))
+    stats = index.term_stats.select("term", "df")
+    oov = (
+        toks.join(stats.select("term"), "term", "left_anti")
+        .select(F.col("term").alias("probe"))
+        .distinct()
+    )
+    cand = fuzzy_term_candidates(stats, oov, n=n_candidates).select(
+        "probe", F.col("term").alias("cand"), "df"
+    )
+    scored = (
+        toks.join(F.broadcast(cand), toks["term"] == cand["probe"])
+        .join(
+            bigrams.select(
+                F.col("prev").alias("__bprev"),
+                F.col("cur").alias("__bcur"),
+                "b_cnt",
+            ),
+            (F.col("__bprev") == F.col("prev")) & (F.col("__bcur") == F.col("cand")),
+            "left",
+        )
+        .drop("__bprev", "__bcur")
+    )
+    wpick = Window.partitionBy("query_id", "pos").orderBy(
+        F.col("b_cnt").desc_nulls_last(), F.col("df").desc(), F.col("cand").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(wpick))
+        .where(F.col("__rn") == 1)
+        .select("query_id", "pos", F.col("cand").alias("corrected"))
+    )
+    fixed = toks.join(best, ["query_id", "pos"], "left").select(
+        "query_id",
+        "pos",
+        F.coalesce(F.col("corrected"), F.col("term")).alias("out_term"),
+        F.col("corrected").isNotNull().cast("long").alias("fixed"),
+    )
+    ordered = F.expr(
+        "array_join(transform(array_sort(collect_list(struct(pos, out_term))),"
+        " x -> x.out_term), ' ')"
+    )
+    return fixed.groupBy("query_id").agg(
+        ordered.alias("suggestion"),
+        F.sum("fixed").cast("long").alias("n_corrected"),
+    )

@@ -222,3 +222,57 @@ def test_prefix_short_and_unmatched_terms_drop_like_oov(spark, tiny_index):
     # 'z' is below min_prefix (literal OOV), 'zzz' matches nothing
     q = spark.createDataFrame([("q1", "z"), ("q2", "zzz")], ["query_id", "query"])
     assert search_prefix(tiny_index, q, k=5, with_keys=False).count() == 0
+
+
+# ------------------------------------------------- context-aware suggest
+
+def test_context_flips_correction(spark):
+    from jassv2_spark.operators.fuzzy import (
+        corpus_bigrams,
+        suggest_queries,
+        suggest_queries_context,
+    )
+
+    rows = (
+        [(i, "low cost deal") for i in range(1, 6)]
+        + [(i, "black cat sat") for i in range(6, 11)]
+        + [(i, "cat cat cat cat") for i in range(11, 14)]  # df(cat) wins
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = build_index(
+        docs, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+        conf=BuildConf(tokenizer="parity"),
+    )
+    big = corpus_bigrams(docs)
+    qs = spark.createDataFrame(
+        [("q1", "low cot"), ("q2", "black cot"), ("q3", "cot")],
+        ["query_id", "query"],
+    )
+    ctx = {r["query_id"]: r["suggestion"] for r in suggest_queries_context(
+        idx, qs, big
+    ).collect()}
+    plain = {r["query_id"]: r["suggestion"] for r in suggest_queries(idx, qs).collect()}
+    # context picks the bigram-supported correction...
+    assert ctx["q1"] == "low cost"
+    assert ctx["q2"] == "black cat"
+    # ...and with no left context falls back to the df rule = plain
+    assert ctx["q3"] == plain["q3"] == "cat"
+    # df-only rule ignores context
+    assert plain["q1"] == "low cat"
+
+
+def test_context_untouched_and_uncorrectable(spark, tiny_index):
+    from jassv2_spark.operators.fuzzy import corpus_bigrams, suggest_queries_context
+
+    docs = spark.createDataFrame(
+        [(1, "spark join table"), (2, "spark spark query")], ["doc_id", "text"]
+    )
+    big = corpus_bigrams(docs)
+    qs = spark.createDataFrame(
+        [("q1", "spark join"), ("q2", "zzzzzzz spark")], ["query_id", "query"]
+    )
+    out = {r["query_id"]: r for r in suggest_queries_context(
+        tiny_index, qs, big
+    ).collect()}
+    assert out["q1"]["suggestion"] == "spark join" and out["q1"]["n_corrected"] == 0
+    assert out["q2"]["suggestion"] == "zzzzzzz spark" and out["q2"]["n_corrected"] == 0
