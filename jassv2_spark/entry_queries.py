@@ -3402,6 +3402,68 @@ sfp AS (SELECT d.doc_id,
                    len(regexp_extract_all(text, '{_bpe_sql}'))::BIGINT AS n_pretok
             FROM documents""",
     )
+    # Flesch–Kincaid readability (textstats.py:readability_scores):
+    # fully-specified sentence/word/vowel-group syllable counts with the
+    # silent-e discount; grade as one fixed IEEE chain over exact counts.
+    def _readability(spark, sf):
+        from jassv2_spark.operators.textstats import readability_scores
+
+        return readability_scores(_docs(spark, sf))
+
+    r["text_readability"] = (
+        _readability,
+        f"""WITH rb AS (SELECT doc_id,
+              greatest(len(list_filter(regexp_split_to_array(lower(text), '[.!?]+'),
+                                       s -> regexp_matches(s, '[a-z0-9]'))), 1)::BIGINT AS n_sentences,
+              regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+            FROM documents),
+          rc AS (SELECT doc_id, n_sentences,
+              len(tk)::BIGINT AS n_words,
+              coalesce(list_sum(list_transform(tk, w -> greatest(1,
+                 len(regexp_extract_all(w, '[aeiouy]+'))
+                 - (CASE WHEN regexp_matches(w, '[^aeiouy]e$')
+                          AND len(regexp_extract_all(w, '[aeiouy]+')) >= 2
+                     THEN 1 ELSE 0 END)))), 0)::BIGINT AS n_syllables
+            FROM rb)
+          SELECT doc_id, n_sentences, n_words, n_syllables,
+                 CASE WHEN n_words > 0 THEN
+                   floor(1000000.0 * (0.39 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                         + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE)
+                         - 15.59))::BIGINT
+                 END AS fk_grade_micros
+          FROM rc""",
+    )
+
+    # Cross-source exact-dup contamination matrix (textstats.py:
+    # cross_source_dups): distinct text contents appearing in BOTH of a
+    # source pair — the double-weighting audit for multi-source mixes.
+    # The synthetic corpus has no natural cross-source exact dups, so the
+    # fixture adds a 'zmirror' source re-hosting every doc_id%3==0 text —
+    # the overlap the matrix must recover exactly.
+    def _xsource(spark, sf):
+        from jassv2_spark.operators.textstats import cross_source_dups
+
+        docs = _docs(spark, sf)
+        mirror = docs.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+            F.lit("zmirror").alias("source"),
+        )
+        both = docs.select("doc_id", "text", "source").unionByName(mirror)
+        return cross_source_dups(both)
+
+    r["dedup_cross_source"] = (
+        _xsource,
+        """WITH xd AS (SELECT doc_id, text, source FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, text, 'zmirror' FROM documents
+                       WHERE doc_id % 3 = 0),
+           xh AS (SELECT DISTINCT md5(text) AS h, source AS src FROM xd)
+           SELECT a.src AS source_a, b.src AS source_b, count(*)::BIGINT AS n_shared_texts
+           FROM xh a JOIN xh b ON a.h = b.h AND a.src < b.src
+           GROUP BY 1, 2""",
+    )
+
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     r["text_quality"] = (
         lambda spark, sf: quality_scores(_docs(spark, sf)),

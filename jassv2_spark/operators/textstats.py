@@ -690,3 +690,94 @@ def exact_percentiles(
     return hit.select(
         *out_cols, F.col("__v").alias("value"), "n_rows"
     ).orderBy(*out_cols)
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_sentences, n_words, n_syllables, fk_grade_micros):
+    Flesch–Kincaid grade level (Kincaid et al. 1975) — the classic
+    readability gate some curation pipelines bucket by — from fully
+    specified integer counts so any engine reproduces it:
+
+    - sentences: maximal runs of [.!?] split the text; count =
+      non-empty fragments holding ≥1 token (min 1 when any word
+      exists, so the ratio is always defined);
+    - words: the tokenizer's [a-z]+|[0-9]+ runs over the lowercased
+      text;
+    - syllables per word: vowel-group count — runs of [aeiouy] — with
+      the silent-e discount (a word ending in 'e' whose vowel-group
+      count is ≥2 drops one), min 1; digits-only tokens count 1. The
+      standard dictionary-free approximation.
+
+    fk_grade_micros = floor(10⁶ · (0.39·W/S + 11.8·Y/W − 15.59)), one
+    fixed left-to-right IEEE chain over exact int64 counts (the repo's
+    fixed-point recipe — associative-safe because the float math runs
+    ONCE per row, never in an aggregate). Empty docs emit NULL grade.
+    Map-only: zero shuffles at any corpus size."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+    sent_frags = F.expr(f"filter(split(lower({text_col}), '[.!?]+'), s -> s rlike '[a-z0-9]')")
+    syl = (
+        "aggregate(__toks, cast(0 as bigint), (acc, w) -> acc + greatest(1,"
+        " size(regexp_extract_all(w, '[aeiouy]+', 0))"
+        " - (CASE WHEN w rlike '[a-z]*[^aeiouy]e$'"
+        "          AND size(regexp_extract_all(w, '[aeiouy]+', 0)) >= 2"
+        "     THEN 1 ELSE 0 END)))"
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(sent_frags).cast("long").alias("__ns"),
+        toks.alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.greatest(F.col("__ns"), F.lit(1)).alias("n_sentences"),
+        F.size("__toks").cast("long").alias("n_words"),
+        F.expr(syl).alias("n_syllables"),
+    )
+    grade = F.when(
+        F.col("n_words") > 0,
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.lit(0.39) * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+                + F.lit(11.8) * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+                - F.lit(15.59)
+            )
+        ).cast("long"),
+    )
+    return base.select(
+        id_col, "n_sentences", "n_words", "n_syllables", grade.alias("fk_grade_micros")
+    )
+
+
+def cross_source_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_shared_texts): the cross-source exact-dup
+    contamination matrix — how many distinct text contents appear in
+    BOTH sources (source_a < source_b lexicographically). The first
+    audit a multi-source training mix needs: silent overlap between
+    two "independent" crawls double-weights those documents.
+
+    Plan: distinct (md5, source) pairs (one partial-agg shuffle keyed
+    by content hash), then the per-hash source-set self-pairs — bounded
+    by (sources-per-hash choose 2), with sources ≤ the source-universe
+    size (tiny), never a corpus² blowup."""
+    hs = (
+        docs.select(
+            F.md5(F.col(text_col).cast("binary")).alias("h"),
+            F.col(source_col).alias("src"),
+        )
+        .distinct()
+    )
+    a = hs.select("h", F.col("src").alias("source_a"))
+    b = hs.select("h", F.col("src").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_texts"))
+    )
