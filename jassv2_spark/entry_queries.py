@@ -4400,6 +4400,62 @@ SELECT src_host, dst_host, count(*)::BIGINT AS n_links,
 FROM he GROUP BY src_host, dst_host""",
     )
 
+    # Host-level weighted PageRank (webgraph.py:pagerank_weighted over
+    # host_graph): contribution (r·w) div W_u per edge, exact integers —
+    # the host-granularity static prior. 5 iterations over the 4-host
+    # mod-4 rollup; the oracle unrolls the same integer recurrence.
+    _HPR_ITERS = 5
+
+    def _host_pagerank(spark, sf):
+        from jassv2_spark.operators.webgraph import (
+            host_graph,
+            pagerank_weighted,
+            synthesize_links,
+        )
+
+        docs = _docs(spark, sf)
+        hosts = docs.select("doc_id", F.expr(_ROB_HOST).alias("host"))
+        hg = host_graph(synthesize_links(docs, anchor_tokens=_ANCHOR_N), hosts)
+        return pagerank_weighted(
+            hosts.select(F.col("host").alias("node")),
+            hg.select(
+                F.col("src_host").alias("src"),
+                F.col("dst_host").alias("dst"),
+                F.col("n_links").alias("weight"),
+            ),
+            iterations=_HPR_ITERS,
+        )
+
+    def _hpr_sql() -> str:
+        from jassv2_spark.operators.webgraph import PR_SCALE
+
+        base = 15 * PR_SCALE // 100
+        parts = [
+            f"""hmap AS (SELECT doc_id, {_ROB_HOST} AS host FROM documents),
+hhe AS (SELECT hs.host AS src, hd.host AS dst, count(*)::BIGINT AS w
+        FROM ded d JOIN hmap hs ON hs.doc_id = d.src
+                   JOIN hmap hd ON hd.doc_id = d.dst
+        WHERE hs.host <> hd.host GROUP BY 1, 2),
+hwt AS (SELECT src, sum(w)::BIGINT AS wtot FROM hhe GROUP BY src),
+hed AS (SELECT e.src, e.dst, e.w, t.wtot FROM hhe e JOIN hwt t USING (src)),
+hnd AS (SELECT DISTINCT host AS node FROM hmap),
+h0 AS (SELECT node, {PR_SCALE}::BIGINT AS r FROM hnd)"""
+        ]
+        for i in range(_HPR_ITERS):
+            parts.append(
+                f"""hm{i} AS (SELECT e.dst AS node, sum((h{i}.r * e.w) // e.wtot)::BIGINT AS m
+        FROM hed e JOIN h{i} ON h{i}.node = e.src GROUP BY e.dst),
+h{i + 1} AS (SELECT n.node,
+               ({base}::BIGINT + (85 * coalesce(hm{i}.m, 0)) // 100)::BIGINT AS r
+             FROM hnd n LEFT JOIN hm{i} USING (node))"""
+            )
+        return (
+            _sql(_LINKS_CTES, *parts)
+            + f" SELECT node, r AS pr FROM h{_HPR_ITERS}"
+        )
+
+    r["web_host_pagerank"] = (_host_pagerank, _hpr_sql())
+
     # Triangle census via degree-ordered orientation (Suri &
     # Vassilvitskii WWW'11): apex = lowest-(degree, id) vertex, so each
     # triangle counts once and wedge fan-out is arboricity-bounded.

@@ -1327,3 +1327,60 @@ def host_graph(
         F.count(F.lit(1)).cast("long").alias("n_links"),
         F.count_distinct("src").cast("long").alias("n_src_pages"),
     )
+
+
+def pagerank_weighted(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    iterations: int = 10,
+    scale: int = PR_SCALE,
+    damp_num: int = PR_DAMP_NUM,
+    damp_den: int = PR_DAMP_DEN,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """(node, pr): WEIGHTED damped PageRank — per-edge contribution
+    proportional to edge weight, c(u→v) = (r(u) · w_uv) div W_u with
+    W_u = Σ_out w — in the same exact-integer recipe as :func:`pagerank`
+    (which is the w≡1 special case). Node keys are generic (strings
+    welcome: host graphs are the intended consumer — run it on
+    :func:`host_graph`'s n_links or n_src_pages weight).
+
+    Overflow bound: r·w must fit int64, i.e. max edge weight ≲
+    2⁶³/(scale·damp-amplification). At the default scale=10¹² weights
+    up to ~10⁶ are safe; for heavier host-pair weights pass a smaller
+    scale (10⁹ leaves 6 more orders) — the ranking is scale-invariant
+    up to the integer floor.
+
+    Scale shape: identical to pagerank — per iteration one src-keyed
+    join and one dst-keyed partial-agg shuffle; in-degree skew absorbs
+    map-side because contributions were already divided down."""
+    base = (damp_den - damp_num) * scale // damp_den
+    nd = nodes.select(F.col(node_col).alias("node")).distinct()
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    wout = e.groupBy("src").agg(F.sum("w").alias("wtot"))
+    e = e.join(wout, "src").persist()
+    ranks = nd.select("node", F.lit(int(scale)).cast("long").alias("r"))
+    for i in range(iterations):
+        contrib = e.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), F.expr("(r * w) div wtot").alias("c"))
+        mass = contrib.groupBy("node").agg(F.sum("c").alias("m"))
+        ranks = nd.join(mass, "node", "left").select(
+            "node",
+            (
+                F.lit(int(base))
+                + F.expr(f"({damp_num} * coalesce(m, cast(0 as long))) div {damp_den}")
+            ).cast("long").alias("r"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").alias("pr"))

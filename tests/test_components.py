@@ -101,3 +101,38 @@ def test_host_graph_keep_self(spark):
     links = spark.createDataFrame([(1, 4)], ["src", "dst"])
     hosts = spark.createDataFrame([(1, "a"), (4, "a")], ["doc_id", "host"])
     assert host_graph(links, hosts, keep_self=True).count() == 1
+
+
+def test_weighted_pagerank_reduces_to_unweighted_on_unit_weights(spark):
+    from pyspark.sql import functions as F
+
+    from jassv2_spark.operators.webgraph import pagerank, pagerank_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"])
+    plain = {r["doc_id"]: r["pr"] for r in pagerank(
+        nodes, edges, iterations=4
+    ).collect()}
+    weighted = {r["node"]: r["pr"] for r in pagerank_weighted(
+        nodes.select(F.col("doc_id").alias("node")),
+        edges.withColumn("weight", F.lit(1)),
+        iterations=4,
+    ).collect()}
+    assert plain == weighted
+
+
+def test_weighted_pagerank_weight_shifts_mass(spark):
+    from jassv2_spark.operators.webgraph import pagerank_weighted
+
+    # 1 links to 2 (weight 9) and 3 (weight 1): 2 must outrank 3
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], ["node"])
+    edges = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        ["src", "dst", "weight"],
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank_weighted(
+        nodes, edges, iterations=6
+    ).collect()}
+    assert pr["b"] > pr["c"]
