@@ -3434,6 +3434,68 @@ sfp AS (SELECT d.doc_id,
           FROM rc""",
     )
 
+    # Character-entropy garbage detector (textstats.py:char_entropy):
+    # Σ n_c·(bitlen(n)−bitlen(n_c)) over the lowercased char histogram —
+    # exact-integer log2 surprisal; repeated-run docs score ~0.
+    def _char_entropy(spark, sf):
+        from jassv2_spark.operators.textstats import char_entropy
+
+        return char_entropy(_docs(spark, sf))
+
+    r["text_char_entropy"] = (
+        _char_entropy,
+        r"""WITH cex AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\s\S]')) AS ch
+                 FROM documents),
+           chc AS (SELECT doc_id, ch, count(*)::BIGINT AS cnt FROM cex GROUP BY 1, 2),
+           cht AS (SELECT doc_id, sum(cnt)::BIGINT AS n, count(*)::BIGINT AS nd
+                   FROM chc GROUP BY 1),
+           che AS (SELECT c.doc_id,
+                          sum(c.cnt * (length(bin(t.n)) - length(bin(c.cnt))))::BIGINT AS s
+                   FROM chc c JOIN cht t USING (doc_id) GROUP BY 1)
+           SELECT d.doc_id, coalesce(t.n, 0)::BIGINT AS n_chars,
+                  coalesce(t.nd, 0)::BIGINT AS n_distinct_chars,
+                  coalesce(e.s, 0)::BIGINT AS entropy_cbits
+           FROM documents d LEFT JOIN cht t USING (doc_id)
+                LEFT JOIN che e ON e.doc_id = d.doc_id""",
+    )
+
+    # Mojibake / encoding-damage signals (textstats.py:mojibake_signals).
+    # The synthetic corpus is clean, so the fixture injects damage
+    # deterministically: U+FFFD + the CP1252 'â€' signature on mod-7,
+    # a C1 control (NEL) on mod-11 — recovered exactly by both engines.
+    # (Spark's chr() wraps at 256, so the Spark side injects the code
+    # points as Python literals; DuckDB uses chr(65533)/chr(133).)
+    _MOJ_INJECT = (
+        "CASE WHEN doc_id % 7 = 0 THEN concat(' â€œquote', chr(65533))"
+        " WHEN doc_id % 11 = 0 THEN chr(133) ELSE '' END"
+    )
+
+    def _mojibake(spark, sf):
+        from jassv2_spark.operators.textstats import mojibake_signals
+
+        inject = (
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" â€œquote�"))
+            .when(F.col("doc_id") % 11 == 0, F.lit(""))
+            .otherwise(F.lit(""))
+        )
+        dirty = _docs(spark, sf).select(
+            "doc_id", F.concat(F.col("text"), inject).alias("text")
+        )
+        return mojibake_signals(dirty)
+
+    r["text_mojibake"] = (
+        _mojibake,
+        f"""WITH md AS (SELECT doc_id, text || {_MOJ_INJECT} AS text FROM documents),
+           mm AS (SELECT doc_id,
+                    len(regexp_extract_all(text, chr(65533)))::BIGINT AS n_replacement,
+                    len(regexp_extract_all(text, '[\\x{{80}}-\\x{{9F}}]'))::BIGINT AS n_c1_controls,
+                    len(regexp_extract_all(text, 'â€'))::BIGINT AS n_cp1252_sigs
+                  FROM md)
+           SELECT doc_id, n_replacement, n_c1_controls, n_cp1252_sigs,
+                  (n_replacement > 0 OR n_c1_controls > 0 OR n_cp1252_sigs > 0) AS is_suspect
+           FROM mm""",
+    )
+
     # Cross-source exact-dup contamination matrix (textstats.py:
     # cross_source_dups): distinct text contents appearing in BOTH of a
     # source pair — the double-weighting audit for multi-source mixes.

@@ -781,3 +781,62 @@ def cross_source_dups(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_texts"))
     )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_chars, n_distinct_chars, entropy_cbits): character-
+    distribution entropy at integer bit-length resolution — Σ_c n_c ·
+    (bitlen(n) − bitlen(n_c)) over the lowercased character histogram
+    (the repo's exact-integer log2 surprisal recipe; "cbits" = count-
+    weighted bits). The classic cheap garbage detector: runs of one
+    repeated character score ~0, natural text scores high; threshold
+    per length band. Empty docs emit 0.
+
+    Pure-JVM higher-order functions (distinct-chars × length filter
+    scan per row — alphabet-bounded); map-only, zero shuffles."""
+    a = F.expr(f"regexp_extract_all(lower({text_col}), '[\\\\s\\\\S]', 0)")
+    ent = (
+        "aggregate(transform(array_distinct(__a),"
+        " c -> size(filter(__a, x -> x = c))),"
+        " cast(0 as bigint),"
+        " (acc, cnt) -> acc + cnt * (length(bin(size(__a))) - length(bin(cnt))))"
+    )
+    return docs.select(
+        F.col(id_col),
+        a.alias("__a"),
+    ).select(
+        F.col(id_col),
+        F.size("__a").cast("long").alias("n_chars"),
+        F.size(F.array_distinct("__a")).cast("long").alias("n_distinct_chars"),
+        F.when(F.size("__a") > 0, F.expr(ent)).otherwise(F.lit(0)).cast("long").alias("entropy_cbits"),
+    )
+
+
+def mojibake_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_replacement, n_c1_controls, n_cp1252_sigs, is_suspect):
+    encoding-damage detectors every web-text pipeline runs before
+    training — U+FFFD replacement chars (decoder already gave up), C1
+    control chars U+0080–U+009F (latin-1-decoded bytes that were never
+    text), and the 'â€' bigram (the signature of CP1252-decoding UTF-8
+    bytes — curly quotes/dashes mangle to â€™/â€œ/â€"). is_suspect
+    flags any hit. Counts by regexp extraction — map-only, zero
+    shuffles, portable regexes (no lookaround)."""
+    t = F.col(text_col)
+
+    def _cnt(pat):
+        return F.size(F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)")).cast("long")
+
+    n_rep = _cnt("\\\\uFFFD")
+    n_c1 = _cnt("[\\\\u0080-\\\\u009F]")
+    n_sig = _cnt("â€")
+    return docs.select(
+        F.col(id_col),
+        n_rep.alias("n_replacement"),
+        n_c1.alias("n_c1_controls"),
+        n_sig.alias("n_cp1252_sigs"),
+        ((n_rep > 0) | (n_c1 > 0) | (n_sig > 0)).alias("is_suspect"),
+    )

@@ -48,3 +48,43 @@ def test_cross_source_dup_matrix(spark):
     out = {(r["source_a"], r["source_b"]): r["n_shared_texts"]
            for r in cross_source_dups(docs).collect()}
     assert out == {("books", "cc"): 2, ("books", "wiki"): 1, ("cc", "wiki"): 1}
+
+
+def test_char_entropy_separates_runs_from_text(spark):
+    from jassv2_spark.operators.textstats import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaa"), (2, "The quick brown fox jumps."), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert out[1]["entropy_cbits"] == 0          # single repeated char
+    assert out[2]["entropy_cbits"] > 50          # natural text
+    assert tuple(out[3]) == (3, 0, 0, 0)
+    # python reference for doc 2
+    t = "the quick brown fox jumps."
+    n = len(t)
+    want = sum(
+        t.count(c) * (n.bit_length() - t.count(c).bit_length())
+        for c in set(t)
+    )
+    assert out[2]["entropy_cbits"] == want
+
+
+def test_mojibake_signal_counts(spark):
+    from jassv2_spark.operators.textstats import mojibake_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text"),
+            (2, "bad \uFFFD and \uFFFD twice"),
+            (3, "c1 here \u0085 and \u0092"),
+            (4, "curly \u00e2\u20ac\u2122 and \u00e2\u20ac\u0153 mangled"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in mojibake_signals(docs).collect()}
+    assert out[1]["is_suspect"] is False
+    assert out[2]["n_replacement"] == 2 and out[2]["is_suspect"] is True
+    assert out[3]["n_c1_controls"] == 2
+    assert out[4]["n_cp1252_sigs"] == 2
