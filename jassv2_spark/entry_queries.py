@@ -4518,6 +4518,41 @@ h{i + 1} AS (SELECT n.node,
 
     r["web_host_pagerank"] = (_host_pagerank, _hpr_sql())
 
+    # Fetch-budget apportionment (crawl.py:crawl_budget): Hamilton
+    # largest-remainder split of a 1000-fetch budget across hosts by
+    # page count — quotas sum to the budget EXACTLY, each within 1 of
+    # its real share.
+    _CB_BUDGET = 1000
+
+    def _crawl_budget(spark, sf):
+        from jassv2_spark.operators.crawl import crawl_budget
+
+        hw = (
+            _docs(spark, sf)
+            .select(F.expr(_ROB_HOST).alias("host"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("weight"))
+        )
+        return crawl_budget(hw, _CB_BUDGET)
+
+    r["web_crawl_budget"] = (
+        _crawl_budget,
+        f"""WITH hw AS (SELECT {_ROB_HOST} AS host, count(*)::BIGINT AS weight
+                 FROM documents GROUP BY 1),
+           tw AS (SELECT sum(weight)::BIGINT AS W FROM hw),
+           hb AS (SELECT host, weight,
+                         ({_CB_BUDGET} * weight) // W AS base_quota,
+                         ({_CB_BUDGET} * weight) % W AS rem
+                  FROM hw, tw),
+           hr AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+                  FROM hb),
+           hs AS (SELECT sum(base_quota)::BIGINT AS sb FROM hb)
+           SELECT host, weight, base_quota::BIGINT AS base_quota,
+                  (CASE WHEN rk <= {_CB_BUDGET} - sb THEN 1 ELSE 0 END)::BIGINT AS extra,
+                  (base_quota + CASE WHEN rk <= {_CB_BUDGET} - sb THEN 1 ELSE 0 END)::BIGINT AS quota
+           FROM hr, hs""",
+    )
+
     # Triangle census via degree-ordered orientation (Suri &
     # Vassilvitskii WWW'11): apex = lowest-(degree, id) vertex, so each
     # triangle counts once and wedge fan-out is arboricity-bounded.

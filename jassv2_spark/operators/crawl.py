@@ -133,3 +133,51 @@ def crawl_schedule(
         F.row_number().over(w).cast("long").alias("fetch_seq"),
         ((F.row_number().over(w) - 1) * F.col("__delay")).cast("long").alias("fetch_time_ms"),
     )
+
+
+def crawl_budget(
+    hosts: DataFrame,
+    budget: int,
+    *,
+    host_col: str = "host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """(host, weight, base_quota, extra, quota): apportion a total fetch
+    budget across hosts proportionally to a value weight (host PageRank,
+    revenue, freshness demand) by the LARGEST-REMAINDER method
+    (Hamilton apportionment — the exact-integer way to make quotas sum
+    to the budget): base = (B·w) div W, and the B − Σbase leftover
+    seats go to the largest remainders ((B·w) mod W DESC, host ASC
+    tie-break). Σ quota == budget exactly, every quota within 1 of its
+    real share — the property float rounding loses.
+
+    Scale shape: one global W agg (scalar), map-side quota arithmetic,
+    one window rank over the host table for the leftover seats (hosts
+    ≪ pages; at 10^8 hosts the rank is a single modest sort) — no
+    corpus-scale exchange anywhere. Overflow: B·w must fit int64."""
+    b = int(budget)
+    h = hosts.select(F.col(host_col).alias("host"), F.col(weight_col).cast("long").alias("weight"))
+    tot = h.agg(F.sum("weight").alias("W"))
+    hx = h.crossJoin(F.broadcast(tot))
+    hx = hx.select(
+        "host",
+        "weight",
+        F.expr(f"({b} * weight) div W").cast("long").alias("base_quota"),
+        F.expr(f"({b} * weight) % W").cast("long").alias("__rem"),
+    )
+    w = Window.orderBy(F.col("__rem").desc(), F.col("host").asc())
+    sb = hx.agg(F.sum("base_quota").alias("SB"))
+    ranked = (
+        hx.withColumn("__rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(sb))
+        .withColumn("__left", F.lit(b) - F.col("SB"))
+    )
+    return ranked.select(
+        "host",
+        "weight",
+        "base_quota",
+        (F.col("__rank") <= F.col("__left")).cast("long").alias("extra"),
+        (F.col("base_quota") + (F.col("__rank") <= F.col("__left")).cast("long"))
+        .cast("long")
+        .alias("quota"),
+    )

@@ -85,3 +85,30 @@ def test_schedule_per_host_delay_column(spark):
         frontier, delay_col="delay_ms"
     ).collect()}
     assert out == {"https://h1.example/a": 0, "https://h1.example/b": 100}
+
+
+def test_crawl_budget_sums_exactly_and_bounds_error(spark):
+    from jassv2_spark.operators.crawl import crawl_budget
+
+    hosts = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2), ("d", 1)], ["host", "weight"]
+    )
+    out = {r["host"]: r for r in crawl_budget(hosts, 100).collect()}
+    total = sum(r["quota"] for r in out.values())
+    assert total == 100
+    # every quota within 1 of the real share B*w/W (W=11)
+    for h, w in [("a", 5), ("b", 3), ("c", 2), ("d", 1)]:
+        real = 100 * w / 11
+        assert abs(out[h]["quota"] - real) < 1.0
+
+
+def test_crawl_budget_remainder_tiebreak(spark):
+    from jassv2_spark.operators.crawl import crawl_budget
+
+    # equal weights, budget not divisible: leftover goes to host ASC
+    hosts = spark.createDataFrame(
+        [("x", 1), ("y", 1), ("z", 1)], ["host", "weight"]
+    )
+    out = {r["host"]: r["quota"] for r in crawl_budget(hosts, 7).collect()}
+    assert out == {"x": 3, "y": 2, "z": 2}
+    assert sum(out.values()) == 7
