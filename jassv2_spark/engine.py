@@ -557,3 +557,44 @@ class Engine:
                 )
             )
         return reduce(lambda a, b: a.unionByName(b), rows)
+
+    def search_wildcard(
+        self, queries: DataFrame, k: int | None = None, max_expand: int = 8
+    ) -> DataFrame:
+        """Wildcard query serving: '*'-bearing tokens expand through the
+        permuterm rotation table (operators/wildcard.py) with the
+        df-capped rewrite; literal tokens serve unchanged."""
+        from jassv2_spark.operators.wildcard import search_wildcard
+
+        return search_wildcard(
+            self.index, queries, k=self.top_k if k is None else k,
+            rho=self.rho, max_expand=max_expand,
+        )
+
+    def search_rocchio(
+        self,
+        queries: DataFrame,
+        k: int | None = None,
+        fb_docs: int = 10,
+        fb_terms: int = 10,
+        alpha: int = 2,
+        beta: int = 1,
+    ) -> DataFrame:
+        """Two-pass Rocchio feedback (operators/feedback.py): pass-2
+        weights α·q_tf + β·[t ∈ tf-centroid top-N], exact integers."""
+        from jassv2_spark.operators.feedback import rocchio_search
+
+        return rocchio_search(
+            self.index, queries, k=self.top_k if k is None else k,
+            fb_docs=fb_docs, fb_terms=fb_terms, alpha=alpha, beta=beta,
+            rho=self.rho,
+        )
+
+    def suggest_context(self, queries: DataFrame, bigrams: DataFrame) -> DataFrame:
+        """Context-aware "did you mean" (operators/fuzzy.py): distance-1
+        candidates re-ranked by the corpus bigram count of (previous
+        token, candidate); build `bigrams` once with
+        `jassv2_spark.operators.fuzzy.corpus_bigrams`."""
+        from jassv2_spark.operators.fuzzy import suggest_queries_context
+
+        return suggest_queries_context(self.index, queries, bigrams)

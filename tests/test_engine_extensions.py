@@ -105,3 +105,22 @@ def test_search_prefix_facade(spark, eng):
     full = spark.createDataFrame([("q1", "spark window")], ["query_id", "query"])
     want = sorted(map(tuple, eng.search(full, k=3).collect()))
     assert sorted(map(tuple, got.collect())) == want
+
+
+def test_engine_wildcard_rocchio_suggest_context(spark):
+    from jassv2_spark import Engine
+    from jassv2_spark.operators.fuzzy import corpus_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "spark join table"), (2, "spark stream query"), (3, "join query")],
+        ["doc_id", "text"],
+    )
+    eng = Engine.build(docs, text_col="text", key_col="doc_id", doc_id_col="doc_id")
+    q = spark.createDataFrame([("q1", "sp*k")], ["query_id", "query"])
+    assert eng.search_wildcard(q, k=3).count() > 0
+    q2 = spark.createDataFrame([("q2", "spark")], ["query_id", "query"])
+    assert eng.search_rocchio(q2, k=3, fb_docs=2, fb_terms=3).count() > 0
+    big = corpus_bigrams(docs)
+    typo = spark.createDataFrame([("q3", "spark joim")], ["query_id", "query"])
+    out = eng.suggest_context(typo, big).collect()[0]
+    assert out["suggestion"] == "spark join" and out["n_corrected"] == 1
