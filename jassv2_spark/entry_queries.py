@@ -4518,6 +4518,48 @@ h{i + 1} AS (SELECT n.node,
 
     r["web_host_pagerank"] = (_host_pagerank, _hpr_sql())
 
+    # Redirect-chain resolution (crawl.py:resolve_redirects): pointer
+    # DOUBLING over the functional 3xx map — round k covers 2^k hops, so
+    # 6 self-joins resolve any ≤64-edge chain; cycles emit
+    # resolved=false. Fixture: url(i) → url(i−1) for i%4≠0 (1–3 hop
+    # chains into the %4==0 terminals) plus a literal 2-cycle.
+    def _redirects(spark, sf):
+        from jassv2_spark.operators.crawl import resolve_redirects
+
+        docs = _docs(spark, sf)
+        chain = docs.where(F.col("doc_id") % 4 != 0).select(
+            F.concat(F.lit("https://r.example/"), F.col("doc_id")).alias("src_url"),
+            F.concat(F.lit("https://r.example/"), F.col("doc_id") - 1).alias("dst_url"),
+        )
+        cyc = spark.createDataFrame(
+            [("https://c.example/cy1", "https://c.example/cy2"),
+             ("https://c.example/cy2", "https://c.example/cy1")],
+            ["src_url", "dst_url"],
+        )
+        return resolve_redirects(chain.unionByName(cyc))
+
+    r["web_redirects"] = (
+        _redirects,
+        """WITH RECURSIVE rr AS (
+             SELECT 'https://r.example/' || doc_id AS src,
+                    'https://r.example/' || (doc_id - 1) AS dst
+             FROM documents WHERE doc_id % 4 <> 0
+             UNION ALL SELECT 'https://c.example/cy1', 'https://c.example/cy2'
+             UNION ALL SELECT 'https://c.example/cy2', 'https://c.example/cy1'),
+           walk(src, cur, hops) AS (
+             SELECT src, dst, 1 FROM rr
+             UNION ALL
+             SELECT w.src, rr.dst, w.hops + 1
+             FROM walk w JOIN rr ON rr.src = w.cur WHERE w.hops < 64),
+           term AS (SELECT src, cur, hops FROM walk
+                    WHERE cur NOT IN (SELECT src FROM rr))
+           SELECT s.src AS src_url, t.cur AS final_url,
+                  t.hops::BIGINT AS n_hops,
+                  t.src IS NOT NULL AS resolved
+           FROM (SELECT DISTINCT src FROM rr) s
+                LEFT JOIN term t ON t.src = s.src""",
+    )
+
     # Fetch-budget apportionment (crawl.py:crawl_budget): Hamilton
     # largest-remainder split of a 1000-fetch budget across hosts by
     # page count — quotas sum to the budget EXACTLY, each within 1 of

@@ -181,3 +181,60 @@ def crawl_budget(
         .cast("long")
         .alias("quota"),
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    max_jumps: int = 6,
+) -> DataFrame:
+    """(src_url, final_url, n_hops, resolved): every redirect source
+    resolved to its terminal target — the canonicalization pass a
+    crawler runs over its fetched 3xx log before urls enter the
+    frontier/index (chains are common: http→https→www→final; cycles
+    are the classic trap).
+
+    The redirect map is FUNCTIONAL (one target per source; feed the
+    latest-fetch winner). Resolution is pointer DOUBLING: each round
+    composes the partial map with itself, so round k covers chains of
+    2^k hops — max_jumps=6 resolves any chain ≤ 64 edges in 6
+    self-joins, not 64 (the webgraph components/labels trick applied
+    to the functional graph). n_hops is the exact edge count of the
+    resolved chain (hop counts add under composition). Sources whose
+    walk never leaves the redirect map within the horizon — cycles,
+    or absurd chains — emit resolved=false with NULL final/hops.
+
+    Scale shape: per round ONE equi-join of the map against itself
+    keyed on the current target (uniform url keys) + the final
+    terminal-check left-join; log-rounds total. At 10^9 redirect
+    edges this is 6 keyed shuffles, each map-sized."""
+    m = redirects.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("cur"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    for _ in range(int(max_jumps)):
+        nxt = m.select(
+            F.col("src").alias("__s2"),
+            F.col("cur").alias("__c2"),
+            F.col("hops").alias("__h2"),
+        )
+        m = (
+            m.join(nxt, m["cur"] == nxt["__s2"], "left")
+            .select(
+                "src",
+                F.coalesce(F.col("__c2"), F.col("cur")).alias("cur"),
+                (F.col("hops") + F.coalesce(F.col("__h2"), F.lit(0))).alias("hops"),
+            )
+        )
+    srcs = redirects.select(F.col(src_col).alias("__asrc")).distinct()
+    out = m.join(srcs, m["cur"] == srcs["__asrc"], "left")
+    unresolved = F.col("__asrc").isNotNull()  # target is still a source ⇒ cycle/over-horizon
+    return out.select(
+        F.col("src").alias("src_url"),
+        F.when(~unresolved, F.col("cur")).alias("final_url"),
+        F.when(~unresolved, F.col("hops")).cast("long").alias("n_hops"),
+        (~unresolved).alias("resolved"),
+    )

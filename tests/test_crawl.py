@@ -112,3 +112,35 @@ def test_crawl_budget_remainder_tiebreak(spark):
     out = {r["host"]: r["quota"] for r in crawl_budget(hosts, 7).collect()}
     assert out == {"x": 3, "y": 2, "z": 2}
     assert sum(out.values()) == 7
+
+
+def test_redirect_resolution_chains_and_cycles(spark):
+    from jassv2_spark.operators.crawl import resolve_redirects
+
+    r = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "T"),   # 3-hop chain
+            ("d", "T"),                            # direct
+            ("e", "f"), ("f", "e"),                # 2-cycle
+            ("g", "g"),                            # self-loop
+        ],
+        ["src_url", "dst_url"],
+    )
+    out = {x["src_url"]: x for x in resolve_redirects(r).collect()}
+    assert out["a"]["final_url"] == "T" and out["a"]["n_hops"] == 3
+    assert out["b"]["final_url"] == "T" and out["b"]["n_hops"] == 2
+    assert out["d"]["final_url"] == "T" and out["d"]["n_hops"] == 1
+    for cyc in ("e", "f", "g"):
+        assert out[cyc]["resolved"] is False
+        assert out[cyc]["final_url"] is None and out[cyc]["n_hops"] is None
+
+
+def test_redirect_resolution_long_chain_within_horizon(spark):
+    from jassv2_spark.operators.crawl import resolve_redirects
+
+    # a 40-edge chain resolves with max_jumps=6 (2^6 = 64 ≥ 40)
+    rows = [(f"u{i}", f"u{i+1}") for i in range(40)]
+    r = spark.createDataFrame(rows, ["src_url", "dst_url"])
+    out = {x["src_url"]: x for x in resolve_redirects(r, max_jumps=6).collect()}
+    assert out["u0"]["final_url"] == "u40" and out["u0"]["n_hops"] == 40
+    assert out["u39"]["n_hops"] == 1
