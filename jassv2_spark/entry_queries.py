@@ -2808,6 +2808,68 @@ qt2 AS (SELECT query_id, term, sum(q_tf)::BIGINT AS q_tf FROM (
         + f" SELECT query_id, doc_id, rsv, rank FROM ranked2 WHERE rank <= {K}",
     )
 
+    # Common-term dropping (search.py:search_common_dropped): the Lucene
+    # CommonTermsQuery / ES cutoff_frequency rule — df·10⁶ > cutoff·n
+    # terms drop when a rarer in-vocab keeper exists; all-common queries
+    # keep everything. cutoff 77% straddles the synthetic corpus' df band
+    # so both branches fire; n_terms counts the trimmed set.
+    _CDROP_PPM = 770000
+    _CDROP_CTES = f"""
+cdt AS (SELECT qt.query_id, qt.term, qt.q_tf, f.df
+        FROM qt LEFT JOIN dfx f USING (term)),
+cdm AS (SELECT cdt.*, (df IS NOT NULL AND df * 1000000 > {_CDROP_PPM} * nn.n) AS is_common
+        FROM cdt, nn),
+cdr AS (SELECT *, sum(CASE WHEN df IS NOT NULL AND NOT is_common THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY query_id) AS n_rare
+        FROM cdm),
+qt2 AS (SELECT query_id, term, q_tf FROM cdr WHERE NOT is_common OR n_rare = 0)
+"""
+
+    def _topk_cdrop(spark, sf):
+        from jassv2_spark.operators.search import search_common_dropped
+
+        return search_common_dropped(
+            get_index(spark, sf), _queries_df(spark), k=K,
+            cutoff_ppm=_CDROP_PPM, with_keys=False,
+        ).select(
+            "query_id", "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    r["jass_topk_common_dropped"] = (
+        _topk_cdrop,
+        _sql(
+            _BASE,
+            _QPARSE_CTES.format(values=_values_clause()),
+            _CDROP_CTES,
+            _PASS2_TAIL,
+        )
+        + f" SELECT query_id, doc_id, rsv, rank FROM ranked2 WHERE rank <= {K}",
+    )
+
+    # Term-sharded serving (search.py:search_term_sharded): the term-
+    # partitioned fleet — per-shard partial (query, doc) sums over each
+    # shard's term slice, merged by re-aggregation; exactly equal to the
+    # single-pass serve by associativity, which is the claim the shared
+    # exhaustive oracle verifies.
+    def _topk_tsharded(spark, sf):
+        from jassv2_spark.operators.search import search_term_sharded
+
+        return search_term_sharded(
+            get_index(spark, sf), _queries_df(spark), k=K, n_shards=4,
+            with_keys=False,
+        ).select(
+            "query_id", "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    r["jass_topk_term_sharded"] = (
+        _topk_tsharded,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
+    )
+
     # Score explanation (search.py:explain_topk): each top-k hit's rsv
     # decomposed into exact per-term contributions under identical serve
     # semantics (Σ contrib = rsv bit-for-bit); oracle re-groups the same

@@ -558,3 +558,111 @@ def search_min_match(
             "query_id", "doc_id", "key", "rsv", "n_terms_matched", "rank"
         )
     return topk.select("query_id", "doc_id", "rsv", "n_terms_matched", "rank")
+
+
+def search_common_dropped(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    *,
+    cutoff_ppm: int = 500_000,
+    rho: float = 1.0,
+    tokenizer: str | None = None,
+    with_keys: bool = True,
+) -> DataFrame:
+    """Top-k with HIGH-DF QUERY TERMS DROPPED — the Lucene
+    CommonTermsQuery / Elasticsearch `cutoff_frequency` rule, the
+    classic latency lever for web-length queries (a Zipf-head term's
+    postings dominate the budget while contributing little rank
+    signal; the reference serves every typed term,
+    `anytime/JASS_anytime_api.cpp:450-474`):
+
+      a term is COMMON when df·10⁶ > cutoff_ppm · n_docs (exact
+      integer compare — no float threshold). Common terms drop from
+      the query IF at least one in-vocabulary non-common term
+      remains; an all-common query keeps every term (never serve an
+      empty query that had matches). OOV terms drop at the vocab
+      join as always and do not count as keepers. n_terms (the uint8
+      rescale divisor) counts the TRIMMED set.
+
+    Scale shape: one broadcast join of the tiny query-term set
+    against term_stats + a per-query window over query-length rows;
+    the serve chain then runs on fewer terms — strictly less work
+    than `search`."""
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, _ = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    n = int(index.n_docs)
+    stats = F.broadcast(index.term_stats.select("term", "df"))
+    qt = q_terms.join(stats, "term", "left")
+    is_common = F.col("df").isNotNull() & (
+        F.col("df") * F.lit(1_000_000) > F.lit(int(cutoff_ppm)) * F.lit(n)
+    )
+    wq = Window.partitionBy("query_id")
+    qt = qt.withColumn("__common", is_common).withColumn(
+        "__n_rare",
+        F.sum(
+            F.when(F.col("df").isNotNull() & ~F.col("__common"), 1).otherwise(0)
+        ).over(wq),
+    )
+    kept = qt.where(~F.col("__common") | (F.col("__n_rare") == 0)).select(
+        "query_id", "term", "q_tf"
+    )
+    q_meta = kept.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    return search_from_terms(index, kept, q_meta, k=k, rho=rho, with_keys=with_keys)
+
+
+def search_term_sharded(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    n_shards: int = 8,
+    rho: float = 1.0,
+    tokenizer: str | None = None,
+    with_keys: bool = True,
+) -> DataFrame:
+    """TERM-sharded top-k — the other axis of distributed IR
+    (term-partitioned vs document-partitioned indexes, Moffat & Zobel's
+    classic tradeoff; `search_sharded` is the doc-partitioned fleet):
+    each shard owns the postings of the terms hashing to it, computes
+    per-(query, doc) PARTIAL scores over its slice, and the merge
+    stage sums partials — exact by associativity of the rsv sum.
+
+    The uint8-rescale metadata (largest_rsv, n_terms — query-global
+    quantities) is computed ONCE from the full term set and broadcast,
+    exactly as a term-sharded fleet replicates its collection stats;
+    only the accumulation splits. Row-for-row equal to `search` (same
+    scaled contributions, same sum, same tie-break), which is the
+    claim the entry's oracle verifies.
+
+    Scale shape: stage 1 = per-shard (query, shard, doc) partial
+    hash-agg — each reducer sees one term-slice's postings (a hot
+    term's explode stays inside its own shard); stage 2 = the
+    (query, doc) merge over pre-combined partials."""
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, q_meta = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    seg = gather_segments(index, q_terms, q_meta, rho=rho)
+    processed = F.broadcast(
+        seg.select(
+            "query_id", "term", "impact", "scaled",
+            F.pmod(F.xxhash64("term"), F.lit(int(n_shards))).alias("__shard"),
+        )
+    )
+    partials = (
+        processed.join(_pruned_segments(index, q_terms), ["term", "impact"])
+        .select("query_id", "__shard", F.explode("doc_ids").alias("doc_id"), "scaled")
+        .groupBy("query_id", "__shard", "doc_id")
+        .agg(F.sum("scaled").alias("partial_rsv"))
+    )
+    hits = partials.groupBy("query_id", "doc_id").agg(
+        F.sum("partial_rsv").alias("rsv")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("rsv").desc(), F.col("doc_id").desc())
+    topk = hits.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= F.lit(k))
+    if with_keys:
+        topk = F.broadcast(topk).join(index.doc_map, "doc_id")
+        return topk.select("query_id", "doc_id", "key", "rsv", "rank")
+    return topk.select("query_id", "doc_id", "rsv", "rank")
