@@ -598,3 +598,28 @@ class Engine:
         from jassv2_spark.operators.fuzzy import suggest_queries_context
 
         return suggest_queries_context(self.index, queries, bigrams)
+
+    def search_common_dropped(
+        self, queries: DataFrame, k: int | None = None, cutoff_ppm: int = 500_000
+    ) -> DataFrame:
+        """High-df query terms dropped under the CommonTermsQuery rule
+        (operators/search.py:search_common_dropped)."""
+        from jassv2_spark.operators.search import search_common_dropped
+
+        return search_common_dropped(
+            self.index, queries, k=self.top_k if k is None else k,
+            cutoff_ppm=cutoff_ppm, rho=self.rho,
+            tokenizer=self.query_tokenizer,
+        )
+
+    def search_term_sharded(
+        self, queries: DataFrame, k: int | None = None, n_shards: int = 8
+    ) -> DataFrame:
+        """Term-partitioned fleet serving — per-shard partial sums merged
+        by re-aggregation, row-identical to `search`."""
+        from jassv2_spark.operators.search import search_term_sharded
+
+        return search_term_sharded(
+            self.index, queries, k=self.top_k if k is None else k,
+            n_shards=n_shards, rho=self.rho, tokenizer=self.query_tokenizer,
+        )

@@ -124,3 +124,20 @@ def test_engine_wildcard_rocchio_suggest_context(spark):
     typo = spark.createDataFrame([("q3", "spark joim")], ["query_id", "query"])
     out = eng.suggest_context(typo, big).collect()[0]
     assert out["suggestion"] == "spark join" and out["n_corrected"] == 1
+
+
+def test_engine_common_dropped_and_term_sharded(spark):
+    from jassv2_spark import Engine
+
+    docs = spark.createDataFrame(
+        [(1, "the spark join"), (2, "the table"), (3, "the spark"), (4, "vector")],
+        ["doc_id", "text"],
+    )
+    eng = Engine.build(docs, text_col="text", key_col="doc_id", doc_id_col="doc_id")
+    q = spark.createDataFrame([("q1", "the spark")], ["query_id", "query"])
+    plain = sorted(map(tuple, eng.search(q, k=4).collect()))
+    sharded = sorted(map(tuple, eng.search_term_sharded(q, k=4).collect()))
+    assert sharded == plain
+    dropped = eng.search_common_dropped(q, k=4, cutoff_ppm=600_000)
+    # 'the' (df 3/4) drops; only the two 'spark' docs match
+    assert {r["doc_id"] for r in dropped.collect()} == {1, 3}
