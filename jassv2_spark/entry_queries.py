@@ -2870,6 +2870,50 @@ qt2 AS (SELECT query_id, term, q_tf FROM cdr WHERE NOT is_common OR n_rare = 0)
         _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
     )
 
+    # Quantization audit (search.py:quantization_audit): measured cost of
+    # the [1,1024] impact quantization — per-query overlap + Kendall τ
+    # between the quantized top-k and the pre-quantization micros
+    # reference (floor(10⁶·score) exact-integer sums).
+    def _quant_audit(spark, sf):
+        from jassv2_spark.operators.search import quantization_audit
+
+        return quantization_audit(get_index(spark, sf), _queries_df(spark), k=K)
+
+    _QAUD_CTES = f"""
+fqm AS (SELECT qt.query_id, s.doc_id,
+               sum(qt.q_tf * cast(floor(1000000 * s.score) AS BIGINT))::BIGINT AS rsv_micro
+        FROM qt JOIN scored s ON s.term = qt.term GROUP BY 1, 2),
+frk AS (SELECT query_id, doc_id, rsv_micro,
+               (row_number() OVER (PARTITION BY query_id
+                  ORDER BY rsv_micro DESC, doc_id DESC))::BIGINT AS rank
+        FROM fqm),
+fka AS (SELECT query_id, doc_id, rank FROM frk WHERE rank <= {K}),
+fkb AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {K}),
+fna AS (SELECT query_id, count(*)::BIGINT AS n_a FROM fka GROUP BY 1),
+fnb AS (SELECT query_id, count(*)::BIGINT AS n_b FROM fkb GROUP BY 1),
+fcm AS (SELECT a.query_id, a.doc_id, a.rank AS ra, b.rank AS rb
+        FROM fka a JOIN fkb b USING (query_id, doc_id)),
+fnc AS (SELECT query_id, count(*)::BIGINT AS n_common FROM fcm GROUP BY 1),
+fpr AS (SELECT a.query_id,
+               CASE WHEN (a.ra < b.ra) = (a.rb < b.rb) THEN 1 ELSE 0 END AS conc
+        FROM fcm a JOIN fcm b ON a.query_id = b.query_id AND a.doc_id < b.doc_id),
+fta AS (SELECT query_id,
+               floor(1000000.0 * (2.0 * sum(conc) - count(*))::DOUBLE
+                     / count(*)::DOUBLE)::BIGINT AS tau_micros
+        FROM fpr GROUP BY 1)
+"""
+    r["jass_quantization_audit"] = (
+        _quant_audit,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES, _QAUD_CTES)
+        + """ SELECT a.query_id, a.n_a, coalesce(b.n_b, 0)::BIGINT AS n_b,
+                     coalesce(c.n_common, 0)::BIGINT AS n_common,
+                     ((100 * coalesce(c.n_common, 0)) // greatest(a.n_a, 1))::BIGINT AS overlap_pct,
+                     t.tau_micros
+              FROM fna a LEFT JOIN fnb b USING (query_id)
+                   LEFT JOIN fnc c ON c.query_id = a.query_id
+                   LEFT JOIN fta t ON t.query_id = a.query_id""",
+    )
+
     # Score explanation (search.py:explain_topk): each top-k hit's rsv
     # decomposed into exact per-term contributions under identical serve
     # semantics (Σ contrib = rsv bit-for-bit); oracle re-groups the same

@@ -666,3 +666,69 @@ def search_term_sharded(
         topk = F.broadcast(topk).join(index.doc_map, "doc_id")
         return topk.select("query_id", "doc_id", "key", "rsv", "rank")
     return topk.select("query_id", "doc_id", "rsv", "rank")
+
+
+def float_reference_topk(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, rsv_micro, rank): the PRE-QUANTIZATION
+    reference ranking — per-(term, doc) exact BM25 scores truncated to
+    fixed-point micros (floor(10⁶·score), the repo determinism recipe)
+    and summed as exact integers with the typed q_tf weights. This is
+    what the engine would return with no impact quantization at all;
+    `quantization_audit` measures the engine against it."""
+    tokenizer = tokenizer or index.conf.tokenizer
+    q_terms, _ = parse_queries(
+        queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
+    )
+    sc = index.scored.select(
+        "term", "doc_id",
+        F.expr("cast(floor(1000000 * score) as bigint)").alias("__w"),
+    )
+    hits = (
+        F.broadcast(q_terms)
+        .join(sc, "term")
+        .select("query_id", "doc_id", (F.col("q_tf") * F.col("__w")).alias("__c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__c").cast("long").alias("rsv_micro"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("rsv_micro").desc(), F.col("doc_id").desc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .where(F.col("rank") <= F.lit(k))
+    )
+
+
+def quantization_audit(
+    index: Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """(query_id, n_a, n_b, n_common, overlap_pct, tau_micros): what the
+    [1, 1024] uniform impact quantization COSTS, measured — per query,
+    set overlap and Kendall-τ order agreement between the engine's
+    quantized top-k and the pre-quantization micros reference
+    (`float_reference_topk`). The acceptance number for the quantizer
+    design (the reference hard-codes 1024 slots,
+    `source/index_postings_impact.h:40-42`; this makes the resulting
+    fidelity a measured quantity instead of folklore). τ is NULL when
+    fewer than 2 docs are common (no pairs).
+
+    Scale shape: two top-k'd runs (queries × k rows) through
+    `run_overlap` + `kendall_tau` — bounded pair fan-out k(k−1)/2 per
+    query, no corpus-scale work beyond the two serves."""
+    from jassv2_spark.operators.evaluate import kendall_tau, run_overlap
+
+    a = float_reference_topk(index, queries, k=k, tokenizer=tokenizer)
+    b = search(index, queries, k=k, tokenizer=tokenizer, with_keys=False)
+    ov = run_overlap(a, b, k=k)
+    tau = kendall_tau(a, b, k=k).select("query_id", "tau_micros")
+    return ov.join(tau, "query_id", "left").select(
+        "query_id", "n_a", "n_b", "n_common", "overlap_pct", "tau_micros"
+    )

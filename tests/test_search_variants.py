@@ -75,3 +75,41 @@ def test_term_sharded_equals_plain_search(spark):
         ).collect()))
         want = sorted(map(tuple, search(idx, q, k=10, with_keys=False).collect()))
         assert got == want, s
+
+
+def test_quantization_audit_is_perfect_on_identity(spark):
+    """Against itself the engine scores overlap 100 / tau 10^6 — sanity
+    of the audit math; the real entry measures quantized vs micros."""
+    from jassv2_spark.operators.evaluate import kendall_tau, run_overlap
+    from jassv2_spark.operators.search import float_reference_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(
+        docs, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+        conf=BuildConf(tokenizer="parity"),
+    )
+    q = spark.createDataFrame([("q1", "spark join")], ["query_id", "query"])
+    a = float_reference_topk(idx, q, k=10)
+    ov = run_overlap(a, a, k=10).collect()[0]
+    assert ov["n_common"] == ov["n_a"] and ov["overlap_pct"] == 100
+    tau = kendall_tau(a, a, k=10).collect()[0]
+    assert tau["tau_micros"] == 10**6
+
+
+def test_quantization_audit_reports_high_fidelity(spark):
+    from jassv2_spark.operators.search import quantization_audit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(
+        docs, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+        conf=BuildConf(tokenizer="parity"),
+    )
+    q = spark.createDataFrame(
+        [("q1", "spark join"), ("q2", "hash table scan")], ["query_id", "query"]
+    )
+    rows = quantization_audit(idx, q, k=10).collect()
+    assert len(rows) == 2
+    for r in rows:
+        # 1024 quantization slots keep top-10 agreement high on this corpus
+        assert r["overlap_pct"] >= 60
+        assert r["n_a"] == 10 and r["n_b"] == 10
