@@ -623,3 +623,13 @@ class Engine:
             self.index, queries, k=self.top_k if k is None else k,
             n_shards=n_shards, rho=self.rho, tokenizer=self.query_tokenizer,
         )
+
+    def quantization_audit(self, queries: DataFrame, k: int | None = None) -> DataFrame:
+        """Measured ranking cost of the impact quantization: per-query
+        overlap + Kendall tau vs the pre-quantization micros reference."""
+        from jassv2_spark.operators.search import quantization_audit
+
+        return quantization_audit(
+            self.index, queries, k=self.top_k if k is None else k,
+            tokenizer=self.query_tokenizer,
+        )
