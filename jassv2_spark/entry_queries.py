@@ -2870,6 +2870,42 @@ qt2 AS (SELECT query_id, term, q_tf FROM cdr WHERE NOT is_common OR n_rare = 0)
         _sql(_BASE, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
     )
 
+    # Index-time stopping (build.py:build_index_stopped): build with the
+    # stop list deleted before counting — dl/avg_dl shift to surviving
+    # tokens (NOT equivalent to serve-time ignoring), stopped query
+    # terms hit the ordinary OOV drop. Oracle = the full chain over a
+    # token stream with the same terms filtered.
+    _STOP_TERMS = ["the", "a"]
+
+    def _topk_stopped(spark, sf):
+        from jassv2_spark.operators.build import build_index_stopped
+
+        idx = build_index_stopped(
+            _docs(spark, sf), _STOP_TERMS,
+            text_col="text", key_col="doc_id", doc_id_col="doc_id",
+            conf=BuildConf(k1=K1, b=B, tokenizer="parity"),
+        )
+        return search(idx, _queries_df(spark), k=K, with_keys=False).select(
+            "query_id", "doc_id",
+            F.col("rsv").cast("long").alias("rsv"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    _stoplist_sql = ", ".join(f"'{t}'" for t in _STOP_TERMS)
+    _SB = (
+        f"""
+sb0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+        FROM documents),
+toks AS (SELECT doc_id, term FROM sb0 WHERE term NOT IN ({_stoplist_sql})),
+"""
+        + "cnt AS"
+        + _BASE.split("cnt AS", 1)[1]
+    )
+    r["jass_topk_stopped"] = (
+        _topk_stopped,
+        _sql(_SB, _query_ctes(1.0), _TOPK_CTES) + _topk_select,
+    )
+
     # Quantization audit (search.py:quantization_audit): measured cost of
     # the [1,1024] impact quantization — per-query overlap + Kendall τ
     # between the quantized top-k and the pre-quantization micros

@@ -511,3 +511,65 @@ def build_index_from_counts(
         profile=profile,
         counts=counts if cache else None,
     )
+
+
+def build_index_stopped(
+    docs: DataFrame,
+    stop_terms: list[str],
+    *,
+    text_col: str = "text",
+    key_col: str = "url",
+    doc_id_col: str | None = None,
+    conf: BuildConf | None = None,
+    cache: bool = True,
+) -> Index:
+    """INDEX-TIME STOPPING: build with the given terms removed before any
+    counting — the classic size/latency lever (ATIRE and the Terrier/
+    Indri default configs both shipped index-time stop lists; the
+    reference indexes every token, `source/parser.cpp` has no stop
+    path). Semantics are exactly "build over text with those tokens
+    deleted": stopped terms vanish from the vocabulary (queries
+    containing them hit the ordinary silent OOV drop), document lengths
+    count surviving tokens only, and collection stats follow — NOT the
+    same ranking as post-hoc ignoring the terms at serve time, because
+    dl and avg_dl shift (that difference is the point: BM25's length
+    normalization stops being dominated by stopword mass).
+
+    Implementation: one tokenize pass → counts with post-stop dl →
+    the shared `build_index_from_counts` scoring/quantization/segment
+    pipeline (the CIFF-import seam). A doc whose every token is stopped
+    keeps its docid (reference ingest semantics) with no postings.
+
+    Scale shape: identical to `build_index` minus the stopped tokens'
+    shuffle mass — the Zipf head is exactly what gets dropped, so the
+    (term, doc) exchange loses its heaviest keys."""
+    conf = conf or BuildConf()
+    from jassv2_spark.functions.tokenizer import spark_tokens
+
+    if doc_id_col is not None:
+        base = docs.select(
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            F.col(key_col).cast("string").alias("key"),
+            F.col(text_col).alias("__text"),
+        )
+    else:
+        from jassv2_spark.sources.docids import assign_doc_ids
+
+        base = assign_doc_ids(
+            docs.select(F.col(key_col).cast("string").alias("key"), F.col(text_col).alias("__text")),
+            key_col="key", out_col="doc_id",
+        )
+    stop = [str(s) for s in stop_terms]
+    toks = base.select(
+        "doc_id",
+        F.explode(spark_tokens("__text", mode=conf.tokenizer)).alias("term"),
+    )
+    kept = toks.where(~F.col("term").isin(stop)) if stop else toks
+    cnt = kept.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = cnt.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    counts = cnt.join(dl, "doc_id")
+    doc_map = base.select("doc_id", "key")
+    n_docs = doc_map.count()
+    return build_index_from_counts(
+        counts, doc_map, n_docs, conf=conf, cache=cache
+    )

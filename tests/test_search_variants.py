@@ -113,3 +113,56 @@ def test_quantization_audit_reports_high_fidelity(spark):
         # 1024 quantization slots keep top-10 agreement high on this corpus
         assert r["overlap_pct"] >= 60
         assert r["n_a"] == 10 and r["n_b"] == 10
+
+
+def test_stopped_build_differs_from_serve_time_drop(spark):
+    """Index-time stopping shifts dl/avg_dl: ranking over the surviving
+    terms is NOT the same as serving the full index without the stop
+    terms — and a stopped query term behaves as ordinary OOV."""
+    from jassv2_spark.operators.build import build_index_stopped
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the spark join"),
+            (2, "spark join table"),
+            (3, "the the the the the join"),
+        ],
+        ["doc_id", "text"],
+    )
+    sidx = build_index_stopped(
+        docs, ["the"], text_col="text", key_col="doc_id", doc_id_col="doc_id",
+        conf=BuildConf(tokenizer="parity"),
+    )
+    # 'the' is gone from the vocabulary
+    assert sidx.term_stats.where("term = 'the'").count() == 0
+    # dl counts surviving tokens only
+    dls = {r["doc_id"]: r["dl"] for r in sidx.doc_lengths.collect()}
+    assert dls[1] == 2 and dls[2] == 3 and dls[3] == 1
+    # a stopped query term drops like OOV; the rest serves
+    q = spark.createDataFrame([("q1", "the spark")], ["query_id", "query"])
+    got = search(sidx, q, k=5, with_keys=False)
+    assert {r["doc_id"] for r in got.collect()} == {1, 2}
+    # full-index build ranks with stopword-inflated dl: doc 1's length
+    # normalization differs between the two indexes
+    full = build_index(
+        docs, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+        conf=BuildConf(tokenizer="parity"),
+    )
+    assert {r["doc_id"] for r in full.doc_lengths.collect()} == {1, 2, 3}
+    full_dls = {r["doc_id"]: r["dl"] for r in full.doc_lengths.collect()}
+    assert full_dls[1] == 5
+
+
+def test_stopped_build_empty_doc_keeps_docid(spark):
+    from jassv2_spark.operators.build import build_index_stopped
+
+    docs = spark.createDataFrame(
+        [(1, "the the"), (2, "spark")], ["doc_id", "text"]
+    )
+    sidx = build_index_stopped(
+        docs, ["the"], text_col="text", key_col="doc_id", doc_id_col="doc_id",
+        conf=BuildConf(tokenizer="parity"),
+    )
+    assert sidx.n_docs == 2                       # emptied doc still counted
+    assert sidx.doc_map.count() == 2
+    assert sidx.doc_lengths.count() == 1          # but carries no postings
