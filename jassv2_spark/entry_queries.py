@@ -4702,6 +4702,64 @@ h{i + 1} AS (SELECT n.node,
                 LEFT JOIN term t ON t.src = s.src""",
     )
 
+    # End-to-end crawl planning (crawl.py:crawl_plan): robots gate →
+    # host-budget apportionment (weights = allowed-URL counts) →
+    # politeness lanes with the budget cutting each host's lane. The
+    # oracle recomposes the three already-verified stages.
+    _CP_BUDGET, _CP_DELAY, _CP_WORKERS = 120, 700, 8
+
+    def _crawl_plan(spark, sf):
+        from jassv2_spark.operators.crawl import crawl_plan
+
+        return crawl_plan(
+            _rob_pages(spark, sf),
+            spark.createDataFrame(_ROB_RULES, ["host", "allow", "path_prefix"]),
+            _CP_BUDGET,
+            default_delay_ms=_CP_DELAY,
+            n_workers=_CP_WORKERS,
+        )
+
+    r["web_crawl_plan"] = (
+        _crawl_plan,
+        f"""WITH rp AS (SELECT doc_id, {_ROB_HOST} AS host, {_ROB_PATH} AS path
+              FROM documents),
+           ru AS (SELECT 'https://' || host || path AS url, host, path FROM rp),
+           rr(host, allow, path_prefix) AS (VALUES {_rob_values}),
+           rm AS (SELECT u.url, r.allow, r.path_prefix,
+                    row_number() OVER (PARTITION BY u.url
+                       ORDER BY length(r.path_prefix) DESC, r.allow DESC) AS rn
+                  FROM ru u JOIN rr r ON r.host = u.host
+                       AND starts_with(u.path, r.path_prefix)),
+           rg AS (SELECT u.url, u.host, coalesce(m.allow, TRUE) AS allowed
+                  FROM ru u LEFT JOIN (SELECT * FROM rm WHERE rn = 1) m USING (url)),
+           wts AS (SELECT host, count(*)::BIGINT AS weight FROM rg
+                   WHERE allowed GROUP BY host),
+           tw AS (SELECT sum(weight)::BIGINT AS W FROM wts),
+           hb AS (SELECT host, weight,
+                         ({_CP_BUDGET} * weight) // W AS base_quota,
+                         ({_CP_BUDGET} * weight) % W AS rem
+                  FROM wts, tw),
+           hr AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+                  FROM hb),
+           hs AS (SELECT sum(base_quota)::BIGINT AS sb FROM hb),
+           hq AS (SELECT host,
+                         (base_quota + CASE WHEN rk <= {_CP_BUDGET} - sb
+                                            THEN 1 ELSE 0 END)::BIGINT AS quota
+                  FROM hr, hs),
+           sq AS (SELECT url, host,
+                    row_number() OVER (PARTITION BY host
+                       ORDER BY ('0x' || substr(md5(url), 1, 8))::UBIGINT::BIGINT DESC,
+                                url ASC) AS seq
+                  FROM rg WHERE allowed)
+           SELECT g.url, g.host, g.allowed,
+                  CASE WHEN g.allowed THEN q.quota END::BIGINT AS quota,
+                  CASE WHEN g.allowed THEN s.seq END::BIGINT AS fetch_seq,
+                  coalesce(g.allowed AND s.seq <= q.quota, FALSE) AS scheduled,
+                  CASE WHEN g.allowed AND s.seq <= q.quota
+                       THEN (s.seq - 1) * {_CP_DELAY} END::BIGINT AS fetch_time_ms
+           FROM rg g LEFT JOIN hq q USING (host) LEFT JOIN sq s USING (url)""",
+    )
+
     # Fetch-budget apportionment (crawl.py:crawl_budget): Hamilton
     # largest-remainder split of a 1000-fetch budget across hosts by
     # page count — quotas sum to the budget EXACTLY, each within 1 of

@@ -238,3 +238,64 @@ def resolve_redirects(
         F.when(~unresolved, F.col("hops")).cast("long").alias("n_hops"),
         (~unresolved).alias("resolved"),
     )
+
+
+def crawl_plan(
+    pages: DataFrame,
+    rules: DataFrame,
+    budget: int,
+    *,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    default_delay_ms: int = 1000,
+    n_workers: int = 64,
+) -> DataFrame:
+    """(url, host, allowed, quota, fetch_seq, scheduled, fetch_time_ms):
+    the whole pre-fetch planning stack in one pass — robots gate →
+    host-budget apportionment → politeness schedule — i.e. what a crawl
+    cycle actually computes before the first request:
+
+      1. :func:`robots_gate` marks each URL allowed/blocked;
+      2. each host's WEIGHT = its allowed-URL count, and
+         :func:`crawl_budget` splits the total fetch budget across
+         hosts (largest remainder — Σ quota == budget exactly);
+      3. :func:`crawl_schedule` lanes the allowed URLs per host
+         (priority DESC, url ASC; priority defaults to the portable
+         md5-32 of the url — a deterministic shuffle), and a URL is
+         SCHEDULED iff its lane position fits the host's quota, firing
+         at (fetch_seq − 1)·delay.
+
+    Blocked URLs carry quota/seq/time NULLs. The composition is the
+    point: every stage is the already-verified operator, so the plan
+    inherits their scale shapes (hosts-sized broadcasts, one host-keyed
+    window, no corpus-scale exchange beyond the URL scan)."""
+    gated = robots_gate(pages, rules, url_col=url_col)
+    allowed = gated.where(F.col("allowed"))
+    weights = allowed.groupBy("host").agg(F.count(F.lit(1)).alias("weight"))
+    quotas = crawl_budget(weights, budget).select("host", "quota")
+    fr = allowed.select(
+        "url",
+        (
+            F.col(priority_col)
+            if priority_col
+            else F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("long")
+        ).alias("__pri"),
+    )
+    sched = crawl_schedule(
+        fr, priority_col="__pri", default_delay_ms=default_delay_ms,
+        n_workers=n_workers,
+    ).select("url", "fetch_seq", "fetch_time_ms")
+    out = (
+        gated.join(F.broadcast(quotas), "host", "left")
+        .join(sched, "url", "left")
+    )
+    scheduled = F.col("allowed") & (F.col("fetch_seq") <= F.col("quota"))
+    return out.select(
+        "url",
+        "host",
+        "allowed",
+        F.when(F.col("allowed"), F.col("quota")).cast("long").alias("quota"),
+        F.when(F.col("allowed"), F.col("fetch_seq")).cast("long").alias("fetch_seq"),
+        F.coalesce(scheduled, F.lit(False)).alias("scheduled"),
+        F.when(scheduled, F.col("fetch_time_ms")).cast("long").alias("fetch_time_ms"),
+    )

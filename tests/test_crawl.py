@@ -144,3 +144,36 @@ def test_redirect_resolution_long_chain_within_horizon(spark):
     out = {x["src_url"]: x for x in resolve_redirects(r, max_jumps=6).collect()}
     assert out["u0"]["final_url"] == "u40" and out["u0"]["n_hops"] == 40
     assert out["u39"]["n_hops"] == 1
+
+
+def test_crawl_plan_composes_gate_budget_schedule(spark):
+    from jassv2_spark.operators.crawl import crawl_plan
+
+    pages = spark.createDataFrame(
+        [(f"https://h1.example/p{i}",) for i in range(6)]
+        + [(f"https://h2.example/p{i}",) for i in range(3)]
+        + [("https://h1.example/priv/x",)],
+        ["url"],
+    )
+    rules = spark.createDataFrame(
+        [("h1.example", False, "/priv")], ["host", "allow", "path_prefix"]
+    )
+    out = {r["url"]: r for r in crawl_plan(
+        pages, rules, budget=5, default_delay_ms=100
+    ).collect()}
+    blocked = out["https://h1.example/priv/x"]
+    assert blocked["allowed"] is False and blocked["scheduled"] is False
+    assert blocked["quota"] is None and blocked["fetch_time_ms"] is None
+    # quotas: weights 6 (h1) and 3 (h2) over budget 5 → Hamilton gives
+    # h1: floor(30/9)=3 rem 3, h2: floor(15/9)=1 rem 6 → leftover 1 → h2
+    h1 = [r for u, r in out.items() if r["host"] == "h1.example" and r["allowed"]]
+    h2 = [r for u, r in out.items() if r["host"] == "h2.example"]
+    assert all(r["quota"] == 3 for r in h1)
+    assert all(r["quota"] == 2 for r in h2)
+    assert sum(1 for r in out.values() if r["scheduled"]) == 5
+    # scheduled fetches fire at (seq-1)*delay inside their host lane
+    for r in out.values():
+        if r["scheduled"]:
+            assert r["fetch_time_ms"] == (r["fetch_seq"] - 1) * 100
+        elif r["allowed"]:
+            assert r["fetch_seq"] > r["quota"]
