@@ -3359,6 +3359,52 @@ FROM nrel n FULL OUTER JOIN nret t ON t.query_id = n.query_id
         _minhash_sql(),
     )
 
+    # MinHash estimator audit (dedup.py:minhash_estimate_audit): the
+    # signature-agreement Jaccard estimate (Broder'97) vs exact truth on
+    # the LSH candidate pairs — measures whether the signature RANKS
+    # near-dups right (lsh_quality measures whether banding FINDS them).
+    def _mh_audit(spark, sf):
+        from jassv2_spark.operators.dedup import minhash_estimate_audit
+
+        return minhash_estimate_audit(_docs(spark, sf), n=3, num_hashes=16, bands=4)
+
+    def _mh_audit_sql() -> str:
+        sigs = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+        bands = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, md5(h{4*b} || h{4*b+1} || h{4*b+2} || h{4*b+3}) AS band_hash FROM sig"
+            for b in range(4)
+        )
+        agree = " + ".join(
+            f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+        )
+        return (
+            _sql(_SHINGLE3)
+            + f""",
+sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+banded AS ({bands}),
+mcp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.band_idx = b.band_idx
+             AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+mag AS (SELECT c.doc_a, c.doc_b, ({agree})::BIGINT AS n_hash_agree
+        FROM mcp c JOIN sig sa ON sa.doc_id = c.doc_a
+             JOIN sig sb ON sb.doc_id = c.doc_b),
+msz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+mpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+mtr AS (SELECT mpr.doc_a, mpr.doc_b, mpr.inter,
+               (sa.n_sh + sb.n_sh - mpr.inter)::BIGINT AS uni
+        FROM mpr JOIN msz sa ON sa.doc_id = mpr.doc_a
+             JOIN msz sb ON sb.doc_id = mpr.doc_b)
+SELECT g.doc_a, g.doc_b, g.n_hash_agree,
+       (1000000 * g.n_hash_agree // 16)::BIGINT AS est_ppm,
+       (1000000 * t.inter // t.uni)::BIGINT AS true_ppm,
+       abs(1000000 * g.n_hash_agree // 16 - 1000000 * t.inter // t.uni)::BIGINT AS err_ppm
+FROM mag g JOIN mtr t USING (doc_a, doc_b)"""
+        )
+
+    r["dedup_minhash_estimate"] = (_mh_audit, _mh_audit_sql())
+
     # LSH banding audit (dedup.py:lsh_candidate_quality): realized
     # precision/recall of the MinHash-LSH candidates against exact
     # Jaccard ≥ 1/2 ground truth — τ compared as an exact rational, ppm

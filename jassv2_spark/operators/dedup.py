@@ -702,3 +702,60 @@ def lsh_candidate_quality(
             F.expr("1000000 * tp div nullif(n_true, 0)"), F.lit(1000000)
         ).cast("long").alias("recall_ppm"),
     )
+
+
+def minhash_estimate_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b, n_hash_agree, est_ppm, true_ppm, err_ppm): the
+    MinHash ESTIMATOR audited against exact Jaccard on the LSH candidate
+    pairs — agreement fraction of the `num_hashes` signature components
+    is the unbiased Jaccard estimate (Broder 1997), and this measures
+    its realized error on THIS corpus (est_ppm = 10⁶·agree div
+    num_hashes; true_ppm = 10⁶·inter div uni; err = |est − true|).
+    Together with :func:`lsh_candidate_quality` (does banding FIND the
+    pairs) this closes the measurement loop: does the signature RANK
+    them right.
+
+    Scale shape: candidates come from the banded join (never
+    all-pairs); signatures join by doc id twice; the exact
+    inter/uni verification is per-candidate only."""
+    sig = minhash_signatures(docs, text_col, id_col, n, num_hashes)
+    cand = minhash_lsh_pairs(
+        docs, text_col, id_col, n, num_hashes, bands
+    ).select("doc_a", "doc_b")
+    a = sig.select(
+        F.col(id_col).alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    b = sig.select(
+        F.col(id_col).alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    agree = None
+    for i in range(num_hashes):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    truth = ngram_jaccard_pairs(docs, text_col, id_col, n=n).select(
+        "doc_a", "doc_b", "inter", "uni"
+    )
+    est = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", agree.cast("long").alias("n_hash_agree"))
+        .join(truth, ["doc_a", "doc_b"])  # candidates share ≥1 shingle ⇒ inner is total
+    )
+    return est.select(
+        "doc_a",
+        "doc_b",
+        "n_hash_agree",
+        F.expr(f"1000000 * n_hash_agree div {num_hashes}").cast("long").alias("est_ppm"),
+        F.expr("1000000 * inter div uni").cast("long").alias("true_ppm"),
+        F.expr(f"abs(1000000 * n_hash_agree div {num_hashes} - 1000000 * inter div uni)")
+        .cast("long")
+        .alias("err_ppm"),
+    )

@@ -206,3 +206,42 @@ def test_lsh_quality_vacuous_conventions(spark):
     out = lsh_candidate_quality(docs, tau_num=1, tau_den=2).collect()[0]
     assert out["n_true"] == 0 and out["n_candidates"] == 0
     assert out["precision_ppm"] == 10**6 and out["recall_ppm"] == 10**6
+
+
+def test_minhash_estimate_audit_vs_python(spark):
+    import hashlib
+
+    from jassv2_spark.operators.dedup import minhash_estimate_audit
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha beta gamma delta epsilon eta",
+        3: "alpha beta gamma delta epsilon zeta",  # exact dup of 1
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    out = {(r["doc_a"], r["doc_b"]): r for r in minhash_estimate_audit(docs).collect()}
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    def sig(t):
+        return [
+            min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in shingles(t))
+            for i in range(16)
+        ]
+
+    # exact dup: guaranteed band collision; all 16 components agree
+    r13 = out[(1, 3)]
+    assert r13["n_hash_agree"] == 16 and r13["est_ppm"] == 10**6
+    assert r13["true_ppm"] == 10**6 and r13["err_ppm"] == 0
+    # every emitted pair matches the python-reference signature agreement
+    # and exact Jaccard (near-dup pairs appear only when banding catches
+    # them - that selectivity is lsh_candidate_quality's subject)
+    for (a, b), r in out.items():
+        sa, sb = sig(texts[a]), sig(texts[b])
+        assert r["n_hash_agree"] == sum(x == y for x, y in zip(sa, sb))
+        inter = len(shingles(texts[a]) & shingles(texts[b]))
+        uni = len(shingles(texts[a]) | shingles(texts[b]))
+        assert r["true_ppm"] == 10**6 * inter // uni
+        assert r["err_ppm"] == abs(r["est_ppm"] - r["true_ppm"])
