@@ -7344,6 +7344,63 @@ FROM cma""",
         FROM kk GROUP BY lang""",
     )
 
+    # KMV set-intersection estimate (sketch.py:kmv_intersect): the
+    # theta-sketch trick — cut the UNION of two k-min lists to k, count
+    # cut members present in both, est ∩ = n_both·est_union div |cut|
+    # (exact below k). Operands: distinct-term sketches of the en vs de
+    # slices. k=8 keeps the estimator branch live at gate scale.
+    _KMI_K = 8
+
+    def _kmv_intersect(spark, sf):
+        from jassv2_spark.functions.tokenizer import spark_tokens
+        from jassv2_spark.operators.sketch import kmv_hashes, kmv_intersect
+
+        docs = _docs(spark, sf)
+
+        def side(lang):
+            return (
+                docs.where(F.col("lang") == lang)
+                .select(F.lit("x").alias("g"),
+                        F.explode(spark_tokens("text", mode="parity")).alias("term"))
+            )
+
+        return kmv_intersect(
+            kmv_hashes(side("en"), ["g"], "term", k=_KMI_K),
+            kmv_hashes(side("de"), ["g"], "term", k=_KMI_K),
+            group_cols=["g"], k=_KMI_K,
+        )
+
+    r["sketch_kmv_intersect"] = (
+        _kmv_intersect,
+        f"""WITH kta AS (SELECT DISTINCT
+                CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)::BIGINT AS h
+              FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+                    FROM documents WHERE lang = 'en')),
+           ktb AS (SELECT DISTINCT
+                CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)::BIGINT AS h
+              FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+                    FROM documents WHERE lang = 'de')),
+           kca AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM kta
+                   QUALIFY rn <= {_KMI_K}),
+           kcb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ktb
+                   QUALIFY rn <= {_KMI_K}),
+           ku AS (SELECT h FROM kca UNION SELECT h FROM kcb),
+           kr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ku),
+           kc AS (SELECT h, rn FROM kr WHERE rn <= {_KMI_K}),
+           kg AS (SELECT count(*)::BIGINT AS n,
+                         max(CASE WHEN rn = {_KMI_K} THEN h END)::BIGINT AS kth,
+                         sum(CASE WHEN h IN (SELECT h FROM kca)
+                                   AND h IN (SELECT h FROM kcb)
+                             THEN 1 ELSE 0 END)::BIGINT AS n_both
+                  FROM kc),
+           ke AS (SELECT n, kth, n_both,
+                         coalesce({(_KMI_K - 1) * (1 << 32)} // (kth + 1), n)::BIGINT AS est_union
+                  FROM kg)
+           SELECT 'x' AS g, kth AS kth_union, est_union, n_both,
+                  (n_both * est_union // n)::BIGINT AS est_intersection
+           FROM ke""",
+    )
+
     # ---- count-min sketch (operators/sketch.py) ----
     # Term-occurrence point estimates from a 4×512 grid; exact counts ride
     # along. Same fully-specified md5 hash family on both engines, so the

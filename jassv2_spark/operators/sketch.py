@@ -372,3 +372,69 @@ def kmv_merge(
         .withColumn("rn", F.row_number().over(final).cast("long"))
         .where(F.col("rn") <= k)
     )
+
+
+def kmv_intersect(
+    a_hashes: DataFrame,
+    b_hashes: DataFrame,
+    *,
+    group_cols: list[str],
+    k: int = KMV_K,
+) -> DataFrame:
+    """(group..., kth_union, est_union, n_both, est_intersection): set-
+    INTERSECTION cardinality from two KMV sketches — the theta-sketch
+    estimator (Dasgupta et al., the DataSketches lineage): cut the
+    union of the two hash lists to its k smallest (= sketch of A∪B),
+    estimate |A∪B| as usual, and inside that cut count the hashes
+    present in BOTH inputs — n_both/k estimates the Jaccard, so
+
+        est_intersection = n_both · est_union div |cut|   (exact ints;
+        |cut| = min(k, |A∪B|) — dividing by the CUT size, not k, makes
+        the below-k case collapse to the exact intersection count)
+
+    This is what plain HLL cannot do without inclusion–exclusion error
+    amplification, and the reason the KMV family earns its place next
+    to it. Inputs are `kmv_hashes` outputs (per-shard artifacts);
+    below-k unions are exact (est_union = count, kth NULL).
+
+    Scale shape: the two k-row-per-group lists join/union by group —
+    sketch-sized work, no corpus access at all."""
+    ua = a_hashes.select(*group_cols, "h")
+    ub = b_hashes.select(*group_cols, "h")
+    both = ua.join(ub, [*group_cols, "h"]).select(
+        *group_cols, "h", F.lit(True).alias("__both")
+    )
+    pooled = ua.unionByName(ub).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    cut = (
+        pooled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .join(both.select(*group_cols, "h", "__both"), [*group_cols, "h"], "left")
+    )
+    two32 = 1 << 32
+    agg = cut.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).cast("long").alias("kth_union"),
+        F.coalesce(F.sum(F.when(F.col("__both"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_both"),
+    )
+    est_union = (
+        F.when(
+            F.col("kth_union").isNotNull(),
+            F.expr(f"cast({(k - 1) * two32} as bigint) div (kth_union + 1)"),
+        )
+        .otherwise(F.col("__n"))
+        .cast("long")
+    )
+    return agg.select(
+        *group_cols, "kth_union", est_union.alias("est_union"), "n_both", "__n"
+    ).select(
+        *group_cols,
+        "kth_union",
+        "est_union",
+        "n_both",
+        F.expr("n_both * est_union div __n").cast("long").alias("est_intersection"),
+    )

@@ -219,3 +219,41 @@ def test_kmv_estimate_accuracy(spark):
     df = spark.createDataFrame([("g", f"item-{i}") for i in range(n)], ["g", "v"])
     est = kmv_sketch(df, ["g"], "v", k=64).collect()[0]["est_distinct"]
     assert abs(est - n) / n < 0.35  # k=64 → ~12% std error; generous bound
+
+
+def test_kmv_intersect_exact_below_k(spark):
+    from jassv2_spark.operators.sketch import kmv_hashes, kmv_intersect
+
+    a = spark.createDataFrame([("g", f"v{i}") for i in range(8)], ["g", "v"])
+    b = spark.createDataFrame([("g", f"v{i}") for i in range(4, 12)], ["g", "v"])
+    k = 64  # union (12) < k → everything exact
+    out = kmv_intersect(
+        kmv_hashes(a, ["g"], "v", k), kmv_hashes(b, ["g"], "v", k),
+        group_cols=["g"], k=k,
+    ).collect()[0]
+    assert out["kth_union"] is None
+    assert out["est_union"] == 12
+    assert out["n_both"] == 4          # v4..v7
+    assert out["est_intersection"] == 4  # below k the estimate is exact
+
+
+def test_kmv_intersect_estimates_overlap(spark):
+    from jassv2_spark.operators.sketch import kmv_hashes, kmv_intersect
+
+    n, overlap, k = 4000, 2000, 128
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(n)], ["g", "v"])
+    b = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(n - overlap, n)]
+        + [("g", f"b{i}") for i in range(n - overlap)],
+        ["g", "v"],
+    )
+    out = kmv_intersect(
+        kmv_hashes(a, ["g"], "v", k), kmv_hashes(b, ["g"], "v", k),
+        group_cols=["g"], k=k,
+    ).collect()[0]
+    # true union 6000, true intersection 2000; k=128 → ~9% rse on union,
+    # wider on the intersection ratio; generous bounds
+    assert abs(out["est_union"] - 6000) / 6000 < 0.4
+    assert 500 < out["est_intersection"] < 5000
+    # theta formula at full cut: n_both * est_union div k
+    assert out["est_intersection"] == out["n_both"] * out["est_union"] // k
