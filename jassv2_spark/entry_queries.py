@@ -7263,6 +7263,41 @@ SELECT item_id, n_impressions, n_clicks, sum_ctr_micros,
 FROM cma""",
     )
 
+    # Two-proportion A/B test (events.py:ab_test_conversion): users
+    # hash-bucketed into arms, conversion = any 'purchase'; exact-int
+    # counts/ppm + the pooled z statistic as one pinned IEEE chain.
+    def _ab_test(spark, sf):
+        from jassv2_spark.operators.events import ab_test_conversion
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ab_test_conversion(ev)
+
+    r["events_ab_test"] = (
+        _ab_test,
+        """WITH pu AS (SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+               FROM events GROUP BY user_id),
+           pv AS (SELECT (CAST('0x' || substr(md5(user_id::VARCHAR), 1, 8) AS UBIGINT)
+                          % 2)::BIGINT AS variant, converted
+                  FROM pu),
+           ar AS (SELECT variant, count(*)::BIGINT AS n, sum(converted)::BIGINT AS conv
+                  FROM pv GROUP BY variant),
+           aa AS (SELECT n AS n_a, conv AS conv_a FROM ar WHERE variant = 0),
+           bb AS (SELECT n AS n_b, conv AS conv_b FROM ar WHERE variant = 1)
+           SELECT n_a, conv_a, n_b, conv_b,
+                  (1000000 * conv_a // n_a)::BIGINT AS conv_a_ppm,
+                  (1000000 * conv_b // n_b)::BIGINT AS conv_b_ppm,
+                  CASE WHEN n_a > 0 AND n_b > 0
+                        AND (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b) THEN
+                    floor(1000000.0 * ((conv_a::DOUBLE / n_a::DOUBLE
+                                        - conv_b::DOUBLE / n_b::DOUBLE)
+                      / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                             * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                             * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE))))
+                  END::BIGINT AS z_micros
+           FROM aa, bb""",
+    )
+
     # ---- HyperLogLog sketch (operators/sketch.py) ----
     # Distinct-term cardinality per language via a fully-specified HLL:
     # md5-prefix hash → 64 registers, exact-integer Σ2^(27-M_j), one

@@ -455,3 +455,74 @@ def item_coec(
         .otherwise(F.lit(0).cast("long"))
         .alias("coec_micros"),
     )
+
+
+def ab_test_conversion(
+    events: DataFrame,
+    *,
+    conversion_event: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ONE row (n_a, conv_a, n_b, conv_b, conv_a_ppm, conv_b_ppm,
+    z_micros): the two-proportion z-test every experimentation pipeline
+    runs on its event log. Users split into variants by the portable
+    md5-32 hash (mod 2 — the deterministic bucketing `split_assign`
+    uses for corpora); a user CONVERTS if they emit ≥1
+    `conversion_event`. Rates are exact-integer ppm; z is the pooled
+    two-proportion statistic
+
+        z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))
+
+    computed as ONE fixed IEEE chain over the four exact int64 counts
+    (sqrt/div/mul are correctly rounded, the operand order is pinned,
+    so the floor-micros value is bitwise cross-engine — the repo's
+    fixed-point recipe). z is NULL when p̂ ∈ {0, 1} (zero variance);
+    an experiment where a whole arm received no users emits no row
+    (the cross join of an empty arm — run a bigger experiment).
+
+    Scale shape: one user-keyed partial agg (converted = max over the
+    user's events) then a 2-row variant agg — a 10^12-event log costs
+    one shuffle keyed on user_id."""
+    per_user = (
+        events.select(
+            F.col(user_col).alias("u"),
+            (F.col(type_col) == conversion_event).cast("int").alias("c"),
+        )
+        .groupBy("u")
+        .agg(F.max("c").alias("converted"))
+        .select(
+            (
+                F.conv(F.substring(F.md5(F.col("u").cast("string")), 1, 8), 16, 10)
+                .cast("long") % 2
+            ).alias("variant"),
+            "converted",
+        )
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    a = arms.where(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = arms.where(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    joined = a.crossJoin(b)
+    z = F.expr(
+        "CASE WHEN n_a > 0 AND n_b > 0"
+        " AND (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b) THEN"
+        " floor(1000000.0 * ((cast(conv_a as double) / cast(n_a as double)"
+        "                     - cast(conv_b as double) / cast(n_b as double))"
+        " / sqrt((cast(conv_a + conv_b as double) / cast(n_a + n_b as double))"
+        "        * (1.0 - cast(conv_a + conv_b as double) / cast(n_a + n_b as double))"
+        "        * (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double)))))"
+        " END"
+    )
+    return joined.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.expr("1000000 * conv_a div n_a").cast("long").alias("conv_a_ppm"),
+        F.expr("1000000 * conv_b div n_b").cast("long").alias("conv_b_ppm"),
+        z.cast("long").alias("z_micros"),
+    )

@@ -122,3 +122,45 @@ def test_trending_terms_hand_checked(spark):
     assert got[(1, "gamma")]["trend_rank"] == 1
     assert got[(1, "alpha")]["delta"] == -1
     assert got[(1, "beta")]["delta"] == 0
+
+
+def test_ab_test_conversion_counts_and_z(spark):
+    import hashlib
+    import math
+
+    from jassv2_spark.operators.events import ab_test_conversion
+
+    rows = []
+    for u in range(40):
+        rows.append((u, "view"))
+        if u % 3 == 0:
+            rows.append((u, "purchase"))
+    ev = spark.createDataFrame(rows, ["user_id", "event_type"])
+    out = ab_test_conversion(ev).collect()[0]
+
+    def variant(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    n = {0: 0, 1: 0}
+    conv = {0: 0, 1: 0}
+    for u in range(40):
+        v = variant(u)
+        n[v] += 1
+        conv[v] += 1 if u % 3 == 0 else 0
+    assert (out["n_a"], out["conv_a"]) == (n[0], conv[0])
+    assert (out["n_b"], out["conv_b"]) == (n[1], conv[1])
+    assert out["conv_a_ppm"] == 10**6 * conv[0] // n[0]
+    p1, p2 = conv[0] / n[0], conv[1] / n[1]
+    pp = (conv[0] + conv[1]) / (n[0] + n[1])
+    z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n[0] + 1 / n[1]))
+    assert out["z_micros"] == math.floor(1e6 * z)
+
+
+def test_ab_test_zero_variance_z_is_null(spark):
+    from jassv2_spark.operators.events import ab_test_conversion
+
+    ev = spark.createDataFrame(
+        [(u, "purchase") for u in range(20)], ["user_id", "event_type"]
+    )
+    out = ab_test_conversion(ev).collect()[0]
+    assert out["z_micros"] is None  # every user converted: p-hat = 1
