@@ -1753,6 +1753,40 @@ lfdet AS (SELECT n,
 
     r["jass_ltr_fit"] = (_ltr_fit, _ltr_fit_sql())
 
+    # Train→apply LTR loop (ltr.py:ltr_rerank): the fitted one-row model
+    # broadcast-cross-joins back onto the candidate features and reranks
+    # by w1·rsv + w2·n_matched + w0 in exact integer micros — retrain +
+    # serve inside one declarative plan, no driver hop for the model.
+    def _ltr_rerank(spark, sf):
+        from jassv2_spark.operators.ltr import fit_linear, ltr_features, ltr_rerank
+
+        idx = get_index(spark, sf)
+        feats = ltr_features(idx, _queries_df(spark), k=K)
+        data = feats.select(
+            F.col("rsv").alias("x1"),
+            F.col("n_matched").alias("x2"),
+            F.least(F.col("sum_tf"), F.lit(50)).cast("long").alias("y"),
+        )
+        w = fit_linear(data, "x1", "x2", "y")
+        return ltr_rerank(feats, w, k=K)
+
+    def _ltr_rerank_sql() -> str:
+        ltr_sql = r["jass_ltr_features"][1]
+        fit_sql = _ltr_fit_sql()
+        return f"""WITH lre AS (SELECT * FROM ({ltr_sql})),
+           lrw AS (SELECT * FROM ({fit_sql})),
+           lrs AS (SELECT f.query_id, f.doc_id,
+                          (w.w1_micros * f.rsv + w.w2_micros * f.n_matched
+                           + w.w0_micros)::BIGINT AS ltr_micros
+                   FROM lre f, lrw w),
+           lrr AS (SELECT query_id, doc_id, ltr_micros,
+                          (row_number() OVER (PARTITION BY query_id
+                             ORDER BY ltr_micros DESC, doc_id DESC))::BIGINT AS rank
+                   FROM lrs)
+           SELECT query_id, doc_id, ltr_micros, rank FROM lrr WHERE rank <= {K}"""
+
+    r["jass_ltr_rerank"] = (_ltr_rerank, _ltr_rerank_sql())
+
     # DPR hard-negative mining (Karpukhin et al. 2020): BM25 top-k minus
     # the positives. Positives = docs containing EVERY parsed query term
     # with tf ≥ 2, restricted to doc_id % 3 == 0 — the % 3 models

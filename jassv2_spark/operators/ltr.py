@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jassv2_spark.operators.build import Index
@@ -221,4 +221,40 @@ def fit_linear(
     return spark.createDataFrame(
         out,
         schema="n_rows long, w1_micros long, w2_micros long, w0_micros long, singular boolean",
+    )
+
+
+def ltr_rerank(
+    features: DataFrame,
+    weights: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, doc_id, ltr_micros, rank): apply a `fit_linear` model
+    to the candidate features — the SERVE half of the train→apply LTR
+    loop. ltr_micros = w1·rsv + w2·n_matched + w0 stays exact integer
+    (micros weights × integer features), so the reranked order is
+    bitwise-reproducible; ties break (ltr_micros DESC, doc_id DESC),
+    the engine's standard rule.
+
+    `weights` is fit_linear's ONE-row output and rides in as a
+    broadcast cross join — the model never touches the driver, so the
+    same plan retrains+applies inside one job at any scale. Candidates
+    are whatever `ltr_features` scored (top-depth of the first-pass
+    serve): reranking cost is queries × depth rows."""
+    w = F.broadcast(weights.select("w1_micros", "w2_micros", "w0_micros"))
+    scored = features.crossJoin(w).select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("w1_micros") * F.col("rsv")
+            + F.col("w2_micros") * F.col("n_matched")
+            + F.col("w0_micros")
+        ).cast("long").alias("ltr_micros"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("ltr_micros").desc(), F.col("doc_id").desc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .where(F.col("rank") <= F.lit(int(k)))
     )

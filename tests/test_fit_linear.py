@@ -60,3 +60,48 @@ def test_ridge_resolves_collinearity_and_shrinks(spark):
     # huge lambda crushes feature weights toward 0, intercept -> mean(y)
     assert abs(big["w1_micros"]) < abs(r1["w1_micros"])
     assert abs(big["w1_micros"]) < 1000 and abs(big["w2_micros"]) < 1000
+
+
+def test_ltr_rerank_orders_by_model_score(spark):
+    from jassv2_spark.operators.ltr import ltr_rerank
+
+    feats = spark.createDataFrame(
+        [
+            ("q1", 1, 10, 2),
+            ("q1", 2, 20, 1),
+            ("q1", 3, 15, 3),
+            ("q2", 4, 5, 1),
+        ],
+        ["query_id", "doc_id", "rsv", "n_matched"],
+    )
+    # model favors n_matched heavily: w1=1, w2=1000, w0=7 (micros already)
+    w = spark.createDataFrame(
+        [(1, 1000, 7)], ["w1_micros", "w2_micros", "w0_micros"]
+    )
+    out = ltr_rerank(feats, w, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    q1 = sorted(by_q["q1"], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in q1] == [3, 1, 2]  # 3·1000+15 > 2·1000+10 > 1·1000+20
+    assert q1[0]["ltr_micros"] == 15 + 3 * 1000 + 7
+    assert by_q["q2"][0]["rank"] == 1
+
+
+def test_ltr_rerank_after_fit_is_deterministic(spark):
+    from jassv2_spark.operators.build import BuildConf, build_index
+    from jassv2_spark.operators.ltr import fit_linear, ltr_features, ltr_rerank
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    idx = build_index(docs, text_col="text", key_col="doc_id", doc_id_col="doc_id",
+                      conf=BuildConf(tokenizer="parity"))
+    q = spark.createDataFrame([("q1", "spark join"), ("q2", "hash scan")],
+                              ["query_id", "query"])
+    feats = ltr_features(idx, q, k=10)
+    data = feats.select(F.col("rsv").alias("x1"), F.col("n_matched").alias("x2"),
+                        F.least(F.col("sum_tf"), F.lit(50)).cast("long").alias("y"))
+    w = fit_linear(data, "x1", "x2", "y")
+    r1 = sorted(map(tuple, ltr_rerank(feats, w, k=10).collect()))
+    r2 = sorted(map(tuple, ltr_rerank(feats, w, k=10).collect()))
+    assert r1 == r2 and len(r1) == 20
