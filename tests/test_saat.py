@@ -55,9 +55,28 @@ def test_package_is_distributed_and_path_normalized(spark, syn, tmp_path):
     shards = [f for f in os.listdir(pkg["dir"]) if f.endswith(".npy")]
     assert shards, "no shard files written"
     assert all(f.startswith(f"shard_{pkg['token']}_") for f in shards)
-    # every directory entry points at an existing shard id
+    # the vocab-sized directory lives in per-bucket PARQUET beside the
+    # shards (round-2 verdict #1) — the driver-held pkg dict has only
+    # scalars + the bucket-id set, never a term table
+    assert "terms" not in pkg
+    import pickle
+
+    assert len(pickle.dumps(pkg)) < 10_000, "pkg must stay O(n_shards), not O(vocab)"
+    dirs = [f for f in os.listdir(pkg["dir"]) if f.startswith(f"dir_{pkg['token']}_")]
+    assert dirs, "no directory parquet written"
+    assert {int(f.rsplit("_", 1)[1].split(".")[0]) for f in dirs} == set(pkg["buckets"])
+    # every directory entry points at an existing shard id, and every
+    # term really hashes to the bucket whose file holds it
+    import pyarrow.parquet as pq
+
+    from jassv2_spark.functions.hashing import term_bucket
+
     shard_ids = {int(f.rsplit("_", 1)[1][:-4]) for f in shards}
-    assert {e[2] for segs in pkg["terms"].values() for e in segs} <= shard_ids
+    for f in dirs:
+        bucket = int(f.rsplit("_", 1)[1].split(".")[0])
+        t = pq.read_table(os.path.join(pkg["dir"], f))
+        assert set(t["shard"].to_pylist()) <= shard_ids
+        assert all(term_bucket(term, pkg["n_buckets"]) == bucket for term in set(t["term"].to_pylist()))
 
     # caller-supplied path with .npy suffix → normalized directory
     p = str(tmp_path / "pkg.npy")
