@@ -1,0 +1,275 @@
+"""JASS v1 binary index writer/reader — byte-identical to the reference.
+
+The reference serialises its index to the 4-file JASS v1 format
+(`source/serialise_jass_v1.cpp:76-235`; layout documented at
+`source/serialise_jass_v1.h:43-68`):
+
+- ``CIpostings.bin``  — 1 codex byte, then per term: a u64 pointer per
+  impact header; headers (u16 impact, u64 start, u64 end, u32 freq)
+  highest-impact-first; a 22-zero-byte terminator; alignment padding;
+  then each segment's codec-compressed d1 gaps (first element minus 1:
+  JASS v1 counts docs from 0).
+- ``CIvocab_terms.bin`` — '\\0'-terminated UTF-8 terms in ITERATION order.
+- ``CIvocab.bin``     — (term_offset, postings_offset, n_impacts) u64
+  triples sorted by term bytes (memcmp collation).
+- ``CIdoclist.bin``   — '\\0'-terminated primary keys (preceded by the
+  v2 null document "-"), a u64 offset table, and a trailing u64 count.
+
+Iteration order is the reference's in-memory hash table order: Pearson
+hash_24 slot ascending (`source/hash_table.h:265`), and within a slot the
+in-order walk of a binary tree whose comparator sends SMALLER keys (by
+slice::operator< — length first, then memcmp) to the RIGHT
+(`source/binary_tree.h:245-249`), i.e. descending. Byte-parity is proven
+by tests/test_jass_v1.py reproducing the reference's golden Fletcher-16
+checksums for the ten-document unittest index
+(`source/serialise_jass_v1.cpp:273-310`: CIvocab 10231, CIvocab_terms
+25057, CIpostings 43058, CIdoclist 3045).
+
+Scale note: the 4-file format is inherently a single sequential stream,
+so this is a driver-side exporter EPILOGUE (same class as the CIFF
+exporter): per-term postings arrive via ``toLocalIterator()`` over a
+frame sorted in iteration order — one partition at a time, never a full
+``collect()``. The engine's own at-scale layout remains the term-bucketed
+parquet (plans/persist.py); this writer exists to prove, byte for byte,
+that the Spark-built index IS the reference index.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator
+
+import pandas as pd
+
+from jassv2_spark.functions.pearson import hash_24
+from jassv2_spark.functions.qmx import d1_decode, d1_encode, qmx_decode, qmx_encode
+
+CODEX_QMX = ord("q")
+CODEX_UNCOMPRESSED = ord("s")
+
+_HEADER = struct.Struct("<HQQI")  # impact, start, end, freq — 22 bytes
+_TERMINATOR = bytes(22)
+
+
+def _realign(position: int, boundary: int) -> int:
+    """`allocator::realign` (`source/allocator.h:168-179`)."""
+    if boundary <= 1 or position % boundary == 0:
+        return 0
+    return boundary - position % boundary
+
+
+def _encode_none(gaps) -> bytes:
+    """The 's' codex: raw little-endian uint32s (compress_integer_none)."""
+    return b"".join((g & 0xFFFFFFFF).to_bytes(4, "little") for g in gaps)
+
+
+def _decode_none(data: bytes, count: int):
+    return [int.from_bytes(data[4 * i : 4 * i + 4], "little") for i in range(count)]
+
+
+_CODECS = {
+    CODEX_QMX: (qmx_encode, qmx_decode, 16),
+    CODEX_UNCOMPRESSED: (_encode_none, _decode_none, 1),
+}
+
+
+def iteration_sort_key(term: str) -> tuple[int, int, bytes]:
+    """Sortable stand-in for the reference's hash-table walk: slot
+    ascending, then within a slot DESCENDING slice::operator< (length
+    first, then memcmp) — encoded as (slot, -len, complemented bytes)."""
+    b = term.encode("utf-8")
+    return (hash_24(b), -len(b), bytes(255 - x for x in b))
+
+
+class _JassV1Writer:
+    """Stateful mirror of `serialise_jass_v1`: consume (term, doc_ids,
+    impacts) in iteration order, then keys in docid order, then finish."""
+
+    def __init__(self, out_dir: str, n_docs: int, codex: int = CODEX_QMX,
+                 alignment: int | None = None):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        encode, _decode, default_align = _CODECS[codex]
+        self._encode = encode
+        self.alignment = default_align if alignment is None else alignment
+        self.postings = open(os.path.join(out_dir, "CIpostings.bin"), "wb")
+        self.vocab_terms = open(os.path.join(out_dir, "CIvocab_terms.bin"), "wb")
+        self.postings.write(bytes([codex]))
+        self._postings_pos = 1
+        self._terms_pos = 0
+        self.index_key: list[tuple[bytes, int, int, int]] = []
+        self.primary_keys: list[bytes] = [b"-"]
+        # persistent compression buffer, sized and reused exactly as the
+        # reference's (`serialise_jass_v1.h:224`): stale bytes from
+        # earlier terms deliberately leak into alignment padding, which
+        # is part of the byte-identical layout
+        self._buf = bytearray(8 * (n_docs * 8 + (22 + 2 * 16) * 1024) // 7 + (1 << 20))
+
+    def add_term(self, term: str, doc_ids, impacts) -> None:
+        """One postings list: parallel arrays (doc_id ascending within
+        each impact), grouped by impact ascending on input. Mirrors
+        `write_postings` + `operator()(term, ...)`."""
+        by_impact: dict[int, list[int]] = {}
+        for doc, imp in zip(doc_ids, impacts):
+            by_impact.setdefault(int(imp), []).append(int(doc))
+        segments = sorted(by_impact.items())  # ascending; serialised reversed
+        location = self._postings_pos
+        n_impacts = len(segments)
+        out = bytearray()
+        offset = location + n_impacts * 8
+        for _ in range(n_impacts):
+            out += offset.to_bytes(8, "little")
+            offset += 22
+        start_of_postings = offset + 22
+        wastage = _realign(start_of_postings, self.alignment)
+        start_of_postings += wastage
+        bufpos = 0
+        slices: list[tuple[int, int]] = []
+        for impact, ids in reversed(segments):  # highest impact first
+            gaps = d1_encode(ids)
+            gaps[0] -= 1  # JASS v1 counts documents from 0
+            enc = self._encode(gaps)
+            took = len(enc)
+            self._buf[bufpos : bufpos + took] = enc
+            padding = _realign(took, self.alignment)
+            finish = start_of_postings + took
+            out += _HEADER.pack(impact & 0xFFFF, start_of_postings, finish, len(ids))
+            slices.append((bufpos, took + padding))
+            bufpos += took
+            start_of_postings = finish + padding
+        out += _TERMINATOR
+        out += bytes(wastage)
+        for start, length in slices:
+            out += self._buf[start : start + length]
+        self.postings.write(out)
+        self._postings_pos += len(out)
+
+        tb = term.encode("utf-8")
+        self.vocab_terms.write(tb + b"\x00")
+        self.index_key.append((tb, self._terms_pos, location, n_impacts))
+        self._terms_pos += len(tb) + 1
+
+    def add_primary_key(self, key: str) -> None:
+        self.primary_keys.append(key.encode("utf-8"))
+
+    def finish(self) -> None:
+        """`finish()`: CIvocab.bin triples sorted by term bytes (memcmp
+        collation == Python bytes order), then CIdoclist.bin."""
+        with open(os.path.join(self.out_dir, "CIvocab.bin"), "wb") as f:
+            for _term, term_off, post_off, n_imp in sorted(self.index_key):
+                f.write(struct.pack("<QQQ", term_off, post_off, n_imp))
+        with open(os.path.join(self.out_dir, "CIdoclist.bin"), "wb") as f:
+            offsets = []
+            pos = 0
+            for key in self.primary_keys:
+                offsets.append(pos)
+                f.write(key + b"\x00")
+                pos += len(key) + 1
+            # drop the v2 null document's offset; count excludes it too
+            for off in offsets[1:]:
+                f.write(struct.pack("<Q", off))
+            f.write(struct.pack("<Q", len(self.primary_keys) - 1))
+        self.postings.close()
+        self.vocab_terms.close()
+
+
+def write_jass_v1(index, out_dir: str, codex: int = CODEX_QMX,
+                  alignment: int | None = None, impacts: str = "tf") -> dict:
+    """Serialise an Index to the JASS v1 4-file binary format.
+
+    ``impacts``: "tf" writes raw term frequencies (the reference
+    unittest's un-quantized path, `index.iterate(serialiser)`); "quantized"
+    writes the [1,1024] uniform-quantized impacts (the `JASS_index -I...`
+    production path, `tools/JASS_index.cpp:348`).
+
+    Postings stream to the driver via ``toLocalIterator`` over a frame
+    sorted in reference iteration order — no postings-scale collect.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    source = index.postings if impacts == "tf" else index.impacts
+    value_col = "tf" if impacts == "tf" else "impact"
+    per_term = (
+        source.groupBy("term")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", value_col))).alias("ps"))
+    )
+
+    key_schema = StructType([
+        StructField("term", StringType(), False),
+        StructField("slot", IntegerType(), False),
+    ])
+
+    def slot_of(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "term": pdf["term"],
+                "slot": [hash_24(t.encode("utf-8")) for t in pdf["term"]],
+            })
+
+    slots = per_term.select("term").mapInPandas(slot_of, schema=key_schema)
+    ordered = (
+        per_term.join(slots, "term")
+        # descending within a slot: length first then bytes (slice::operator<
+        # reversed); binary sort gives memcmp order, not UTF-16 order
+        .orderBy(F.col("slot").asc(), F.length("term").desc(),
+                 F.encode("term", "UTF-8").desc())
+        .select("term", "ps")
+    )
+
+    writer = _JassV1Writer(out_dir, n_docs=index.n_docs, codex=codex,
+                           alignment=alignment)
+    for row in ordered.toLocalIterator():
+        writer.add_term(
+            row["term"],
+            [p["doc_id"] for p in row["ps"]],
+            [p[value_col] for p in row["ps"]],
+        )
+    for row in index.doc_map.orderBy("doc_id").toLocalIterator():
+        writer.add_primary_key(row["key"])
+    writer.finish()
+    return {
+        "dir": out_dir,
+        "n_terms": len(writer.index_key),
+        "n_docs": len(writer.primary_keys) - 1,
+    }
+
+
+def read_jass_v1(in_dir: str) -> dict:
+    """Load a JASS v1 index back: {"terms": {term: [(impact, [doc_id
+    1-based])]}, "keys": [primary keys docid-ascending]}. The reader half
+    of the parity proof (`source/deserialised_jass_v1.h` semantics)."""
+    with open(os.path.join(in_dir, "CIpostings.bin"), "rb") as f:
+        postings = f.read()
+    codex = postings[0]
+    _encode, decode, _align = _CODECS[codex]
+    with open(os.path.join(in_dir, "CIvocab_terms.bin"), "rb") as f:
+        term_blob = f.read()
+    with open(os.path.join(in_dir, "CIvocab.bin"), "rb") as f:
+        vocab = f.read()
+
+    terms: dict[str, list[tuple[int, list[int]]]] = {}
+    for pos in range(0, len(vocab), 24):
+        term_off, post_off, n_imp = struct.unpack_from("<QQQ", vocab, pos)
+        term = term_blob[term_off : term_blob.index(b"\x00", term_off)].decode("utf-8")
+        segs = []
+        for i in range(n_imp):
+            (hdr_ptr,) = struct.unpack_from("<Q", postings, post_off + 8 * i)
+            impact, start, end, freq = _HEADER.unpack_from(postings, hdr_ptr)
+            gaps = decode(postings[start:end], freq)
+            ids = d1_decode([gaps[0] + 1] + gaps[1:])  # back to 1-based
+            segs.append((impact, ids))
+        segs.sort()
+        terms[term] = segs
+
+    with open(os.path.join(in_dir, "CIdoclist.bin"), "rb") as f:
+        doclist = f.read()
+    (count,) = struct.unpack_from("<Q", doclist, len(doclist) - 8)
+    table_at = len(doclist) - 8 - 8 * count
+    keys = []
+    for i in range(count):
+        (off,) = struct.unpack_from("<Q", doclist, table_at + 8 * i)
+        keys.append(doclist[off : doclist.index(b"\x00", off)].decode("utf-8"))
+    return {"terms": terms, "keys": keys, "codex": codex}

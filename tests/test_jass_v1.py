@@ -1,0 +1,160 @@
+"""JASS v1 binary interop: byte-identical to the reference's own writer.
+
+The reference unittest serialises its ten-document index with the QMX
+JASS-v1 codec at alignment 16 and asserts the Fletcher-16 checksum of
+each of the four files (`source/serialise_jass_v1.cpp:273-310`).
+Reproducing those exact checksums from the Spark-built index proves the
+whole chain — tokenizer, docid assignment, postings accumulation, impact
+ordering, iteration order, codec bit layout, file layout — byte for byte.
+"""
+
+import os
+
+import pytest
+
+from jassv2_spark.fixtures import TEN_DOC_QUERIES, synthetic_corpus, ten_documents
+from jassv2_spark.functions.checksum import fletcher_16_file
+from jassv2_spark.functions.pearson import hash_8, hash_16, hash_24
+from jassv2_spark.functions.qmx import d1_decode, d1_encode, qmx_decode, qmx_encode
+from jassv2_spark.operators.build import build_index
+from jassv2_spark.plans.jass_v1 import (CODEX_UNCOMPRESSED, iteration_sort_key,
+                                        read_jass_v1, write_jass_v1)
+
+# `source/serialise_jass_v1.cpp:273-310`
+GOLDEN_CHECKSUMS = {
+    "CIvocab.bin": 10231,
+    "CIvocab_terms.bin": 25057,
+    "CIpostings.bin": 43058,
+    "CIdoclist.bin": 3045,
+}
+
+
+@pytest.fixture(scope="module")
+def ten_index(spark):
+    """The unittest collection with the reference's primary keys ("1".."10")
+    and docids pinned to ingest order."""
+    rows = [(str(i), i, r["html"].decode()) for i, r in enumerate(ten_documents(), start=1)]
+    docs = spark.createDataFrame(rows, ["docno", "did", "html"])
+    idx = build_index(docs, text_col="html", key_col="docno", doc_id_col="did")
+    yield idx
+    idx.unpersist()
+
+
+def test_golden_checksums(ten_index, tmp_path):
+    out = str(tmp_path / "ci")
+    info = write_jass_v1(ten_index, out)
+    assert info["n_terms"] == 20 and info["n_docs"] == 10
+    for fname, want in GOLDEN_CHECKSUMS.items():
+        assert fletcher_16_file(os.path.join(out, fname)) == want, fname
+
+
+def test_iteration_order_matches_reference_unittest():
+    """`index_manager_sequential::unittest` prints the expected hash-walk
+    order verbatim (`index_manager_sequential.h:446-468`)."""
+    expected = "6 1 4 5 3 8 7 2 9 10 four eight five seven two six three one nine ten".split()
+    assert sorted(expected, key=iteration_sort_key) == expected
+
+
+def test_pearson_reference_vectors():
+    # `source/hash_pearson.cpp:47-60`
+    assert hash_8(b"here") == 83
+    assert hash_16(b"here there") == 49465
+    assert hash_24(b"here there and") == 13710892
+
+
+def test_qmx_ten_doc_golden_bytes():
+    """Hand-derivable layout for the 10-posting all-ones gap list: eight
+    16-bit words (selector 0xCF) then two raw 32-bit escapes (0xFE),
+    selectors reversed at the end."""
+    vals = [0, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+    enc = qmx_encode(vals)
+    assert len(enc) == 26
+    assert enc[-2:] == bytes([0xFE, 0xCF])
+    assert qmx_decode(enc, len(vals)) == vals
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_qmx_round_trip_fuzz(seed):
+    import random
+
+    rng = random.Random(seed)
+    for _ in range(300):
+        n = rng.choice([1, 3, 4, 7, 8, 16, 17, 40, 64, 128, 129, 256, 300, 1000])
+        mode = rng.random()
+        if mode < 0.3:
+            xs = [1] * n  # the 0-bit class (runs of gap 1)
+        elif mode < 0.6:
+            xs = [rng.randint(0, (1 << rng.randint(1, 21)) - 1) for _ in range(n)]
+        else:
+            xs = [rng.randint(0, 0xFFFFFFFF) for _ in range(n)]
+        assert qmx_decode(qmx_encode(xs), n) == xs
+    for _ in range(60):
+        n = rng.randint(1, 1500)
+        ids = sorted(rng.sample(range(1, 5_000_000), n))
+        gaps = d1_encode(ids)
+        gaps[0] -= 1
+        dec = qmx_decode(qmx_encode(gaps), n)
+        assert d1_decode([dec[0] + 1] + dec[1:]) == ids
+
+
+def test_round_trip_postings(ten_index, tmp_path):
+    out = str(tmp_path / "ci")
+    write_jass_v1(ten_index, out)
+    back = read_jass_v1(out)
+    assert back["keys"] == [str(i) for i in range(1, 11)]
+    want = {}
+    for r in ten_index.postings.collect():
+        want.setdefault(r["term"], {}).setdefault(r["tf"], []).append(r["doc_id"])
+    got = {
+        t: {imp: sorted(ids) for imp, ids in segs}
+        for t, segs in back["terms"].items()
+    }
+    assert got == {t: {i: sorted(v) for i, v in d.items()} for t, d in want.items()}
+
+
+def test_uncompressed_codex_round_trip(ten_index, tmp_path):
+    out = str(tmp_path / "ci_s")
+    write_jass_v1(ten_index, out, codex=CODEX_UNCOMPRESSED)
+    back = read_jass_v1(out)
+    assert back["codex"] == CODEX_UNCOMPRESSED
+    assert back["terms"]["ten"] == [(1, list(range(1, 11)))]
+
+
+def test_quantized_write_serves_rank_identical(spark, tmp_path):
+    """Write the QUANTIZED impacts (the `JASS_index` production path) for
+    a 250-doc corpus, read the binary back, serve top-k score-at-a-time
+    from the file alone, and match the engine's search() rank-for-rank."""
+    from collections import Counter
+
+    from jassv2_spark.functions.tokenizer import tokenize
+    from jassv2_spark.operators.search import search
+
+    rows = synthetic_corpus(250)
+    docs = spark.createDataFrame(
+        [(r["url"], r["html"].decode()) for r in rows], ["url", "html"]
+    )
+    idx = build_index(docs, text_col="html", key_col="url")
+    out = str(tmp_path / "ci_big")
+    write_jass_v1(idx, out, impacts="quantized")
+    pkg = read_jass_v1(out)
+
+    queries = TEN_DOC_QUERIES + [("s1", "w0001 w0002"), ("s2", "w0010")]
+    qdf = spark.createDataFrame(queries, ["query_id", "query"])
+    want = {}
+    for r in search(idx, qdf, k=10, with_keys=False).collect():
+        want.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["rsv"]))
+
+    got = {}
+    for qid, qtext in queries:
+        acc = Counter()
+        for term, q_tf in Counter(tokenize(qtext, xml=False)).items():
+            for impact, ids in pkg["terms"].get(term, []):
+                for d in ids:
+                    acc[d] += impact * q_tf
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], -kv[0]))[:10]
+        if ranked:
+            got[qid] = [(i + 1, d, v) for i, (d, v) in enumerate(ranked)]
+    assert {q: sorted(v) for q, v in got.items()} == {
+        q: sorted(v) for q, v in want.items()
+    }
+    idx.unpersist()
