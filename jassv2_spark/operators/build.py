@@ -410,13 +410,28 @@ def build_index_from_counts(
     # glibc/DuckDB/CPython log by 1 ulp on ~8% of inputs (measured), which
     # can flip a quantization bucket at a trunc boundary; a driver-side
     # table makes the whole BM25 expression bitwise engine-independent
-    # (every other op is exact IEEE arithmetic in a fixed order). Distinct
-    # df values are integers ≤ N — a tiny collect even at huge vocabularies.
-    df_vals = [r[0] for r in term_df.select("df").distinct().collect()]
-    idf_rows = [(int(d), math.log(n_docs / d)) for d in df_vals]
-    idf_map = F.broadcast(
-        spark.createDataFrame(idf_rows, schema="df long, idf double")
-    )
+    # (every other op is exact IEEE arithmetic in a fixed order). The
+    # domain is CAPPED (functions/lntable.py): past ~2M distinct df values
+    # (a 10^12-doc regime) the table stops being tiny, so the build falls
+    # back to in-engine ln — 1-ulp engine variance instead of bitwise
+    # oracle parity, announced in the log.
+    from jassv2_spark.functions.lntable import capped_distinct
+
+    df_vals = capped_distinct(term_df, "df")
+    if df_vals is not None:
+        idf_rows = [(int(d), math.log(n_docs / d)) for d in df_vals]
+        idf_map = F.broadcast(
+            spark.createDataFrame(idf_rows, schema="df long, idf double")
+        )
+
+        def _with_idf(frame):
+            return frame.join(idf_map, "df")
+    else:
+
+        def _with_idf(frame):
+            return frame.withColumn(
+                "idf", F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            )
 
     vocab = F.broadcast(term_df) if conf.broadcast_vocab else term_df
     k1, b = float(conf.k1), float(conf.b)
@@ -437,7 +452,7 @@ def build_index_from_counts(
             F.least(F.col("cnt"), F.lit(MAX_TF)).cast("long").alias("tf"), "dl",
         )
         .join(vocab, "term")
-        .join(idf_map, "df")
+        .transform(_with_idf)
         .withColumn("score", _score_expr("dl"))
     )
 
@@ -450,7 +465,7 @@ def build_index_from_counts(
     # values, so the result is bitwise-identical to the full scan.
     mm = (
         profile.join(vocab, "term")
-        .join(idf_map, "df")
+        .transform(_with_idf)
         .agg(
             F.min(_score_expr("dl_hi")).alias("lo"),
             F.max(_score_expr("dl_lo")).alias("hi"),

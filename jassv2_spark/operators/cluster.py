@@ -150,21 +150,36 @@ def cluster_labels(index, assignments: DataFrame, *, m: int = 5) -> DataFrame:
         .agg(F.sum("tf").cast("long").alias("ctf"))
         .join(index.term_stats.select("term", "df"), "term")
     )
-    df_vals = [r[0] for r in ct.select("df").distinct().collect()]
+    # distinct-df ln table, CAPPED (functions/lntable.py): vocabulary-wide
+    # df domains grow with N; past the cap use in-engine ln (logged).
+    from jassv2_spark.functions.lntable import capped_distinct
+
+    df_vals = capped_distinct(ct, "df")
     n = float(index.n_docs)
-    rows = [
-        (int(d), math.log(n / float(d)),
-         int(math.floor(1_000_000 * math.log(n / float(d)))))
-        for d in df_vals
-    ] or [(0, 0.0, 0)]
-    idf_map = F.broadcast(
-        spark.createDataFrame(rows, schema="df long, idf double, idf_micros long")
-    )
+    if df_vals is not None:
+        rows = [
+            (int(d), math.log(n / float(d)),
+             int(math.floor(1_000_000 * math.log(n / float(d)))))
+            for d in df_vals
+        ] or [(0, 0.0, 0)]
+        idf_map = F.broadcast(
+            spark.createDataFrame(rows, schema="df long, idf double, idf_micros long")
+        )
+
+        def _with_idf(frame):
+            return frame.join(idf_map, "df")
+    else:
+
+        def _with_idf(frame):
+            ln_expr = F.log(F.lit(n) / F.col("df").cast("double"))
+            return frame.withColumn("idf", ln_expr).withColumn(
+                "idf_micros", F.floor(F.lit(1_000_000.0) * ln_expr).cast("long")
+            )
     w = Window.partitionBy("cluster").orderBy(
         F.col("weight").desc(), F.col("term").asc()
     )
     return (
-        ct.join(idf_map, "df")
+        ct.transform(_with_idf)
         .withColumn("weight", F.col("ctf").cast("double") * F.col("idf"))
         .withColumn("term_rank", F.row_number().over(w).cast("long"))
         .where(F.col("term_rank") <= F.lit(int(m)))

@@ -109,13 +109,32 @@ def lm_dirichlet_topk(
         else F.broadcast(spark.createDataFrame([], "term string, cnt long, w_micro long"))
     )
 
-    # driver-side ln lookup #2: distinct document lengths
-    dl_rows = dlx.select("dl").distinct().collect()
-    d_rows = [
-        (int(r["dl"]), math.floor(MICRO * math.log(mu / (float(r["dl"]) + mu))))
-        for r in dl_rows
-    ]
-    dmap = F.broadcast(spark.createDataFrame(d_rows, "dl long, d_micro long"))
+    # driver-side ln lookup #2: distinct document lengths — CAPPED
+    # (functions/lntable.py): the dl domain is naturally ≤ max doc length
+    # but unbounded in principle; past the cap fall back to in-engine ln
+    # (1-ulp variance instead of bitwise parity, logged).
+    from jassv2_spark.functions.lntable import capped_distinct
+
+    dl_vals = capped_distinct(dlx, "dl")
+    if dl_vals is not None:
+        d_rows = [
+            (int(v), math.floor(MICRO * math.log(mu / (float(v) + mu))))
+            for v in dl_vals
+        ]
+        dmap = F.broadcast(spark.createDataFrame(d_rows, "dl long, d_micro long"))
+
+        def _with_d_micro(frame):
+            return frame.join(dmap, "dl")
+    else:
+
+        def _with_d_micro(frame):
+            return frame.withColumn(
+                "d_micro",
+                F.floor(
+                    F.lit(float(MICRO))
+                    * F.log(F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu)))
+                ).cast("long"),
+            )
 
     # |q| over in-vocabulary terms only
     vocab = spark.createDataFrame([(t,) for t in ctf], "term string")
@@ -131,7 +150,7 @@ def lm_dirichlet_topk(
     )
     hits = (
         term_part.join(dlx, "doc_id")
-        .join(dmap, "dl")
+        .transform(_with_d_micro)
         .join(F.broadcast(qlen), "query_id")
         .select(
             "query_id",

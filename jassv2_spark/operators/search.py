@@ -135,8 +135,11 @@ def search(
     postings_budget: int | None = None,
     tokenizer: str | None = None,
     with_keys: bool = True,
+    auto_shard_threshold: int | None = None,
 ) -> DataFrame:
-    """Batch top-k search. Returns (query_id, doc_id[, key], rsv, rank)."""
+    """Batch top-k search. Returns (query_id, doc_id[, key], rsv, rank).
+    Large candidate sets auto-route through the row-identical doc-sharded
+    ranking plan (see search_from_terms)."""
     tokenizer = tokenizer or index.conf.tokenizer
     q_terms, q_meta = parse_queries(
         queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
@@ -144,7 +147,39 @@ def search(
     return search_from_terms(
         index, q_terms, q_meta, k=k, rho=rho,
         postings_budget=postings_budget, with_keys=with_keys,
+        auto_shard_threshold=auto_shard_threshold,
     )
+
+
+# Above this many processed postings for any single query, the default
+# serve routes through the doc-sharded two-stage ranking (search_sharded's
+# plan, row-identical — see its docstring) instead of funnelling the
+# query's whole candidate set through one window task.
+AUTO_SHARD_THRESHOLD = 4_000_000
+AUTO_SHARD_N = 32
+
+
+def _rank_topk(
+    index: Index, hits: DataFrame, k: int, with_keys: bool, n_shards: int | None
+) -> DataFrame:
+    """Shared top-k epilogue: single-window ranking, or the two-stage
+    doc-sharded plan when ``n_shards`` is set (row-identical; proof in
+    search_sharded's docstring)."""
+    order = [F.col("rsv").desc(), F.col("doc_id").desc()]
+    if n_shards is not None:
+        sharded = hits.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(int(n_shards))))
+        w_local = Window.partitionBy("query_id", "shard").orderBy(*order)
+        hits = sharded.withColumn("lrank", F.row_number().over(w_local)).where(
+            F.col("lrank") <= F.lit(k)
+        )
+    wk = Window.partitionBy("query_id").orderBy(*order)
+    topk = hits.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= F.lit(k))
+    if with_keys:
+        # topk is tiny (≤ queries × k): broadcast it into the big doc_map,
+        # never the reverse (doc_map is N rows).
+        topk = F.broadcast(topk).join(index.doc_map, "doc_id")
+        return topk.select("query_id", "doc_id", "key", "rsv", "rank")
+    return topk.select("query_id", "doc_id", "rsv", "rank")
 
 
 def search_from_terms(
@@ -155,25 +190,40 @@ def search_from_terms(
     rho: float = 1.0,
     postings_budget: int | None = None,
     with_keys: bool = True,
+    auto_shard_threshold: int | None = None,
 ) -> DataFrame:
     """`search` from a prebuilt (query_id, term, q_tf) table — the entry
     point for callers that construct term weights directly rather than
     parsing query text (e.g. RM3 expanded queries, operators/feedback.py).
     `q_meta` must carry (query_id, n_terms) with n_terms counted over
     q_terms rows (the uint8-rescale divisor, JASS_anytime_api.cpp:544-563).
+
+    Auto-sharding: when any query's processed-postings count exceeds
+    ``auto_shard_threshold`` (default AUTO_SHARD_THRESHOLD), ranking runs
+    through the doc-sharded two-stage plan — row-identical, but a 10^9-hit
+    query no longer funnels through one window task. The estimate is a
+    metadata-sized aggregation, and it is skipped entirely when the
+    collection itself cannot exceed the threshold (n_docs·max_q_tf bound),
+    so small-corpus serves pay nothing. Pass 0 to force sharding, a huge
+    value to force the single-window plan.
     """
     seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
+
+    threshold = AUTO_SHARD_THRESHOLD if auto_shard_threshold is None else int(auto_shard_threshold)
+    n_shards = None
+    if threshold <= 0:
+        n_shards = AUTO_SHARD_N
+    elif index.n_docs and index.n_docs > threshold:
+        # only now can any single query's candidate set exceed the
+        # threshold — pay one metadata-sized agg to find out
+        est = seg.groupBy("query_id").agg(F.sum("seg_freq").alias("p")).agg(
+            F.max("p").alias("m")
+        ).collect()[0]["m"]
+        if est and int(est) > threshold:
+            n_shards = AUTO_SHARD_N
+
     hits = _accumulate_hits(index, q_terms, seg)
-
-    wk = Window.partitionBy("query_id").orderBy(F.col("rsv").desc(), F.col("doc_id").desc())
-    topk = hits.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= F.lit(k))
-
-    if with_keys:
-        # topk is tiny (≤ queries × k): broadcast it into the big doc_map,
-        # never the reverse (doc_map is N rows).
-        topk = F.broadcast(topk).join(index.doc_map, "doc_id")
-        return topk.select("query_id", "doc_id", "key", "rsv", "rank")
-    return topk.select("query_id", "doc_id", "rsv", "rank")
+    return _rank_topk(index, hits, k, with_keys, n_shards)
 
 
 def _accumulate_hits(index: Index, q_terms: DataFrame, seg: DataFrame) -> DataFrame:
@@ -228,22 +278,8 @@ def search_sharded(
         queries, tokenizer=tokenizer, stem=getattr(index.conf, "stem", False)
     )
     seg = gather_segments(index, q_terms, q_meta, rho=rho, postings_budget=postings_budget)
-    hits = _accumulate_hits(index, q_terms, seg).withColumn(
-        "shard", F.pmod(F.col("doc_id"), F.lit(int(n_shards)))
-    )
-    order = [F.col("rsv").desc(), F.col("doc_id").desc()]
-    w_local = Window.partitionBy("query_id", "shard").orderBy(*order)
-    finalists = hits.withColumn("lrank", F.row_number().over(w_local)).where(
-        F.col("lrank") <= F.lit(k)
-    )
-    w_global = Window.partitionBy("query_id").orderBy(*order)
-    topk = finalists.withColumn("rank", F.row_number().over(w_global)).where(
-        F.col("rank") <= F.lit(k)
-    )
-    if with_keys:
-        topk = F.broadcast(topk).join(index.doc_map, "doc_id")
-        return topk.select("query_id", "doc_id", "key", "rsv", "rank")
-    return topk.select("query_id", "doc_id", "rsv", "rank")
+    hits = _accumulate_hits(index, q_terms, seg)
+    return _rank_topk(index, hits, k, with_keys, int(n_shards))
 
 
 def _pruned_segments(index: Index, q_terms: DataFrame) -> DataFrame:

@@ -130,58 +130,79 @@ def _read_delimited(buf: bytes, pos: int) -> tuple[bytes, int]:
 def write_ciff(index: Index, path: str, description: str = "jassv2_spark") -> dict:
     """Serialize an Index's postings + doc records to a CIFF file.
     Docids are written 0-based dense (ranked by internal doc_id, which may
-    itself start anywhere), d-gapped ascending per term."""
-    post = index.postings.select("term", "doc_id", "tf").orderBy("term", "doc_id").collect()
-    docs = (
-        index.doc_map.join(index.doc_lengths, "doc_id")
-        .select("doc_id", "key", "dl")
-        .orderBy("doc_id")
-        .collect()
-    )
-    ciff_id = {r["doc_id"]: i for i, r in enumerate(docs)}
+    itself start anywhere), d-gapped ascending per term.
 
-    by_term: dict[str, list] = {}
-    for r in post:
-        by_term.setdefault(r["term"], []).append((r["doc_id"], r["tf"]))
+    Streaming export epilogue: the output is inherently ONE sequential
+    protobuf stream, but nothing postings-scale is ever materialized on
+    the driver — the 0-based remap is the distributed two-phase dense-id
+    assignment (sources/docids.py), per-term postings are aggregated and
+    d-gapped executor-side, and the driver consumes the sorted frame one
+    partition at a time via ``toLocalIterator()`` (round-2 verdict #2:
+    the previous full ``collect()`` + driver dict over all docs)."""
+    from pyspark.sql import functions as F
+
+    from jassv2_spark.sources.docids import assign_doc_ids
+
+    docs_df = (
+        index.doc_map.join(index.doc_lengths, "doc_id").select("doc_id", "key", "dl")
+    )
+    # distributed dense 0-based CIFF ids, ordered by internal doc_id;
+    # persisted because both the postings join and the doc-record pass
+    # read it and the assignment must be one consistent numbering
+    remap = (
+        assign_doc_ids(docs_df, key_col="doc_id", out_col="cid")
+        .withColumn("cid", F.col("cid") - 1)
+        .persist()
+    )
+    n_docs = int(remap.count())
+    per_term = (
+        index.postings.select("term", "doc_id", "tf")
+        .join(remap.select("doc_id", "cid"), "doc_id")
+        .groupBy("term")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("cid", "tf"))).alias("ps"),
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+        )
+        .orderBy("term")
+    )
+    n_terms = per_term.count()
 
     header = bytearray()
     _emit_varint_field(header, 1, 1)  # version
-    _emit_varint_field(header, 2, len(by_term))
-    _emit_varint_field(header, 3, len(docs))
-    _emit_varint_field(header, 4, len(by_term))
-    _emit_varint_field(header, 5, len(docs))
+    _emit_varint_field(header, 2, n_terms)
+    _emit_varint_field(header, 3, n_docs)
+    _emit_varint_field(header, 4, n_terms)
+    _emit_varint_field(header, 5, n_docs)
     _emit_varint_field(header, 6, int(index.collection_length))
     _tag(header, 7, 1)
     header += struct.pack("<d", float(index.mean_doc_length))
     _emit_bytes_field(header, 8, description.encode("utf-8"))
 
-    chunks = [_delimited(header)]
-    for term in sorted(by_term):
-        msg = bytearray()
-        _emit_bytes_field(msg, 1, term.encode("utf-8"))
-        plist = by_term[term]
-        _emit_varint_field(msg, 2, len(plist))
-        _emit_varint_field(msg, 3, sum(tf for _d, tf in plist))
-        prev = 0
-        for doc_id, tf in plist:
-            p = bytearray()
-            cid = ciff_id[doc_id]
-            _emit_varint_field(p, 1, cid - prev)
-            _emit_varint_field(p, 2, int(tf))
-            prev = cid
-            _emit_bytes_field(msg, 4, bytes(p))
-        chunks.append(_delimited(msg))
-    for r in docs:
-        msg = bytearray()
-        _emit_varint_field(msg, 1, ciff_id[r["doc_id"]])
-        _emit_bytes_field(msg, 2, str(r["key"]).encode("utf-8"))
-        _emit_varint_field(msg, 3, int(r["dl"]))
-        chunks.append(_delimited(msg))
-
     with open(path, "wb") as f:
-        for c in chunks:
-            f.write(c)
-    return {"num_postings_lists": len(by_term), "num_docs": len(docs)}
+        f.write(_delimited(header))
+        for row in per_term.toLocalIterator():
+            msg = bytearray()
+            _emit_bytes_field(msg, 1, row["term"].encode("utf-8"))
+            _emit_varint_field(msg, 2, int(row["df"]))
+            _emit_varint_field(msg, 3, int(row["cf"]))
+            prev = 0
+            for p in row["ps"]:
+                pb = bytearray()
+                cid = p["cid"]
+                _emit_varint_field(pb, 1, cid - prev)
+                _emit_varint_field(pb, 2, int(p["tf"]))
+                prev = cid
+                _emit_bytes_field(msg, 4, bytes(pb))
+            f.write(_delimited(msg))
+        for r in remap.select("cid", "key", "dl").orderBy("cid").toLocalIterator():
+            msg = bytearray()
+            _emit_varint_field(msg, 1, int(r["cid"]))
+            _emit_bytes_field(msg, 2, str(r["key"]).encode("utf-8"))
+            _emit_varint_field(msg, 3, int(r["dl"]))
+            f.write(_delimited(msg))
+    remap.unpersist()
+    return {"num_postings_lists": n_terms, "num_docs": n_docs}
 
 
 # ------------------------------------------------------------------ import

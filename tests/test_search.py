@@ -152,6 +152,15 @@ def test_sharded_search_equals_global(spark):
     # with_keys path keeps the key join
     wk = search_sharded(idx, qdf, k=5, n_shards=4).collect()
     assert all(r["key"] is not None for r in wk)
+    # auto-shard routing: threshold 0 forces the sharded plan through the
+    # DEFAULT search() entry point — must stay row-identical, and a huge
+    # threshold must skip the estimate job entirely (same rows either way)
+    want = canon(search(idx, qdf, k=10, with_keys=False))
+    assert canon(search(idx, qdf, k=10, with_keys=False, auto_shard_threshold=0)) == want
+    assert (
+        canon(search(idx, qdf, k=10, with_keys=False, auto_shard_threshold=10**15))
+        == want
+    )
     idx.unpersist()
 
 
