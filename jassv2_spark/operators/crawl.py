@@ -108,9 +108,12 @@ def crawl_schedule(
     """(url, host, worker, fetch_seq, fetch_time_ms): per-host politeness
     lanes over a prioritized frontier. fetch_seq orders a host's URLs by
     (priority DESC, url ASC — deterministic); the fetch fires at
-    (fetch_seq − 1) · delay on the host's lane; the host pins to worker
-    = 32-bit-md5(host) mod n_workers (the repo's portable hash recipe),
-    so one worker owns each host's lane end to end."""
+    (fetch_seq − 1) · host_delay on the host's lane, where host_delay is
+    the MAX of delay_col over the host's rows (politeness is a per-host
+    property; normalizing makes lane times cumulative and collision-free
+    even when frontier rows disagree about a host's delay — ADVICE r2);
+    the host pins to worker = 32-bit-md5(host) mod n_workers (the repo's
+    portable hash recipe), so one worker owns each host's lane end to end."""
     u = F.col(url_col)
     host = _host(u)
     delay = (
@@ -123,6 +126,10 @@ def crawl_schedule(
         host.alias("host"),
         F.col(priority_col).alias("__pri"),
         delay.alias("__delay"),
+    )
+    # conservative per-host politeness: the slowest delay any row claims
+    base = base.withColumn(
+        "__delay", F.max("__delay").over(Window.partitionBy("host"))
     )
     w = Window.partitionBy("host").orderBy(F.col("__pri").desc(), F.col("url").asc())
     h32 = F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10).cast("long")

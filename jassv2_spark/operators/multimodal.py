@@ -84,18 +84,35 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _pillow():
+    """Optional-dependency probe: PIL.Image or None (never raises)."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except Exception:
+        return None
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads to dense pixel/sample arrays.
 
-    REAL DECODE IS STUBBED (no PIL/libsndfile/ffmpeg in this container).
     With fake=True a deterministic stand-in emits the first
-    width-or-sample_rate bytes as float values in [0, 1); the schema and
-    batch plumbing are exactly what a real decoder would use."""
+    width-or-sample_rate bytes as float values in [0, 1) — the oracle
+    path; the schema and batch plumbing are exactly what a real decoder
+    uses. With fake=False the REAL path decodes image payloads via Pillow
+    when it is installed (optional dependency; grayscale-flattened pixels
+    normalized to [0, 1)); audio/video need codecs Pillow doesn't provide
+    and are skipped by the real path. Without Pillow the real path raises
+    NotImplementedError (install pillow, or pass fake=True)."""
     if not fake:
-        raise NotImplementedError(
-            "media decode requires image/audio libraries not present in this "
-            "container; pass fake=True for the deterministic test stand-in"
-        )
+        if _pillow() is None:
+            raise NotImplementedError(
+                "real media decode requires Pillow (pip install pillow), "
+                "absent in this environment; pass fake=True for the "
+                "deterministic stand-in"
+            )
+        return _decode_media_real(media)
 
     out_schema = StructType(
         [
@@ -118,6 +135,42 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                 arr = np.frombuffer(payload[: max(1, min(limit, 64))], dtype=np.uint8)
                 vals = (arr.astype(np.float64) / 256.0).tolist()
                 rows.append((int(mid), kind, len(vals), vals))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "n_values", "values"])
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def _decode_media_real(media: DataFrame) -> DataFrame:
+    """Pillow-backed image decode: payload → grayscale pixels in [0, 1).
+    Same output schema as the fake path; Arrow-batched, one worker-side
+    Image.open per row (Pillow is lazy — only the header is parsed until
+    the pixel access). Non-image rows and undecodable payloads are
+    dropped (a real pipeline would route them to a quarantine sink)."""
+    import io
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("n_values", IntegerType(), False),
+            StructField("values", ArrayType(DoubleType(), False), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from PIL import Image
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if payload is None or kind != "image":
+                    continue
+                try:
+                    img = Image.open(io.BytesIO(payload)).convert("L")
+                except Exception:
+                    continue
+                arr = np.asarray(img, dtype=np.float64).ravel() / 256.0
+                rows.append((int(mid), kind, len(arr), arr.tolist()))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "n_values", "values"])
 
     return media.mapInPandas(run, schema=out_schema)
@@ -184,13 +237,18 @@ def byte_histogram_counts(media: DataFrame, bins: int = 64) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Resize image payloads. STUB: real resampling needs PIL; fake=True
-    truncates/pads the payload to width*height bytes (deterministic) to
-    exercise the full binary-in/binary-out pipeline shape."""
+    """Resize image payloads. fake=True truncates/pads the payload to
+    width*height bytes (deterministic oracle path). fake=False uses
+    Pillow's bilinear resample when installed (optional dependency;
+    output payload = raw grayscale bytes, meta updated); without Pillow
+    it raises NotImplementedError."""
     if not fake:
-        raise NotImplementedError(
-            "image resize requires PIL/opencv, absent here; use fake=True"
-        )
+        if _pillow() is None:
+            raise NotImplementedError(
+                "real image resize requires Pillow (pip install pillow), "
+                "absent in this environment; use fake=True"
+            )
+        return _resize_images_real(media, width, height)
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -208,6 +266,41 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                     continue
                 buf = np.frombuffer(payload, dtype=np.uint8)
                 out = np.resize(buf, target)  # deterministic repeat/truncate
+                rows.append(
+                    (int(mid), out.tobytes(), {"width": width, "height": height,
+                                               "channels": 1, "sample_rate": None,
+                                               "n_frames": None})
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def _resize_images_real(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Pillow bilinear resize; same schema as the fake path."""
+    import io
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("meta", META_SCHEMA, False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from PIL import Image
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if payload is None or kind != "image":
+                    continue
+                try:
+                    img = Image.open(io.BytesIO(payload)).convert("L")
+                except Exception:
+                    continue
+                out = img.resize((width, height), Image.BILINEAR)
                 rows.append(
                     (int(mid), out.tobytes(), {"width": width, "height": height,
                                                "channels": 1, "sample_rate": None,

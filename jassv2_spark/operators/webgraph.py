@@ -1358,7 +1358,14 @@ def pagerank_weighted(
 
     Scale shape: identical to pagerank — per iteration one src-keyed
     join and one dst-keyed partial-agg shuffle; in-degree skew absorbs
-    map-side because contributions were already divided down."""
+    map-side because contributions were already divided down.
+
+    Dangling nodes (no out-edges, absent from W_u) leak their rank mass
+    each iteration exactly as in :func:`pagerank` — totals are not
+    conserved. Host graphs make this common (sink hosts with no
+    out-links). Same remedies: add self-loop edges for sinks before
+    calling, or renormalize afterwards; rank ORDER is unaffected for
+    typical damping (ADVICE r2: restated from pagerank's caveat)."""
     base = (damp_den - damp_num) * scale // damp_den
     nd = nodes.select(F.col(node_col).alias("node")).distinct()
     e = edges.select(

@@ -125,15 +125,30 @@ def wildcard_term_expansions(
     )
 
 
-def parse_wildcard_queries(queries: DataFrame) -> DataFrame:
+def parse_wildcard_queries(queries: DataFrame, stem: bool = False) -> DataFrame:
     """(query_id, term, q_tf, is_pattern): lowercase [a-z0-9*]+ tokens;
-    is_pattern marks tokens carrying at least one '*'."""
+    is_pattern marks tokens carrying at least one '*'.
+
+    ``stem`` must match the index's build setting: on a stem-built index a
+    LITERAL token must be stemmed to the vocabulary form (exactly as
+    `search` does via parse_queries) or it silently goes OOV; patterns are
+    never stemmed — they expand against the (already stemmed) vocabulary
+    (ADVICE r2)."""
     toks = queries.select(
         "query_id",
         F.explode(
             F.expr(f"regexp_extract_all(lower(query), '{WILDCARD_TOKEN_PATTERN}', 0)")
         ).alias("term"),
     )
+    if stem:
+        from jassv2_spark.functions.stem import spark_stem
+
+        toks = toks.select(
+            "query_id",
+            F.when(
+                F.col("term").contains("*"), F.col("term")
+            ).otherwise(F.element_at(spark_stem(F.array(F.col("term"))), 1)).alias("term"),
+        )
     return (
         toks.groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("q_tf"))
@@ -152,10 +167,11 @@ def search_wildcard(
 ) -> DataFrame:
     """Anytime top-k with wildcard query semantics: '*'-bearing tokens
     expand through the permuterm table (expansions inherit the token's
-    q_tf; colliding expansions sum), literal tokens serve unchanged
-    (OOV drops at the vocab join as always). n_terms counts the
-    expanded term set pre-vocab-drop, mirroring `search`."""
-    qt = parse_wildcard_queries(queries)
+    q_tf; colliding expansions sum), literal tokens serve exactly as
+    `search` would — including stemming to the vocabulary form on a
+    stem-built index (OOV drops at the vocab join as always). n_terms
+    counts the expanded term set pre-vocab-drop, mirroring `search`."""
+    qt = parse_wildcard_queries(queries, stem=getattr(index.conf, "stem", False))
     pats = qt.where("is_pattern").select(F.col("term").alias("pattern"))
     cand = wildcard_term_expansions(index.term_stats, pats, max_expand=max_expand)
     expanded_rows = (

@@ -66,3 +66,39 @@ def test_frame_sampling(media):
     for r in out:
         assert r["frame_idx"] % 2 == 0
         assert len(r["frame"]) > 0
+
+
+def test_real_decode_without_pillow_raises_clearly(spark):
+    """Optional-dep gating: without Pillow the real path raises the
+    documented NotImplementedError; with it, it decodes (skip-covered)."""
+    import pytest
+
+    from jassv2_spark.operators.multimodal import (_pillow, decode_media,
+                                                   resize_images,
+                                                   synthesize_media)
+
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    media = synthesize_media(docs)
+    if _pillow() is None:
+        with pytest.raises(NotImplementedError, match="[Pp]illow"):
+            decode_media(media, fake=False)
+        with pytest.raises(NotImplementedError, match="[Pp]illow"):
+            resize_images(media, 8, 8, fake=False)
+        pytest.skip("Pillow not installed — real decode path gated off")
+    # with Pillow present: real PNG through decode + resize
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+    png = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()),
+          {"width": 4, "height": 4, "channels": 1, "sample_rate": None, "n_frames": None})],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,channels:int,sample_rate:int,n_frames:int>",
+    )
+    out = decode_media(png, fake=False).collect()
+    assert out and out[0]["n_values"] == 16
+    rs = resize_images(png, 2, 2, fake=False).collect()
+    assert rs and len(rs[0]["payload"]) == 4

@@ -101,3 +101,26 @@ def test_unmatched_pattern_drops_like_oov(spark, tiny_index):
 def test_unsupported_multi_star_matches_nothing(spark, stats):
     probes = spark.createDataFrame([("a*b*c",), ("**",)], ["pattern"])
     assert wildcard_term_expansions(stats, probes).count() == 0
+
+
+def test_literal_token_stemmed_on_stem_built_index(spark):
+    """ADVICE r2: on a stem-built index a literal token in a wildcard
+    query must stem to the vocabulary form (as search() does) instead of
+    silently going OOV; patterns expand against the stemmed vocabulary."""
+    from jassv2_spark.operators.build import BuildConf, build_index
+
+    docs = spark.createDataFrame(
+        [("d1", "running runner runs jogging"), ("d2", "walking walks"),
+         ("d3", "running table")],
+        ["url", "html"],
+    )
+    idx = build_index(docs, text_col="html", key_col="url",
+                      conf=BuildConf(stem=True))
+    q = spark.createDataFrame([("q1", "running")], ["query_id", "query"])
+    want = sorted(map(tuple, search(idx, q, k=5, with_keys=False).collect()))
+    got = sorted(map(tuple, search_wildcard(idx, q, k=5, with_keys=False).collect()))
+    assert want and got == want
+    # and a pattern still expands against the stemmed vocabulary
+    qp = spark.createDataFrame([("q2", "run*")], ["query_id", "query"])
+    assert search_wildcard(idx, qp, k=5, with_keys=False).count() > 0
+    idx.unpersist()
