@@ -42,11 +42,13 @@ from typing import Iterator
 
 import pandas as pd
 
+from jassv2_spark.functions.eg_simd import eg_simd_decode, eg_simd_encode
 from jassv2_spark.functions.pearson import hash_24
 from jassv2_spark.functions.qmx import d1_decode, d1_encode, qmx_decode, qmx_encode
 
 CODEX_QMX = ord("q")
 CODEX_UNCOMPRESSED = ord("s")
+CODEX_ELIAS_GAMMA_SIMD = ord("G")  # the serialiser's default codex
 
 _HEADER = struct.Struct("<HQQI")  # impact, start, end, freq — 22 bytes
 _TERMINATOR = bytes(22)
@@ -71,6 +73,7 @@ def _decode_none(data: bytes, count: int):
 _CODECS = {
     CODEX_QMX: (qmx_encode, qmx_decode, 16),
     CODEX_UNCOMPRESSED: (_encode_none, _decode_none, 1),
+    CODEX_ELIAS_GAMMA_SIMD: (eg_simd_encode, eg_simd_decode, 1),
 }
 
 
@@ -259,7 +262,13 @@ def read_jass_v1(in_dir: str) -> dict:
             (hdr_ptr,) = struct.unpack_from("<Q", postings, post_off + 8 * i)
             impact, start, end, freq = _HEADER.unpack_from(postings, hdr_ptr)
             gaps = decode(postings[start:end], freq)
-            ids = d1_decode([gaps[0] + 1] + gaps[1:])  # back to 1-based
+            # uint32 wraparound exactly as the reference decodes: a 0-based
+            # first docid was written as -1 & 0xFFFFFFFF
+            total = 0
+            ids = []
+            for g in [gaps[0] + 1] + gaps[1:]:
+                total = (total + g) & 0xFFFFFFFF
+                ids.append(total)
             segs.append((impact, ids))
         segs.sort()
         terms[term] = segs

@@ -158,3 +158,74 @@ def test_quantized_write_serves_rank_identical(spark, tmp_path):
         q: sorted(v) for q, v in want.items()
     }
     idx.unpersist()
+
+
+# reference unittest sequences for the default Group-Elias-Gamma-SIMD
+# codec (`compress_integer_elias_gamma_simd.cpp:404-448`) — regression
+# inputs that broke earlier implementations (carryover splits, width
+# promotion at 31 bits)
+EG_BROKEN = [
+    6,10,2,1,2,1,1,1,1,2,2,1,1,14,1,1, 4,1,2,1,2,5,3,4,3,1,3,4,2,3,1,1,
+    6,13,5,1,2,8,4,2,5,1,1,1,2,1,1,2, 3,1,2,1,1,2,2,1,3,1,1,1,1,1,1,1,
+    1,2,1,1,1,1,1,1,2,1,1,1,1,1,2,3, 1,7,1,4,5,3,2,1,10,1,8,1,2,5,1,24,
+    1,1,1,1,1,1,1,5,5,2,2,1,3,4,5,5, 2,4,2,2,1,1,1,2,2,1,2,1,2,1,3,3,
+    3,7,3,2,1,1,4,5,4,1,4,8,6,1,2,1, 1,1,1,1,1,3,1,2,1,1,1,1,1,1,1,2,
+    1,3,2,2,3,1,2,1,1,2,1,1,1,1,1,2, 9,1,1,4,5,6,1,4,2,5,4,6,7,1,1,2,
+    1,1,9,2,2,1,2,1,1,1,1,1,1,1,1,1, 1,1,1,1,1,1,1,6,4,1,5,7,1,1,1,1,
+    2,1,1,1,2,1,1,1,1,1,1,1,1,1,1,1, 1,1,1,1,1,1,1,1,1,1,1,1,1,2,2,1,
+    2,1,1,1,2,2,1,4,1,1,4,1,1,1,1,1, 1,1,1,1,1,2,5,3,1,3,1,1,4,1,2,1,
+    3,1,3,1,1,1,1,1,1,1,1,1,1,1,1,1, 1,1,1,1,1,2,2,1,1,1,8,3,1,2,56,2,
+    12,1,6,70,68,25,13,44,36,22,4,95,19,5,39,8,
+    25,14,9,8,27,6,1,1,8,11,8,3,4,1,2,8,
+    3,23,2,16,8,2,28,26,6,11,9,16,1,1,7,7,
+    45,2,33,39,20,14,2,1,8,26,1,10,12,3,16,3,
+    25,9,6,9,6,3,41,17,15,11,33,8,1,1,1,1,
+]
+EG_SECOND = [
+    1,1,1,793,1,1,1,1,2,1,5,3,2,1,5,63, 1,2,2,1,1,1,1,1,1,1,5,6,2,4,1,2,
+    1,1,1,1,4,2,1,2,2,1,1,1,3,2,2,1, 1,1,2,3,1,1,8,1,1,21,2,9,15,27,7,4,
+    2,7,1,1,2,1,1,3,2,3,1,3,3,1,2,2, 3,1,3,1,2,1,2,4,1,1,3,10,1,2,1,1,
+    6,2,1,1,3,3,7,3,2,1,2,4,3,1,2,1, 6,2,2,1,
+]
+
+
+def test_eg_simd_reference_unittest_vectors():
+    from jassv2_spark.functions.eg_simd import eg_simd_decode, eg_simd_encode
+
+    for seq in (EG_BROKEN, EG_SECOND):
+        enc = eg_simd_encode(seq)
+        assert len(enc) % 68 == 0  # whole 512-bit blocks + selectors
+        assert eg_simd_decode(enc, len(seq)) == seq
+
+
+def test_eg_simd_round_trip_fuzz():
+    import random
+
+    from jassv2_spark.functions.eg_simd import eg_simd_decode, eg_simd_encode
+
+    rng = random.Random(23)
+    for _ in range(300):
+        n = rng.choice([1, 2, 15, 16, 17, 31, 32, 33, 160, 320, 1000])
+        mode = rng.random()
+        if mode < 0.3:
+            xs = [1] * n
+        elif mode < 0.6:
+            xs = [rng.randint(0, 30) for _ in range(n)]
+        elif mode < 0.85:
+            xs = [rng.randint(1, 1 << rng.randint(1, 20)) for _ in range(n)]
+        else:
+            xs = [rng.randint(0, 0xFFFFFFFF) for _ in range(n)]
+        assert eg_simd_decode(eg_simd_encode(xs), n) == xs
+
+
+def test_elias_gamma_simd_codex_round_trip(ten_index, tmp_path):
+    """The serialiser's DEFAULT codex ('G'): write + read back the ten-doc
+    index through the Group-Elias-Gamma-SIMD postings encoding."""
+    from jassv2_spark.plans.jass_v1 import CODEX_ELIAS_GAMMA_SIMD
+
+    out = str(tmp_path / "ci_g")
+    write_jass_v1(ten_index, out, codex=CODEX_ELIAS_GAMMA_SIMD)
+    back = read_jass_v1(out)
+    assert back["codex"] == CODEX_ELIAS_GAMMA_SIMD
+    assert back["terms"]["ten"] == [(1, list(range(1, 11)))]
+    assert back["terms"]["one"] == [(1, [10])]
