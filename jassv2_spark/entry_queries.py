@@ -311,6 +311,73 @@ def registry() -> dict[str, tuple]:
                      string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids_csv
               FROM imp GROUP BY term, impact""",
     )
+    def _jass_v1_roundtrip(spark, sf):
+        """Quantized impacts through the reference's JASS v1 BINARY format
+        (plans/jass_v1.py, Group-Elias-Gamma-SIMD codex): write the 4-file
+        index, read the bytes back, re-emit (term, doc_id, impact). The
+        oracle is the plain quantized-impacts SQL — so a hash match proves
+        the binary encode/decode chain is lossless on this corpus."""
+        import tempfile
+
+        from jassv2_spark.plans.jass_v1 import (CODEX_ELIAS_GAMMA_SIMD,
+                                                read_jass_v1, write_jass_v1)
+
+        idx = get_index(spark, sf)
+        out = tempfile.mkdtemp(prefix="jass_v1_entry_")
+        write_jass_v1(idx, out, codex=CODEX_ELIAS_GAMMA_SIMD, impacts="quantized")
+        back = read_jass_v1(out)
+        rows = [
+            (term, int(doc), int(impact))
+            for term, segs in back["terms"].items()
+            for impact, ids in segs
+            for doc in ids
+        ]
+        return spark.createDataFrame(rows, "term string, doc_id long, impact long")
+
+    r["jass_v1_binary_roundtrip"] = (
+        _jass_v1_roundtrip,
+        _sql(_BASE) + " SELECT term, doc_id, impact FROM imp",
+    )
+
+    def _qmx_roundtrip(spark, sf):
+        """Executor-side QMX JASS-v1 codec round-trip: each term's ascending
+        docids are d1-gapped (first −1, the v1 convention), encoded with the
+        bit-exact QMX implementation, decoded, and re-emitted. Runs inside an
+        Arrow-batched mapInPandas — the codec itself is exercised distributed."""
+        import pandas as pd
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from jassv2_spark.functions.qmx import (d1_decode, d1_encode,
+                                                qmx_decode, qmx_encode)
+
+        idx = get_index(spark, sf)
+        per_term = idx.postings.groupBy("term").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids")
+        )
+        schema = StructType(
+            [StructField("term", StringType(), False), StructField("doc_id", LongType(), False)]
+        )
+
+        def run(batches):
+            for pdf in batches:
+                out = []
+                for term, ids in zip(pdf["term"], pdf["ids"]):
+                    gaps = d1_encode([int(x) for x in ids])
+                    gaps[0] -= 1  # v1 counts from 0; -1 wraps to 0xFFFFFFFF
+                    dec = qmx_decode(qmx_encode(gaps), len(gaps))
+                    total = 0
+                    for g in [dec[0] + 1] + dec[1:]:
+                        total = (total + g) & 0xFFFFFFFF  # uint32, as the ref
+                        out.append((term, total))
+                yield pd.DataFrame(out, columns=["term", "doc_id"])
+
+        return per_term.mapInPandas(run, schema=schema)
+
+    r["jass_codec_qmx_roundtrip"] = (
+        _qmx_roundtrip,
+        _sql(_BASE) + " SELECT term, doc_id FROM tfx",
+    )
+
     def _qparse(spark, sf):
         from jassv2_spark.operators.search import parse_queries
 
