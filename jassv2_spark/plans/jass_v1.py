@@ -93,6 +93,13 @@ class _JassV1Writer:
                  alignment: int | None = None):
         os.makedirs(out_dir, exist_ok=True)
         self.out_dir = out_dir
+        if codex not in _CODECS:
+            raise ValueError(
+                f"unsupported codex {chr(codex)!r}: implemented are "
+                f"{sorted(chr(c) for c in _CODECS)} (the reference's other "
+                "tags — 'c' vbyte, '8' simple-8b, 'Q'/'R' QMX D4/D0, 'g' "
+                "gamma+VB, 'D' delta SIMD — have no golden anchors here)"
+            )
         encode, _decode, default_align = _CODECS[codex]
         self._encode = encode
         self.alignment = default_align if alignment is None else alignment
