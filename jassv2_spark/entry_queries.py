@@ -326,11 +326,12 @@ def registry() -> dict[str, tuple]:
         out = tempfile.mkdtemp(prefix="jass_v1_entry_")
         write_jass_v1(idx, out, codex=CODEX_ELIAS_GAMMA_SIMD, impacts="quantized")
         back = read_jass_v1(out)
+        keys = back["keys"]  # position -> primary key (= native doc_id str)
         rows = [
-            (term, int(doc), int(impact))
+            (term, int(keys[pos - 1]), int(impact))
             for term, segs in back["terms"].items()
             for impact, ids in segs
-            for doc in ids
+            for pos in ids
         ]
         return spark.createDataFrame(rows, "term string, doc_id long, impact long")
 
@@ -376,6 +377,38 @@ def registry() -> dict[str, tuple]:
     r["jass_codec_qmx_roundtrip"] = (
         _qmx_roundtrip,
         _sql(_BASE) + " SELECT term, doc_id FROM tfx",
+    )
+
+    def _jass_v1_import_hits(spark, sf):
+        """Interop loop closed: write the v1 BINARY, import it back into a
+        fresh Index (passthrough build, docids reassigned by key), serve the
+        entry queries, and emit the full per-(query, doc) rsv match set —
+        rank-free and (at the gate corpus, n_docs < k=1000) cutoff-free, so
+        the import's docid reassignment cannot shift tie-breaks. Oracle =
+        the exhaustive accumulation SQL."""
+        import tempfile
+
+        from jassv2_spark.operators.search import search
+        from jassv2_spark.plans.jass_v1 import (build_index_from_jass_v1,
+                                                write_jass_v1)
+
+        idx = get_index(spark, sf)
+        out = tempfile.mkdtemp(prefix="jass_v1_import_")
+        write_jass_v1(idx, out, impacts="quantized")
+        imported = build_index_from_jass_v1(spark, out)
+        return (
+            search(imported, _queries_df(spark), k=1000)
+            .select(
+                "query_id",
+                F.col("key").cast("long").alias("doc_id"),
+                F.col("rsv").cast("long").alias("rsv"),
+            )
+        )
+
+    r["jass_v1_import_hits"] = (
+        _jass_v1_import_hits,
+        _sql(_BASE, _query_ctes(1.0), _TOPK_CTES)
+        + " SELECT query_id, doc_id, rsv FROM hits",
     )
 
     def _qparse(spark, sf):

@@ -200,11 +200,28 @@ def write_jass_v1(index, out_dir: str, codex: int = CODEX_QMX,
     from pyspark.sql.types import (IntegerType, StringType, StructField,
                                    StructType)
 
+    from jassv2_spark.sources.docids import assign_doc_ids
+
     source = index.postings if impacts == "tf" else index.impacts
     value_col = "tf" if impacts == "tf" else "impact"
+    # canonical v1 docids are 0-based POSITIONS in CIdoclist: remap the
+    # engine's internal ids (arbitrary ints when doc_id_col was used) to
+    # dense 1-based rank-of-doc_id; the d1 first-element -1 then lands
+    # them 0-based on disk exactly as `JASS_index` itself would. For a
+    # 1-based dense source the remap is the identity (golden checksums
+    # unchanged). Distributed two-phase assignment; persisted because the
+    # postings join and the key pass must see one numbering.
+    remap = assign_doc_ids(
+        index.doc_map.select("doc_id", "key"), key_col="doc_id", out_col="__pos"
+    ).persist()
     per_term = (
-        source.groupBy("term")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", value_col))).alias("ps"))
+        source.join(remap.select("doc_id", "__pos"), "doc_id")
+        .groupBy("term")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__pos").alias("doc_id"), value_col))
+            ).alias("ps")
+        )
     )
 
     key_schema = StructType([
@@ -237,8 +254,9 @@ def write_jass_v1(index, out_dir: str, codex: int = CODEX_QMX,
             [p["doc_id"] for p in row["ps"]],
             [p[value_col] for p in row["ps"]],
         )
-    for row in index.doc_map.orderBy("doc_id").toLocalIterator():
+    for row in remap.orderBy("__pos").toLocalIterator():
         writer.add_primary_key(row["key"])
+    remap.unpersist()
     writer.finish()
     return {
         "dir": out_dir,
@@ -247,10 +265,41 @@ def write_jass_v1(index, out_dir: str, codex: int = CODEX_QMX,
     }
 
 
+def build_index_from_jass_v1(spark, in_dir: str, conf=None):
+    """Import a JASS v1 binary index — including one written by the
+    reference's own `JASS_index` tool — into a servable Index.
+
+    The binary stores quantized impacts (no tf/dl), so this is the
+    passthrough/quantize_none build (`tools/JASS_index.cpp:351-357`
+    semantics, same as the CIFF `-passthrough` import): segments flow
+    straight to the impact-ordered layout and `search` works unchanged.
+    Like the CIFF import, parsing an interchange file is a one-shot
+    driver-side read; the expensive work (docid assignment, segment
+    build) runs distributed through the standard pipeline.
+    """
+    from jassv2_spark.operators.build import build_prequantized_index
+
+    pkg = read_jass_v1(in_dir)
+    keys = pkg["keys"]
+    rows = (
+        (keys[doc - 1], term, int(impact))
+        for term, segs in pkg["terms"].items()
+        for impact, ids in segs
+        for doc in ids
+    )
+    pre = spark.createDataFrame(rows, "key string, term string, impact long")
+    return build_prequantized_index(
+        pre, key_col="key", term_col="term", impact_col="impact", conf=conf
+    )
+
+
 def read_jass_v1(in_dir: str) -> dict:
-    """Load a JASS v1 index back: {"terms": {term: [(impact, [doc_id
-    1-based])]}, "keys": [primary keys docid-ascending]}. The reader half
-    of the parity proof (`source/deserialised_jass_v1.h` semantics)."""
+    """Load a JASS v1 index back: {"terms": {term: [(impact, [position
+    1-based])]}, "keys": [primary keys position-ascending]}. Positions
+    index CIdoclist: ``keys[pos - 1]`` is the document's primary key (the
+    on-disk docids are 0-based positions, the v1 convention; the reader
+    re-adds the 1 the writer's d1 subtracted). The reader half of the
+    parity proof (`source/deserialised_jass_v1.h` semantics)."""
     with open(os.path.join(in_dir, "CIpostings.bin"), "rb") as f:
         postings = f.read()
     codex = postings[0]

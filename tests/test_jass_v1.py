@@ -229,3 +229,35 @@ def test_elias_gamma_simd_codex_round_trip(ten_index, tmp_path):
     assert back["codex"] == CODEX_ELIAS_GAMMA_SIMD
     assert back["terms"]["ten"] == [(1, list(range(1, 11)))]
     assert back["terms"]["one"] == [(1, [10])]
+
+
+def test_import_binary_index_serves_rank_identical(spark, tmp_path):
+    """Full interop loop: build → write the v1 binary (quantized) → import
+    the binary into a fresh Index → serve; results must match the original
+    engine key-for-key (docids may be reassigned by the import)."""
+    from jassv2_spark.operators.search import search
+    from jassv2_spark.plans.jass_v1 import build_index_from_jass_v1
+
+    rows = synthetic_corpus(200)
+    docs = spark.createDataFrame(
+        [(r["url"], r["html"].decode()) for r in rows], ["url", "html"]
+    )
+    idx = build_index(docs, text_col="html", key_col="url")
+    out = str(tmp_path / "ci_imp")
+    write_jass_v1(idx, out, impacts="quantized")
+    imported = build_index_from_jass_v1(spark, out)
+
+    qdf = spark.createDataFrame(
+        TEN_DOC_QUERIES + [("s1", "w0001 w0002")], ["query_id", "query"]
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], str(r["key"]), r["rsv"])
+        for r in search(idx, qdf, k=10).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], str(r["key"]), r["rsv"])
+        for r in search(imported, qdf, k=10).collect()
+    )
+    assert want and got == want
+    idx.unpersist()
+    imported.unpersist()
