@@ -184,9 +184,141 @@ class _JassV1Writer:
         self.vocab_terms.close()
 
 
+# ---------------------------------------------------------------- JASS v2
+
+def _vb(value: int) -> bytes:
+    """ATIRE/JASS variable byte: big-endian 7-bit groups, stop bit (0x80)
+    on the LAST byte (`source/compress_integer_variable_byte.h:266-325`)."""
+    out = bytearray()
+    while True:
+        out.append(value & 0x7F)
+        value >>= 7
+        if not value:
+            break
+    out.reverse()
+    out[-1] |= 0x80
+    return bytes(out)
+
+
+def _vb_read(buf: bytes, pos: int) -> tuple[int, int]:
+    value = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        value = (value << 7) | (b & 0x7F)
+        if b & 0x80:
+            return value, pos
+
+
+class _JassV2Writer(_JassV1Writer):
+    """The v2 variant (`source/serialise_jass_v2.cpp`): same four files and
+    iteration/sort/codec rules as v1, but headers are variable-byte
+    (impact, loc, length, freq) written highest-impact-first with NO
+    pointer table / terminator / alignment — loc accumulates
+    (segment+header) sizes over ASCENDING impacts so a sequential header
+    scan lands each segment (`deserialised_jass_v2.h:127-143`); the vocab
+    triples are vbyte too; CIdoclist drops the offsets table (keys + a
+    trailing u64 count, `serialise_jass_v2.cpp:200-210`).
+
+    NOTE: the reference's serialise_jass_v2 unittest is NOT wired into its
+    CI runner (`tools/unittest.cpp:403-413`) and asserts stale v1
+    checksums, so no golden byte anchor exists for v2; parity here is
+    semantic (same content, layout per the source), proven by round-trip +
+    rank-identical serve + v1/v2 cross-format equality."""
+
+    def add_term(self, term: str, doc_ids, impacts) -> None:
+        by_impact: dict[int, list[int]] = {}
+        for doc, imp in zip(doc_ids, impacts):
+            by_impact.setdefault(int(imp), []).append(int(doc))
+        segments = sorted(by_impact.items())  # ascending
+        location_field = 0
+        headers: list[bytes] = []
+        seg_bytes: list[bytes] = []
+        for impact, ids in segments:
+            gaps = d1_encode(ids)
+            gaps[0] -= 1
+            enc = self._encode(gaps)
+            hdr = (_vb(impact) + _vb(location_field) + _vb(len(enc)) + _vb(len(ids)))
+            headers.append(hdr)
+            seg_bytes.append(enc)
+            location_field += len(enc) + len(hdr)
+        out = bytearray()
+        for hdr in reversed(headers):  # highest impact first on disk
+            out += hdr
+        for enc in seg_bytes:
+            out += enc
+        location = self._postings_pos
+        self.postings.write(out)
+        self._postings_pos += len(out)
+
+        tb = term.encode("utf-8")
+        self.vocab_terms.write(tb + b"\x00")
+        self.index_key.append((tb, self._terms_pos, location, len(segments)))
+        self._terms_pos += len(tb) + 1
+
+    def finish(self) -> None:
+        with open(os.path.join(self.out_dir, "CIvocab.bin"), "wb") as f:
+            for _term, term_off, post_off, n_imp in sorted(self.index_key):
+                f.write(_vb(term_off) + _vb(post_off) + _vb(n_imp))
+        with open(os.path.join(self.out_dir, "CIdoclist.bin"), "wb") as f:
+            for key in self.primary_keys:
+                f.write(key + b"\x00")
+            f.write(struct.pack("<Q", len(self.primary_keys) - 1))
+        self.postings.close()
+        self.vocab_terms.close()
+
+
+def read_jass_v2(in_dir: str) -> dict:
+    """Load a JASS v2 index; same return shape as :func:`read_jass_v1`
+    (terms → [(impact, [1-based positions])], keys position-ascending)."""
+    with open(os.path.join(in_dir, "CIpostings.bin"), "rb") as f:
+        postings = f.read()
+    codex = postings[0]
+    _encode, decode, _align = _CODECS[codex]
+    with open(os.path.join(in_dir, "CIvocab_terms.bin"), "rb") as f:
+        term_blob = f.read()
+    with open(os.path.join(in_dir, "CIvocab.bin"), "rb") as f:
+        vocab = f.read()
+
+    terms: dict[str, list[tuple[int, list[int]]]] = {}
+    pos = 0
+    while pos < len(vocab):
+        term_off, pos = _vb_read(vocab, pos)
+        post_off, pos = _vb_read(vocab, pos)
+        n_imp, pos = _vb_read(vocab, pos)
+        term = term_blob[term_off : term_blob.index(b"\x00", term_off)].decode("utf-8")
+        segs = []
+        hp = post_off
+        for _ in range(n_imp):
+            impact, hp = _vb_read(postings, hp)
+            loc, hp = _vb_read(postings, hp)
+            length, hp = _vb_read(postings, hp)
+            freq, hp = _vb_read(postings, hp)
+            start = hp + loc  # relative to the byte after THIS header
+            gaps = decode(postings[start : start + length], freq)
+            total = 0
+            ids = []
+            for g in [gaps[0] + 1] + gaps[1:]:
+                total = (total + g) & 0xFFFFFFFF
+                ids.append(total)
+            segs.append((impact, ids))
+        segs.sort()
+        terms[term] = segs
+
+    with open(os.path.join(in_dir, "CIdoclist.bin"), "rb") as f:
+        doclist = f.read()
+    (count,) = struct.unpack_from("<Q", doclist, len(doclist) - 8)
+    parts = doclist[: len(doclist) - 8].split(b"\x00")
+    # parts[0] is the v2 null document "-"; trailing empty from final NUL
+    keys = [p.decode("utf-8") for p in parts[1 : 1 + count]]
+    return {"terms": terms, "keys": keys, "codex": codex}
+
+
 def write_jass_v1(index, out_dir: str, codex: int = CODEX_QMX,
-                  alignment: int | None = None, impacts: str = "tf") -> dict:
-    """Serialise an Index to the JASS v1 4-file binary format.
+                  alignment: int | None = None, impacts: str = "tf",
+                  version: int = 1) -> dict:
+    """Serialise an Index to the JASS v1 (default) or v2 (``version=2``,
+    vbyte headers/vocab — `serialise_jass_v2.cpp`) 4-file binary format.
 
     ``impacts``: "tf" writes raw term frequencies (the reference
     unittest's un-quantized path, `index.iterate(serialiser)`); "quantized"
@@ -246,8 +378,9 @@ def write_jass_v1(index, out_dir: str, codex: int = CODEX_QMX,
         .select("term", "ps")
     )
 
-    writer = _JassV1Writer(out_dir, n_docs=index.n_docs, codex=codex,
-                           alignment=alignment)
+    writer_cls = {1: _JassV1Writer, 2: _JassV2Writer}[int(version)]
+    writer = writer_cls(out_dir, n_docs=index.n_docs, codex=codex,
+                        alignment=alignment)
     for row in ordered.toLocalIterator():
         writer.add_term(
             row["term"],
@@ -265,7 +398,14 @@ def write_jass_v1(index, out_dir: str, codex: int = CODEX_QMX,
     }
 
 
-def build_index_from_jass_v1(spark, in_dir: str, conf=None):
+def write_jass_v2(index, out_dir: str, codex: int = CODEX_QMX,
+                  alignment: int | None = None, impacts: str = "tf") -> dict:
+    """The v2 layout (`serialise_jass_v2.cpp`); see :func:`write_jass_v1`."""
+    return write_jass_v1(index, out_dir, codex=codex, alignment=alignment,
+                         impacts=impacts, version=2)
+
+
+def build_index_from_jass_v1(spark, in_dir: str, conf=None, version: int = 1):
     """Import a JASS v1 binary index — including one written by the
     reference's own `JASS_index` tool — into a servable Index.
 
@@ -276,10 +416,17 @@ def build_index_from_jass_v1(spark, in_dir: str, conf=None):
     Like the CIFF import, parsing an interchange file is a one-shot
     driver-side read; the expensive work (docid assignment, segment
     build) runs distributed through the standard pipeline.
+
+    Tie-break caveat: the import assigns internal docids by primary-KEY
+    order (string sort). Per-document rsv values are identical to the
+    source engine's, but when two documents TIE on rsv at a top-k cutoff
+    the winner follows the new docid order — visible only when keys
+    don't sort like the source's ingest order (e.g. unpadded numeric
+    keys). Rank-free match-set comparisons are exact regardless.
     """
     from jassv2_spark.operators.build import build_prequantized_index
 
-    pkg = read_jass_v1(in_dir)
+    pkg = read_jass_v1(in_dir) if int(version) == 1 else read_jass_v2(in_dir)
     keys = pkg["keys"]
     rows = (
         (keys[doc - 1], term, int(impact))

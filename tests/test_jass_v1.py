@@ -261,3 +261,54 @@ def test_import_binary_index_serves_rank_identical(spark, tmp_path):
     assert want and got == want
     idx.unpersist()
     imported.unpersist()
+
+
+def test_jass_v2_round_trip_and_cross_format(ten_index, tmp_path):
+    """v2 layout (vbyte headers/vocab, no pointer table/terminator, doclist
+    without offsets): round-trips, and reads back EXACTLY what the v1 file
+    of the same index reads back (cross-format equality)."""
+    from jassv2_spark.plans.jass_v1 import read_jass_v2, write_jass_v2
+
+    out1 = str(tmp_path / "v1")
+    out2 = str(tmp_path / "v2")
+    write_jass_v1(ten_index, out1)
+    write_jass_v2(ten_index, out2)
+    b1 = read_jass_v1(out1)
+    b2 = read_jass_v2(out2)
+    assert b2["keys"] == b1["keys"] == [str(i) for i in range(1, 11)]
+    assert b2["terms"] == b1["terms"]
+    # the v2 postings file is smaller: vbyte headers, no pointer table
+    import os as _os
+
+    assert (_os.path.getsize(_os.path.join(out2, "CIpostings.bin"))
+            < _os.path.getsize(_os.path.join(out1, "CIpostings.bin")))
+
+
+def test_jass_v2_import_serves_rank_identical(spark, tmp_path):
+    from jassv2_spark.operators.search import search
+    from jassv2_spark.plans.jass_v1 import (build_index_from_jass_v1,
+                                            write_jass_v2)
+
+    rows = synthetic_corpus(150)
+    docs = spark.createDataFrame(
+        [(r["url"], r["html"].decode()) for r in rows], ["url", "html"]
+    )
+    idx = build_index(docs, text_col="html", key_col="url")
+    out = str(tmp_path / "v2imp")
+    write_jass_v2(idx, out, impacts="quantized")
+    imported = build_index_from_jass_v1(spark, out, version=2)
+    qdf = spark.createDataFrame(
+        TEN_DOC_QUERIES + [("s1", "w0001 w0002"), ("s2", "w0003")],
+        ["query_id", "query"],
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], str(r["key"]), r["rsv"])
+        for r in search(idx, qdf, k=10).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], str(r["key"]), r["rsv"])
+        for r in search(imported, qdf, k=10).collect()
+    )
+    assert want and got == want
+    idx.unpersist()
+    imported.unpersist()
