@@ -382,10 +382,12 @@ def registry() -> dict[str, tuple]:
     def _jass_v1_import_hits(spark, sf):
         """Interop loop closed: write the v1 BINARY, import it back into a
         fresh Index (passthrough build, docids reassigned by key), serve the
-        entry queries, and emit the full per-(query, doc) rsv match set —
-        rank-free and (at the gate corpus, n_docs < k=1000) cutoff-free, so
-        the import's docid reassignment cannot shift tie-breaks. Oracle =
-        the exhaustive accumulation SQL."""
+        entry queries at the engine's max k, and emit the top-k rsv
+        HISTOGRAM per query — the number of docs taken at each rsv is
+        cutoff-order invariant, so the import's docid reassignment (which
+        can reorder WITHIN an rsv tie at the k boundary) cannot flip the
+        comparison at any corpus scale. Oracle = the exhaustive
+        accumulation SQL, ranked and cut identically."""
         import tempfile
 
         from jassv2_spark.operators.search import search
@@ -397,18 +399,17 @@ def registry() -> dict[str, tuple]:
         write_jass_v1(idx, out, impacts="quantized")
         imported = build_index_from_jass_v1(spark, out)
         return (
-            search(imported, _queries_df(spark), k=1000)
-            .select(
-                "query_id",
-                F.col("key").cast("long").alias("doc_id"),
-                F.col("rsv").cast("long").alias("rsv"),
-            )
+            search(imported, _queries_df(spark), k=1000, with_keys=False)
+            .groupBy("query_id", "rsv")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .select("query_id", F.col("rsv").cast("long").alias("rsv"), "n_docs")
         )
 
     r["jass_v1_import_hits"] = (
         _jass_v1_import_hits,
         _sql(_BASE, _query_ctes(1.0), _TOPK_CTES)
-        + " SELECT query_id, doc_id, rsv FROM hits",
+        + """ SELECT query_id, rsv, count(*)::BIGINT AS n_docs
+              FROM ranked WHERE rank <= 1000 GROUP BY query_id, rsv""",
     )
 
     def _qparse(spark, sf):
