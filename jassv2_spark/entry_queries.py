@@ -322,10 +322,15 @@ def registry() -> dict[str, tuple]:
         from jassv2_spark.plans.jass_v1 import (CODEX_ELIAS_GAMMA_SIMD,
                                                 read_jass_v1, write_jass_v1)
 
+        import shutil
+
         idx = get_index(spark, sf)
         out = tempfile.mkdtemp(prefix="jass_v1_entry_")
-        write_jass_v1(idx, out, codex=CODEX_ELIAS_GAMMA_SIMD, impacts="quantized")
-        back = read_jass_v1(out)
+        try:
+            write_jass_v1(idx, out, codex=CODEX_ELIAS_GAMMA_SIMD, impacts="quantized")
+            back = read_jass_v1(out)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)  # fully parsed; no lazy reads
         keys = back["keys"]  # position -> primary key (= native doc_id str)
         rows = [
             (term, int(keys[pos - 1]), int(impact))
@@ -394,10 +399,17 @@ def registry() -> dict[str, tuple]:
         from jassv2_spark.plans.jass_v1 import (build_index_from_jass_v1,
                                                 write_jass_v1)
 
+        import shutil
+
         idx = get_index(spark, sf)
         out = tempfile.mkdtemp(prefix="jass_v1_import_")
-        write_jass_v1(idx, out, impacts="quantized")
-        imported = build_index_from_jass_v1(spark, out)
+        try:
+            write_jass_v1(idx, out, impacts="quantized")
+            # the import parses the files eagerly into DataFrames, so the
+            # directory is safe to delete once the Index exists
+            imported = build_index_from_jass_v1(spark, out)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
         return (
             search(imported, _queries_df(spark), k=1000, with_keys=False)
             .groupBy("query_id", "rsv")

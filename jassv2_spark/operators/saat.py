@@ -65,8 +65,12 @@ _MMAP_CACHE: dict[str, np.ndarray] = {}
 
 # per-worker cache: directory-parquet path -> {term: [(impact, seg_freq,
 # shard, start, end)] impact-ascending}. A worker only ever populates the
-# buckets its queries' terms hash to.
+# buckets its queries' terms hash to. BOUNDED (FIFO eviction): unlike the
+# mmap cache (page-cache-backed, cheap to keep), these are materialized
+# heap dicts, and a long-lived worker serving many packages would
+# otherwise grow without bound.
 _DIR_CACHE: dict[str, dict[str, list[tuple[int, int, int, int, int]]]] = {}
+_DIR_CACHE_MAX = 256  # buckets resident per worker across all packages
 
 # dense accumulator reuse: one buffer per worker, grown on demand
 DENSE_LIMIT = 1 << 26  # ≈67M docids ≈ 0.5 GB int64 per worker
@@ -251,6 +255,8 @@ def _bucket_directory(pkg: dict, bucket: int) -> dict[str, list[tuple[int, int, 
             )
         for segs in table.values():
             segs.sort()  # impact-ascending within a term
+        while len(_DIR_CACHE) >= _DIR_CACHE_MAX:
+            _DIR_CACHE.pop(next(iter(_DIR_CACHE)))  # FIFO eviction
         _DIR_CACHE[path] = table
     return table
 

@@ -215,10 +215,20 @@ def search_from_terms(
         n_shards = AUTO_SHARD_N
     elif index.n_docs and index.n_docs > threshold:
         # only now can any single query's candidate set exceed the
-        # threshold — pay one metadata-sized agg to find out
-        est = seg.groupBy("query_id").agg(F.sum("seg_freq").alias("p")).agg(
-            F.max("p").alias("m")
-        ).collect()[0]["m"]
+        # threshold — pay one metadata-sized probe to find out. The probe
+        # joins the (tiny) query terms against the PERSISTED term_stats df
+        # column, never re-walking the segment gather: Σ df per query is
+        # an upper bound on processed postings (ρ/budget only shrink it),
+        # so the only possible error is sharding a query that didn't
+        # strictly need it — row-identical either way.
+        est = (
+            F.broadcast(q_terms.select("query_id", "term"))
+            .join(index.term_stats.select("term", "df"), "term")
+            .groupBy("query_id")
+            .agg(F.sum("df").alias("p"))
+            .agg(F.max("p").alias("m"))
+            .collect()[0]["m"]
+        )
         if est and int(est) > threshold:
             n_shards = AUTO_SHARD_N
 

@@ -371,9 +371,11 @@ def write_jass_v1(index, out_dir: str, codex: int = CODEX_QMX,
     slots = per_term.select("term").mapInPandas(slot_of, schema=key_schema)
     ordered = (
         per_term.join(slots, "term")
-        # descending within a slot: length first then bytes (slice::operator<
-        # reversed); binary sort gives memcmp order, not UTF-16 order
-        .orderBy(F.col("slot").asc(), F.length("term").desc(),
+        # descending within a slot: BYTE length first then bytes
+        # (slice::operator< compares byte lengths; F.length would count
+        # CHARACTERS and diverge on non-ASCII vocab), binary sort for
+        # memcmp order, not UTF-16 order
+        .orderBy(F.col("slot").asc(), F.octet_length("term").desc(),
                  F.encode("term", "UTF-8").desc())
         .select("term", "ps")
     )

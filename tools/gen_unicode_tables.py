@@ -170,6 +170,12 @@ def main() -> None:
                 out.append(cp)
         else:
             for point in targets:
+                # NOTE: `cp == 0x20` (the SOURCE codepoint, not `point`)
+                # mirrors the C generator verbatim
+                # (`unicode_database_to_c.cpp:562`) — almost certainly a
+                # quirk there, but engine-table parity requires keeping
+                # it; with UCD 9.0 data the clause is unreachable (space
+                # has no C/F fold entry) so shipped tables are unaffected.
                 if point in alnum or cp == 0x20:
                     out.append(point)
 
