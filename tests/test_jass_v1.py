@@ -312,3 +312,28 @@ def test_jass_v2_import_serves_rank_identical(spark, tmp_path):
     assert want and got == want
     idx.unpersist()
     imported.unpersist()
+
+
+def test_same_slot_ordering_uses_byte_length(spark, tmp_path):
+    """Review regression: slice::operator< compares UTF-8 BYTE lengths.
+    'edyr' (4 chars / 4 bytes) and '鐜嘉' (2 chars / 6 BYTES) share
+    Pearson slot 0xaaf35e; within a slot the longer-by-BYTES term
+    serialises first (descending reversed-BST walk), which character
+    ordering would get backwards. The on-disk CIvocab_terms order must
+    match iteration_sort_key exactly."""
+    a, b = "edyr", "鐜嘉"
+    assert hash_24(a.encode()) == hash_24(b.encode())
+    docs = spark.createDataFrame(
+        [("k1", 1, f"{a} {b} filler"), ("k2", 2, f"{b} words")],
+        ["k", "did", "text"],
+    )
+    idx = build_index(docs, text_col="text", key_col="k", doc_id_col="did")
+    out = str(tmp_path / "ci_slot")
+    write_jass_v1(idx, out)
+    with open(os.path.join(out, "CIvocab_terms.bin"), "rb") as f:
+        file_terms = [t.decode("utf-8") for t in f.read().split(b"\x00") if t]
+    expected = sorted(file_terms, key=iteration_sort_key)
+    assert file_terms == expected
+    ia, ib = file_terms.index(a), file_terms.index(b)
+    assert ib < ia, "byte-longer same-slot term must serialise first"
+    idx.unpersist()
