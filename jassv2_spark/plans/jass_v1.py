@@ -42,13 +42,23 @@ from typing import Iterator
 
 import pandas as pd
 
+from jassv2_spark.functions.carryover12 import (carryover12_decode,
+                                                carryover12_encode)
 from jassv2_spark.functions.eg_simd import eg_simd_decode, eg_simd_encode
 from jassv2_spark.functions.pearson import hash_24
 from jassv2_spark.functions.qmx import d1_decode, d1_encode, qmx_decode, qmx_encode
 
 CODEX_QMX = ord("q")
 CODEX_UNCOMPRESSED = ord("s")
-CODEX_ELIAS_GAMMA_SIMD = ord("G")  # the serialiser's default codex
+CODEX_ELIAS_GAMMA_SIMD = ord("G")  # the v1 serialiser's default codex
+# The v2 serialiser's default tag (`serialise_jass_v2.h:59`). The LIVE
+# reference resolves this name through a codec table whose entry is
+# misspelled ("...Delta..." vs the requested "...Gamma...",
+# `compress_integer_all.cpp:52` vs `serialise_jass_v1.cpp:245-247`), so
+# `get_by_name` falls back to compressors[0] = Carryover-12. Byte-parity
+# with `JASS_index -I2` (test_reference_differential.py) therefore maps
+# 'g' to carryover-12, quirks and all — see functions/carryover12.py.
+CODEX_ELIAS_GAMMA_SIMD_VB = ord("g")
 
 _HEADER = struct.Struct("<HQQI")  # impact, start, end, freq — 22 bytes
 _TERMINATOR = bytes(22)
@@ -74,6 +84,7 @@ _CODECS = {
     CODEX_QMX: (qmx_encode, qmx_decode, 16),
     CODEX_UNCOMPRESSED: (_encode_none, _decode_none, 1),
     CODEX_ELIAS_GAMMA_SIMD: (eg_simd_encode, eg_simd_decode, 1),
+    CODEX_ELIAS_GAMMA_SIMD_VB: (carryover12_encode, carryover12_decode, 1),
 }
 
 
@@ -400,9 +411,12 @@ def write_jass_v1(index, out_dir: str, codex: int = CODEX_QMX,
     }
 
 
-def write_jass_v2(index, out_dir: str, codex: int = CODEX_QMX,
+def write_jass_v2(index, out_dir: str, codex: int = CODEX_ELIAS_GAMMA_SIMD_VB,
                   alignment: int | None = None, impacts: str = "tf") -> dict:
-    """The v2 layout (`serialise_jass_v2.cpp`); see :func:`write_jass_v1`."""
+    """The v2 layout (`serialise_jass_v2.cpp`); see :func:`write_jass_v1`.
+    Default codex matches the reference v2 constructor default 'g'
+    (`serialise_jass_v2.h:59`) — which the live binary executes as
+    Carryover-12 (see CODEX_ELIAS_GAMMA_SIMD_VB above)."""
     return write_jass_v1(index, out_dir, codex=codex, alignment=alignment,
                          impacts=impacts, version=2)
 
