@@ -384,6 +384,47 @@ def registry() -> dict[str, tuple]:
         _sql(_BASE) + " SELECT term, doc_id FROM tfx",
     )
 
+    def _codex_family_roundtrip(spark, sf):
+        """Every non-default JASS v1 codex tag through the full 4-file
+        binary: 'c' ATIRE vbyte, '8' simple-8b, 'Q'/'R' QMX D4/D0 (raw
+        docids, no external delta), 'g' carryover-12 (the live binary's
+        v2 default — see plans/jass_v1.py), 'D' Group-Elias-Delta-SIMD.
+        Each codec is separately fuzz-proven byte-identical to the
+        compiled reference (tests/test_codec_differential.py); this entry
+        proves the file-level wiring (per-codex d-ness, alignment,
+        headers) is lossless on this corpus, per codex."""
+        import shutil
+        import tempfile
+
+        from jassv2_spark.plans.jass_v1 import read_jass_v1, write_jass_v1
+
+        idx = get_index(spark, sf)
+        rows = []
+        for codex in "c8QRgD":
+            out = tempfile.mkdtemp(prefix=f"jass_codex_{codex}_")
+            try:
+                write_jass_v1(idx, out, codex=ord(codex), impacts="quantized")
+                back = read_jass_v1(out)
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+            keys = back["keys"]
+            rows.extend(
+                (codex, term, int(keys[pos - 1]), int(impact))
+                for term, segs in back["terms"].items()
+                for impact, ids in segs
+                for pos in ids
+            )
+        return spark.createDataFrame(
+            rows, "codex string, term string, doc_id long, impact long"
+        )
+
+    r["jass_codex_family_roundtrip"] = (
+        _codex_family_roundtrip,
+        _sql(_BASE)
+        + """ SELECT c.codex, term, doc_id, impact FROM imp
+              CROSS JOIN (VALUES ('c'),('8'),('Q'),('R'),('g'),('D')) AS c(codex)""",
+    )
+
     def _jass_v1_import_hits(spark, sf):
         """Interop loop closed: write the v1 BINARY, import it back into a
         fresh Index (passthrough build, docids reassigned by key), serve the

@@ -42,11 +42,18 @@ from typing import Iterator
 
 import pandas as pd
 
+from jassv2_spark.functions.atire_codecs import (simple8b_decode,
+                                                 simple8b_encode,
+                                                 vbyte_array_decode,
+                                                 vbyte_array_encode)
 from jassv2_spark.functions.carryover12 import (carryover12_decode,
                                                 carryover12_encode)
+from jassv2_spark.functions.ed_simd import ed_simd_decode, ed_simd_encode
 from jassv2_spark.functions.eg_simd import eg_simd_decode, eg_simd_encode
 from jassv2_spark.functions.pearson import hash_24
 from jassv2_spark.functions.qmx import d1_decode, d1_encode, qmx_decode, qmx_encode
+from jassv2_spark.functions.qmx_original import (qmx_d0_decode, qmx_d0_encode,
+                                                 qmx_d4_decode, qmx_d4_encode)
 
 CODEX_QMX = ord("q")
 CODEX_UNCOMPRESSED = ord("s")
@@ -59,6 +66,18 @@ CODEX_ELIAS_GAMMA_SIMD = ord("G")  # the v1 serialiser's default codex
 # with `JASS_index -I2` (test_reference_differential.py) therefore maps
 # 'g' to carryover-12, quirks and all — see functions/carryover12.py.
 CODEX_ELIAS_GAMMA_SIMD_VB = ord("g")
+CODEX_ELIAS_DELTA_SIMD = ord("D")
+# ATIRE-era tags (`JASSv1/atire_to_jass_index.c:329-373`): the modern
+# reference exits on all four (`serialise_jass_v1.cpp:241-261`); the
+# codecs are fuzz-proven byte-identical to the reference classes — see
+# functions/atire_codecs.py and functions/qmx_original.py.  'Q'/'R'
+# consume RAW 0-based docids (the D4 scheme deltas internally; D0 is
+# deliberately delta-free), everything else d1 gaps with the first
+# element decremented.
+CODEX_VARIABLE_BYTE = ord("c")
+CODEX_SIMPLE_8B = ord("8")
+CODEX_QMX_D4 = ord("Q")
+CODEX_QMX_D0 = ord("R")
 
 _HEADER = struct.Struct("<HQQI")  # impact, start, end, freq — 22 bytes
 _TERMINATOR = bytes(22)
@@ -80,11 +99,20 @@ def _decode_none(data: bytes, count: int):
     return [int.from_bytes(data[4 * i : 4 * i + 4], "little") for i in range(count)]
 
 
+# codex -> (encode, decode, default alignment, d1: True = segments carry
+# d1 gaps with the first element decremented ("JASS v1 counts documents
+# from 0"); False = raw 0-based docids (the QMX D4/D0 convention —
+# `JASSv1/atire_to_jass_index.c:194-205` skips the external delta)
 _CODECS = {
-    CODEX_QMX: (qmx_encode, qmx_decode, 16),
-    CODEX_UNCOMPRESSED: (_encode_none, _decode_none, 1),
-    CODEX_ELIAS_GAMMA_SIMD: (eg_simd_encode, eg_simd_decode, 1),
-    CODEX_ELIAS_GAMMA_SIMD_VB: (carryover12_encode, carryover12_decode, 1),
+    CODEX_QMX: (qmx_encode, qmx_decode, 16, True),
+    CODEX_UNCOMPRESSED: (_encode_none, _decode_none, 1, True),
+    CODEX_ELIAS_GAMMA_SIMD: (eg_simd_encode, eg_simd_decode, 1, True),
+    CODEX_ELIAS_GAMMA_SIMD_VB: (carryover12_encode, carryover12_decode, 1, True),
+    CODEX_ELIAS_DELTA_SIMD: (ed_simd_encode, ed_simd_decode, 1, True),
+    CODEX_VARIABLE_BYTE: (vbyte_array_encode, vbyte_array_decode, 1, True),
+    CODEX_SIMPLE_8B: (simple8b_encode, simple8b_decode, 1, True),
+    CODEX_QMX_D4: (qmx_d4_encode, qmx_d4_decode, 16, False),
+    CODEX_QMX_D0: (qmx_d0_encode, qmx_d0_decode, 16, False),
 }
 
 
@@ -107,12 +135,12 @@ class _JassV1Writer:
         if codex not in _CODECS:
             raise ValueError(
                 f"unsupported codex {chr(codex)!r}: implemented are "
-                f"{sorted(chr(c) for c in _CODECS)} (the reference's other "
-                "tags — 'c' vbyte, '8' simple-8b, 'Q'/'R' QMX D4/D0, 'g' "
-                "gamma+VB, 'D' delta SIMD — have no golden anchors here)"
+                f"{sorted(chr(c) for c in _CODECS)}"
             )
-        encode, _decode, default_align = _CODECS[codex]
+        encode, _decode, default_align, d1 = _CODECS[codex]
+        self.codex = codex
         self._encode = encode
+        self._d1 = d1
         self.alignment = default_align if alignment is None else alignment
         self.postings = open(os.path.join(out_dir, "CIpostings.bin"), "wb")
         self.vocab_terms = open(os.path.join(out_dir, "CIvocab_terms.bin"), "wb")
@@ -148,9 +176,7 @@ class _JassV1Writer:
         bufpos = 0
         slices: list[tuple[int, int]] = []
         for impact, ids in reversed(segments):  # highest impact first
-            gaps = d1_encode(ids)
-            gaps[0] -= 1  # JASS v1 counts documents from 0
-            enc = self._encode(gaps)
+            enc = self._encode_segment(ids, bufpos)
             took = len(enc)
             self._buf[bufpos : bufpos + took] = enc
             padding = _realign(took, self.alignment)
@@ -170,6 +196,28 @@ class _JassV1Writer:
         self.vocab_terms.write(tb + b"\x00")
         self.index_key.append((tb, self._terms_pos, location, n_impacts))
         self._terms_pos += len(tb) + 1
+
+    def _segment_values(self, ids) -> list[int]:
+        """d1 gaps with first element -1, or raw 0-based docids for the
+        delta-free codexes ('Q'/'R')."""
+        if self._d1:
+            gaps = d1_encode(ids)
+            gaps[0] -= 1  # JASS v1 counts documents from 0
+            return gaps
+        return [int(d) - 1 for d in ids]
+
+    def _encode_segment(self, ids, bufpos: int) -> bytes:
+        vals = self._segment_values(ids)
+        if self.codex == CODEX_ELIAS_DELTA_SIMD:
+            # the delta-SIMD encoder's dead 64-byte gap carries whatever
+            # the (reused) compression buffer previously held at that
+            # offset — identical to the reference's compressed_buffer
+            # semantics (see functions/ed_simd.py)
+            return ed_simd_encode(
+                vals,
+                stale=lambda plen: bytes(self._buf[bufpos + plen : bufpos + plen + 64]),
+            )
+        return self._encode(vals)
 
     def add_primary_key(self, key: str) -> None:
         self.primary_keys.append(key.encode("utf-8"))
@@ -245,10 +293,13 @@ class _JassV2Writer(_JassV1Writer):
         location_field = 0
         headers: list[bytes] = []
         seg_bytes: list[bytes] = []
+        bufpos = 0  # v2 compresses ascending-impact-first (impact_ordered
+        # natural order, `serialise_jass_v2.cpp:50-69`); the persistent
+        # buffer offsets follow that order
         for impact, ids in segments:
-            gaps = d1_encode(ids)
-            gaps[0] -= 1
-            enc = self._encode(gaps)
+            enc = self._encode_segment(ids, bufpos)
+            self._buf[bufpos : bufpos + len(enc)] = enc
+            bufpos += len(enc)
             hdr = (_vb(impact) + _vb(location_field) + _vb(len(enc)) + _vb(len(ids)))
             headers.append(hdr)
             seg_bytes.append(enc)
@@ -279,13 +330,27 @@ class _JassV2Writer(_JassV1Writer):
         self.vocab_terms.close()
 
 
+def _ids_from_decoded(decoded, d1: bool) -> list[int]:
+    """Reconstruct 1-based positions from a decoded segment: cumulative
+    sum of d1 gaps (first element was decremented on write) or raw
+    0-based docids for the delta-free codexes."""
+    if not d1:
+        return [(int(g) + 1) & 0xFFFFFFFF for g in decoded]
+    total = 0
+    ids = []
+    for g in [decoded[0] + 1] + list(decoded[1:]):
+        total = (total + g) & 0xFFFFFFFF
+        ids.append(total)
+    return ids
+
+
 def read_jass_v2(in_dir: str) -> dict:
     """Load a JASS v2 index; same return shape as :func:`read_jass_v1`
     (terms → [(impact, [1-based positions])], keys position-ascending)."""
     with open(os.path.join(in_dir, "CIpostings.bin"), "rb") as f:
         postings = f.read()
     codex = postings[0]
-    _encode, decode, _align = _CODECS[codex]
+    _encode, decode, _align, d1 = _CODECS[codex]
     with open(os.path.join(in_dir, "CIvocab_terms.bin"), "rb") as f:
         term_blob = f.read()
     with open(os.path.join(in_dir, "CIvocab.bin"), "rb") as f:
@@ -307,12 +372,7 @@ def read_jass_v2(in_dir: str) -> dict:
             freq, hp = _vb_read(postings, hp)
             start = hp + loc  # relative to the byte after THIS header
             gaps = decode(postings[start : start + length], freq)
-            total = 0
-            ids = []
-            for g in [gaps[0] + 1] + gaps[1:]:
-                total = (total + g) & 0xFFFFFFFF
-                ids.append(total)
-            segs.append((impact, ids))
+            segs.append((impact, _ids_from_decoded(gaps, d1)))
         segs.sort()
         terms[term] = segs
 
@@ -466,7 +526,7 @@ def read_jass_v1(in_dir: str) -> dict:
     with open(os.path.join(in_dir, "CIpostings.bin"), "rb") as f:
         postings = f.read()
     codex = postings[0]
-    _encode, decode, _align = _CODECS[codex]
+    _encode, decode, _align, d1 = _CODECS[codex]
     with open(os.path.join(in_dir, "CIvocab_terms.bin"), "rb") as f:
         term_blob = f.read()
     with open(os.path.join(in_dir, "CIvocab.bin"), "rb") as f:
@@ -483,12 +543,7 @@ def read_jass_v1(in_dir: str) -> dict:
             gaps = decode(postings[start:end], freq)
             # uint32 wraparound exactly as the reference decodes: a 0-based
             # first docid was written as -1 & 0xFFFFFFFF
-            total = 0
-            ids = []
-            for g in [gaps[0] + 1] + gaps[1:]:
-                total = (total + g) & 0xFFFFFFFF
-                ids.append(total)
-            segs.append((impact, ids))
+            segs.append((impact, _ids_from_decoded(gaps, d1)))
         segs.sort()
         terms[term] = segs
 

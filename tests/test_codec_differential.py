@@ -86,6 +86,75 @@ def test_qmx_jass_v1_bitwise_vs_reference(codec_tool):
         assert qmx_decode(ref, len(xs)) == xs
 
 
+def test_elias_delta_simd_bitwise_vs_reference(codec_tool):
+    """Group Elias Delta SIMD (codex 'D') — including the dead 64-byte
+    gap block between payloads and selectors (zeros on a fresh buffer)."""
+    from jassv2_spark.functions.ed_simd import ed_simd_decode, ed_simd_encode
+
+    for xs in fuzz_sequences(5, 100, max_bits=31):
+        ref = ref_encode(codec_tool, "Group Elias Delta SIMD", xs)
+        assert ed_simd_encode(xs) == ref, xs[:10]
+        assert ed_simd_decode(ref, len(xs)) == xs
+
+
+def test_variable_byte_bitwise_vs_reference(codec_tool):
+    """ATIRE variable byte (codex 'c')."""
+    from jassv2_spark.functions.atire_codecs import (vbyte_array_decode,
+                                                     vbyte_array_encode)
+
+    for xs in fuzz_sequences(17, 100, max_bits=32):
+        ref = ref_encode(codec_tool, "Variable Byte", xs)
+        assert vbyte_array_encode(xs) == ref, xs[:10]
+        assert vbyte_array_decode(ref, len(xs)) == xs
+
+
+def test_simple_8b_bitwise_vs_reference(codec_tool):
+    """ATIRE Simple-8b (codex '8') — magic run-of-ones selectors, the
+    zero-only-fits-binary-selectors rule, greedy longest-prefix choice."""
+    from jassv2_spark.functions.atire_codecs import (simple8b_decode,
+                                                     simple8b_encode)
+
+    for xs in fuzz_sequences(19, 100, max_bits=32):
+        ref = ref_encode(codec_tool, "Simple-8b", xs)
+        assert simple8b_encode(xs) == ref, xs[:10]
+        assert simple8b_decode(ref, len(xs)) == xs
+
+
+def test_qmx_original_bitwise_vs_reference(codec_tool):
+    """QMX Original — the D0 core behind legacy codex 'Q' (keys forward
+    + trailing reverse-vbyte pointer, unlike the v1 variant)."""
+    from jassv2_spark.functions.qmx_original import (qmx_original_decode,
+                                                     qmx_original_encode)
+
+    for xs in fuzz_sequences(23, 100, max_bits=32):
+        ref = ref_encode(codec_tool, "QMX Original", xs)
+        assert qmx_original_encode(xs) == ref, xs[:10]
+        assert qmx_original_decode(ref, len(xs)) == xs
+
+
+def test_qmx_d4_bitwise_vs_legacy_reference(codec_tool):
+    """QMX-D4 (codex 'Q') vs the compiled LEGACY ANT_compress_qmx_d4 —
+    lane-4 deltas plus the legacy tail-promotion typo
+    (JASSv1/compress_qmx_d4.c:598-609)."""
+    from jassv2_spark.functions.qmx_original import (qmx_d4_decode,
+                                                     qmx_d4_encode)
+
+    tool = os.path.join(os.path.dirname(codec_tool), "legacy_qmx_tool")
+    if not os.path.isfile(tool):
+        pytest.skip("legacy_qmx_tool not built")
+    rng = random.Random(29)
+    for _ in range(60):
+        n = rng.choice([1, 2, 5, 16, 17, 92, 100, 257, 900])
+        ys = sorted(rng.sample(range(0, 10_000_000), n))
+        r = subprocess.run([tool, "qmx_d4"],
+                           input="".join(f"{x}\n" for x in ys),
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0
+        ref = bytes.fromhex(r.stdout.strip())
+        assert qmx_d4_encode(ys) == ref, ys[:8]
+        assert qmx_d4_decode(ref, n) == ys
+
+
 def test_elias_gamma_simd_bitwise_vs_reference(codec_tool):
     """Group Elias Gamma SIMD (codex 'G') — the v1 serialiser default."""
     from jassv2_spark.functions.eg_simd import eg_simd_decode, eg_simd_encode

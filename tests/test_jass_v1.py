@@ -231,6 +231,51 @@ def test_elias_gamma_simd_codex_round_trip(ten_index, tmp_path):
     assert back["terms"]["one"] == [(1, [10])]
 
 
+@pytest.mark.parametrize("codex", ["c", "8", "Q", "R", "g", "D"])
+def test_extension_codex_round_trip(codex, ten_index, tmp_path):
+    """The six non-default codex tags ('c' vbyte, '8' simple-8b, 'Q'/'R'
+    QMX D4/D0 over raw docids, 'g' carryover-12, 'D' delta-SIMD): write
+    + read back the ten-doc index, postings identical.  Codec bytes are
+    separately fuzz-proven against the compiled reference
+    (test_codec_differential.py); this covers the file-level wiring
+    (d-ness per codex, alignment, header layout)."""
+    out = str(tmp_path / f"ci_{codex}")
+    write_jass_v1(ten_index, out, codex=ord(codex))
+    back = read_jass_v1(out)
+    assert back["codex"] == ord(codex)
+    assert back["terms"]["ten"] == [(1, list(range(1, 11)))]
+    assert back["terms"]["one"] == [(1, [10])]
+    assert back["keys"] == [str(i) for i in range(1, 11)]
+
+
+@pytest.mark.parametrize("codex", ["c", "8", "Q", "R"])
+def test_extension_codex_import_serves(spark, codex, tmp_path):
+    """ATIRE-era tags end-to-end: write a quantized 150-doc index in the
+    historical codec, import the binary, serve — rsv histograms must
+    match the source engine per query."""
+    from jassv2_spark.operators.search import search
+    from jassv2_spark.plans.jass_v1 import build_index_from_jass_v1
+
+    rows = synthetic_corpus(150)
+    docs = spark.createDataFrame(
+        [(r["url"], r["html"].decode()) for r in rows], ["url", "html"]
+    )
+    idx = build_index(docs, text_col="html", key_col="url")
+    out = str(tmp_path / f"imp_{codex}")
+    write_jass_v1(idx, out, codex=ord(codex), impacts="quantized")
+    imported = build_index_from_jass_v1(spark, out)
+    qdf = spark.createDataFrame(
+        TEN_DOC_QUERIES + [("s1", "w0001 w0002")], ["query_id", "query"]
+    )
+    want = sorted((r["query_id"], r["rank"], r["rsv"])
+                  for r in search(idx, qdf, k=10).collect())
+    got = sorted((r["query_id"], r["rank"], r["rsv"])
+                 for r in search(imported, qdf, k=10).collect())
+    assert want and got == want
+    idx.unpersist()
+    imported.unpersist()
+
+
 def test_import_binary_index_serves_rank_identical(spark, tmp_path):
     """Full interop loop: build → write the v1 binary (quantized) → import
     the binary into a fresh Index → serve; results must match the original

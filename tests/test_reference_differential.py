@@ -192,3 +192,34 @@ def test_anytime_run_rank_identical(version, refbin, ref_corpora, spark,
             for row in search(built_indexes["syn"], qdf, k=10).collect()]
     assert sorted(ours) == sorted(ref)
     assert {q for q, *_ in ours} == {"1", "2", "3", "4", "6"}  # OOV absent
+
+
+@pytest.mark.parametrize("version", [1, 2])
+@pytest.mark.parametrize("codex", ["s", "q", "G", "g", "D"])
+@pytest.mark.parametrize("alignment", [1, 16])
+def test_every_codex_byte_identical_via_serialise_tool(
+        version, codex, alignment, refbin, built_indexes, tmp_path):
+    """Serialise the ten-doc index through the REAL serialise_jass_v1/v2
+    classes (tools/refbuild_serialise_tool.cpp) for every codex tag the
+    modern reference supports, at both common alignments, and
+    byte-compare our writer.  Covers the 'D' encoder's dead-gap reuse of
+    the compression buffer and carryover-12 ('g') inside both layouts —
+    paths the JASS_index CLI defaults never exercise."""
+    from jassv2_spark.plans.jass_v1 import write_jass_v1, write_jass_v2
+
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    args = [os.path.join(refbin, "serialise_tool"), codex, str(alignment)]
+    if version == 2:
+        args.append("2")
+    r = subprocess.run(args, cwd=ref_dir, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr
+    ours = str(tmp_path / "ours")
+    writer = write_jass_v2 if version == 2 else write_jass_v1
+    writer(built_indexes["ten"], ours, codex=ord(codex), alignment=alignment,
+           impacts="tf")
+    for f in CI_FILES:
+        with open(os.path.join(ref_dir, f), "rb") as a, \
+             open(os.path.join(ours, f), "rb") as b:
+            assert a.read() == b.read(), f"v{version}/{codex}/a{alignment}/{f}"

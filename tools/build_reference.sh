@@ -73,4 +73,14 @@ link JASS_index   "$REF/tools/JASS_index.cpp"
 link JASS_anytime "$REF/anytime/JASS_anytime.cpp" "$REF/anytime/JASS_anytime_api.cpp"
 link test_integer_compress "$REF/tools/test_integer_compress.cpp"
 
-echo "OK: $BUILD/{unittest,JASS_index,JASS_anytime,test_integer_compress}"
+# differential-test drivers (sources in this repo's tools/)
+HERE=$(cd "$(dirname "$0")" && pwd)
+link codec_tool     "$HERE/refbuild_codec_tool.cpp"
+link serialise_tool "$HERE/refbuild_serialise_tool.cpp"
+if [ ! -x "$BUILD/legacy_qmx_tool" ]; then
+  g++ -std=c++14 -O2 -march=native -w -I"$REF/JASSv1" \
+    -o "$BUILD/legacy_qmx_tool" "$HERE/refbuild_legacy_qmx_tool.cpp" \
+    "$REF/JASSv1/compress_qmx.c" "$REF/JASSv1/compress_qmx_d4.c"
+fi
+
+echo "OK: $BUILD/{unittest,JASS_index,JASS_anytime,codec_tool,serialise_tool,legacy_qmx_tool}"
