@@ -4532,6 +4532,69 @@ SELECT query_id, doc_id, combsum, n_runs, combmnz, rank FROM csr WHERE rank <= {
            FROM f""",
     )
 
+    # Real audio decode (round-3 verdict #5): build a deterministic 16-bit
+    # PCM RIFF/WAV per document worker-side, decode it through the REAL
+    # stdlib-`wave` path (decode_media fake=False kinds=('audio',) — no
+    # optional dependency), and re-integerize the float samples. The
+    # oracle recomputes the generator formula — hash-green ⇔ the WAV
+    # container write + wave parse + PCM normalization round-trips every
+    # sample exactly.
+    def _mm_audio(spark, sf):
+        import io
+        import struct
+        import wave
+
+        from pyspark.sql.types import (BinaryType, LongType, StringType,
+                                       StructField, StructType)
+
+        from jassv2_spark.operators.multimodal import META_SCHEMA, decode_media
+
+        n_samples = 16
+        media_schema = StructType([
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("meta", META_SCHEMA, False),
+        ])
+
+        def make_wavs(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    samples = [((did * 7919 + i * 31) % 65536) - 32768
+                               for i in range(n_samples)]
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(16000)
+                        w.writeframes(struct.pack("<" + "h" * n_samples, *samples))
+                    rows.append((did, "audio", buf.getvalue(),
+                                 (None, None, 1, 16000, None)))
+                yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+        media = _docs(spark, sf).select("doc_id").mapInPandas(
+            make_wavs, schema=media_schema)
+        decoded = decode_media(media, fake=False, kinds=("audio",))
+        return decoded.select(
+            "media_id",
+            F.posexplode("values").alias("idx", "v"),
+        ).select(
+            "media_id",
+            F.col("idx").cast("long").alias("idx"),
+            F.round(F.col("v") * 32768).cast("long").alias("sample"),
+        )
+
+    r["multimodal_audio_pcm"] = (
+        _mm_audio,
+        """SELECT d.doc_id AS media_id, i.idx::BIGINT AS idx,
+                  (((d.doc_id * 7919 + i.idx * 31) % 65536) - 32768)::BIGINT AS sample
+           FROM documents d, (SELECT unnest(range(16)) AS idx) i""",
+    )
+
     # ---- input-contract web pages: (url, warc_ts, html, text, lang) ----
     # The north-rule input shape. Spark side synthesizes the contract table
     # from `documents` (TREC-framed html bytes, zero-padded urls), then runs
@@ -7708,6 +7771,243 @@ FROM cma""",
         ex AS (SELECT DISTINCT v FROM ids)
         SELECT mp.v, mp.maybe_present, (ex.v IS NOT NULL) AS present
         FROM mp LEFT JOIN ex ON ex.v = mp.v""",
+    )
+
+    # ---- Structured Streaming, driver-gated (round-3 verdict #6) ----
+    # The DuckDB oracle cannot run a stream, but a FINITE stream's final
+    # output can be compared batch-wise: each entry materializes the sf
+    # table as ordered chunk files, runs the REAL streaming operator
+    # (readStream → stateful transform → memory sink) with
+    # Trigger.AvailableNow and maxFilesPerTrigger=1 — so the stateful
+    # logic crosses genuine micro-batch boundaries — and returns the
+    # sink table. Event-time entries append far-future sentinel chunks
+    # to advance the watermark past every real window (append mode only
+    # emits a window once the watermark passes its end).
+    def _stream_run(sdf, name_prefix: str, checkpoint: str):
+        import uuid as _uuid
+
+        name = f"{name_prefix}_{_uuid.uuid4().hex[:8]}"
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return name
+
+    def _chunked_dir(df, order_col: str, n_chunks: int, base: str):
+        """Write df as n_chunks single-file parquets named in arrival
+        order (file listing order == lexicographic == chunk order)."""
+        import os as _os
+
+        rows = df.orderBy(order_col).collect()
+        per = (len(rows) + n_chunks - 1) // n_chunks
+        spark = df.sparkSession
+        for c in range(n_chunks):
+            chunk = rows[c * per : (c + 1) * per]
+            if not chunk:
+                continue
+            cdf = spark.createDataFrame(chunk, df.schema).coalesce(1)
+            cdf.write.mode("overwrite").parquet(_os.path.join(base, f"tmp_{c:03d}"))
+            # promote the single part file to a deterministic name, and
+            # pin mtime: the file source orders batches by MODIFICATION
+            # TIME, and same-second writes would tie arbitrarily (late
+            # real events behind a sentinel-advanced watermark would be
+            # dropped)
+            part = [f for f in _os.listdir(_os.path.join(base, f"tmp_{c:03d}"))
+                    if f.endswith(".parquet")][0]
+            dest = _os.path.join(base, f"chunk_{c:03d}.parquet")
+            _os.rename(_os.path.join(base, f"tmp_{c:03d}", part), dest)
+            _os.utime(dest, (1_600_000_000 + c * 10, 1_600_000_000 + c * 10))
+        return base
+
+    def _stream_dedup(spark, sf):
+        """streaming/dedup_stream.py across REAL micro-batch boundaries:
+        chunk files 0..2 carry the documents, chunks 3..5 an id-shifted
+        duplicate copy; maxFilesPerTrigger=1 means the duplicates arrive
+        in later micro-batches and must be suppressed by persisted
+        applyInPandasWithState state, not within-batch dedup. Output =
+        every first occurrence — exactly the batch hash-groupBy answer."""
+        import os
+        import shutil
+        import tempfile
+
+        from jassv2_spark.streaming.dedup_stream import dedup_stream
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        base = tempfile.mkdtemp(prefix="stream_dedup_")
+        data_dir = os.path.join(base, "in")
+        os.makedirs(data_dir)
+        try:
+            _chunked_dir(docs, "doc_id", 3, data_dir)
+            dups = docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+            rows = dups.orderBy("doc_id").collect()
+            per = (len(rows) + 2) // 3
+            for c in range(3):
+                chunk = rows[c * per : (c + 1) * per]
+                if chunk:
+                    spark.createDataFrame(chunk, dups.schema).coalesce(1).write.mode(
+                        "overwrite").parquet(os.path.join(data_dir, f"tmp_d{c}"))
+                    part = [f for f in os.listdir(os.path.join(data_dir, f"tmp_d{c}"))
+                            if f.endswith(".parquet")][0]
+                    dest = os.path.join(data_dir, f"chunk_{c + 3:03d}.parquet")
+                    os.rename(os.path.join(data_dir, f"tmp_d{c}", part), dest)
+                    os.utime(dest, (1_600_000_000 + (c + 3) * 10,
+                                    1_600_000_000 + (c + 3) * 10))
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(data_dir)
+            )
+            name = _stream_run(dedup_stream(stream), "dedup",
+                               os.path.join(base, "ckpt"))
+            out = spark.table(name).select("text_hash", "doc_id").collect()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+        return spark.createDataFrame(out, "text_hash string, doc_id long")
+
+    r["stream_dedup_first_occurrence"] = (
+        _stream_dedup,
+        """SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS doc_id
+           FROM documents GROUP BY md5(text)""",
+    )
+
+    def _stream_tumbling(spark, sf):
+        """streaming/windows.py tumbling_rollup_stream over chunked event
+        files + two far-future sentinel chunks that push the watermark
+        past every real window; append-mode rows are emitted exactly once
+        and must equal the batch GROUP BY."""
+        import datetime
+        import os
+        import shutil
+        import tempfile
+
+        from jassv2_spark.streaming.windows import tumbling_rollup_stream
+
+        ev = _events(spark, sf).select("ts", "event_type", "user_id", "value")
+        base = tempfile.mkdtemp(prefix="stream_tumb_")
+        data_dir = os.path.join(base, "in")
+        os.makedirs(data_dir)
+        try:
+            _chunked_dir(ev, "ts", 3, data_dir)
+            far = datetime.datetime(2031, 1, 1)
+            for i, dt in enumerate([far, far + datetime.timedelta(days=30),
+                                    far + datetime.timedelta(days=60)]):
+                spark.createDataFrame(
+                    [(dt, "__sentinel__", -1, 0.0)], ev.schema
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(data_dir, f"tmp_s{i}"))
+                part = [f for f in os.listdir(os.path.join(data_dir, f"tmp_s{i}"))
+                        if f.endswith(".parquet")][0]
+                dest = os.path.join(data_dir, f"chunk_{i + 900:03d}.parquet")
+                os.rename(os.path.join(data_dir, f"tmp_s{i}", part), dest)
+                os.utime(dest, (1_600_009_000 + i * 10, 1_600_009_000 + i * 10))
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(data_dir)
+                # file source re-reads ts as TIMESTAMP_NTZ; event-time
+                # watermarks require TIMESTAMP
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+            # NOTE: the sentinel filter must NOT be part of the streaming
+            # plan — a predicate on a grouping key is pushed below the
+            # watermark to the scan, so the sentinel row would never
+            # advance the watermark. Filter the sink table instead.
+            rolled = tumbling_rollup_stream(stream).select(
+                "window_start", "event_type", "n_events", "sum_value_milli")
+            name = _stream_run(rolled, "tumb", os.path.join(base, "ckpt"))
+            out = (spark.table(name)
+                   .where(F.col("event_type") != "__sentinel__").collect())
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+        return spark.createDataFrame(
+            out,
+            "window_start timestamp, event_type string, n_events long, "
+            "sum_value_milli long",
+        )
+
+    r["stream_tumbling_rollup"] = (
+        _stream_tumbling,
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+                  count(*)::BIGINT AS n_events,
+                  sum(floor(value * 1000)::BIGINT)::BIGINT AS sum_value_milli
+           FROM events GROUP BY 1, 2""",
+    )
+
+    def _stream_sessions(spark, sf):
+        """streaming/windows.py session_rollup_stream (native
+        session_window): gap-merged per-user sessions close as the
+        sentinel-advanced watermark passes last-event + gap. Oracle is
+        the islands SQL with session_window's half-open boundary rule
+        (>= gap starts a new session) and end = last event + gap."""
+        import datetime
+        import os
+        import shutil
+        import tempfile
+
+        from jassv2_spark.streaming.windows import session_rollup_stream
+
+        ev = _events(spark, sf).select("ts", "event_type", "user_id", "value")
+        base = tempfile.mkdtemp(prefix="stream_sess_")
+        data_dir = os.path.join(base, "in")
+        os.makedirs(data_dir)
+        try:
+            _chunked_dir(ev, "ts", 3, data_dir)
+            far = datetime.datetime(2031, 1, 1)
+            for i, dt in enumerate([far, far + datetime.timedelta(days=30),
+                                    far + datetime.timedelta(days=60)]):
+                spark.createDataFrame(
+                    [(dt, "__sentinel__", -1, 0.0)], ev.schema
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(data_dir, f"tmp_s{i}"))
+                part = [f for f in os.listdir(os.path.join(data_dir, f"tmp_s{i}"))
+                        if f.endswith(".parquet")][0]
+                dest = os.path.join(data_dir, f"chunk_{i + 900:03d}.parquet")
+                os.rename(os.path.join(data_dir, f"tmp_s{i}", part), dest)
+                os.utime(dest, (1_600_009_000 + i * 10, 1_600_009_000 + i * 10))
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(data_dir)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+            # sentinel filtered on the SINK table, not in-stream (the
+            # user_id predicate would push below the watermark)
+            sessions = session_rollup_stream(
+                stream, gap="17 minutes", watermark="1 hour")
+            name = _stream_run(sessions, "sess", os.path.join(base, "ckpt"))
+            out = spark.table(name).where(F.col("user_id") >= 0).collect()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+        return spark.createDataFrame(
+            out,
+            "user_id long, session_start timestamp, session_end timestamp, "
+            "n_events long, sum_value_milli long",
+        )
+
+    r["stream_session_rollup"] = (
+        _stream_sessions,
+        """WITH o AS (SELECT user_id, ts, value,
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                      FROM events),
+           marked AS (SELECT user_id, ts, value,
+                             CASE WHEN prev_ts IS NULL
+                                       OR ts - prev_ts >= INTERVAL '17 minutes'
+                                  THEN 1 ELSE 0 END AS new_s
+                      FROM o),
+           grp AS (SELECT user_id, ts, value,
+                          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM marked)
+           SELECT user_id, min(ts) AS session_start,
+                  max(ts) + INTERVAL '17 minutes' AS session_end,
+                  count(*)::BIGINT AS n_events,
+                  sum(floor(value * 1000)::BIGINT)::BIGINT AS sum_value_milli
+           FROM grp GROUP BY user_id, sid""",
     )
 
     # ---- relational sanity (TPC-H Q1 shape over lineitem) ----

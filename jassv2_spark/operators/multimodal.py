@@ -94,7 +94,8 @@ def _pillow():
         return None
 
 
-def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+def decode_media(media: DataFrame, fake: bool = False,
+                 kinds: tuple[str, ...] | None = None) -> DataFrame:
     """Decode payloads to dense pixel/sample arrays.
 
     With fake=True a deterministic stand-in emits the first
@@ -102,15 +103,22 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     path; the schema and batch plumbing are exactly what a real decoder
     uses. With fake=False the REAL path decodes image payloads via Pillow
     when it is installed (optional dependency; grayscale-flattened pixels
-    normalized to [0, 1)); audio/video need codecs Pillow doesn't provide
-    and are skipped by the real path. Without Pillow the real path raises
-    NotImplementedError (install pillow, or pass fake=True)."""
+    normalized to [0, 1)) and audio payloads via the stdlib ``wave``
+    module (RIFF/WAV PCM → float samples in [-1, 1), no dependency);
+    video needs codecs neither provides and is dropped by the real path.
+    ``kinds`` restricts decoding to the named kinds — pass
+    ``kinds=("audio",)`` to use the real audio path without Pillow
+    installed. Without Pillow, a real path that may include images raises
+    NotImplementedError (install pillow, pass fake=True, or narrow
+    ``kinds``)."""
+    if kinds is not None:
+        media = media.where(F.col("kind").isin(*kinds))
     if not fake:
-        if _pillow() is None:
+        if _pillow() is None and (kinds is None or "image" in kinds):
             raise NotImplementedError(
-                "real media decode requires Pillow (pip install pillow), "
-                "absent in this environment; pass fake=True for the "
-                "deterministic stand-in"
+                "real media decode requires Pillow (pip install pillow) "
+                "for image payloads, absent in this environment; pass "
+                "fake=True, or kinds=('audio',) for the stdlib-wave path"
             )
         return _decode_media_real(media)
 
@@ -140,12 +148,40 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(run, schema=out_schema)
 
 
+def _decode_audio_wav(payload: bytes) -> list[float] | None:
+    """stdlib RIFF/WAV PCM decode → float samples in [-1, 1). Handles the
+    8-bit unsigned, 16-bit and 32-bit signed little-endian PCM widths the
+    ``wave`` module exposes; multi-channel frames are interleaved as
+    stored. Returns None for payloads that aren't valid WAV."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if width == 1:  # 8-bit WAV is unsigned, midpoint 128
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        arr = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:  # 24-bit and exotic widths: out of stdlib-comfort scope
+        return None
+    return arr.tolist()
+
+
 def _decode_media_real(media: DataFrame) -> DataFrame:
-    """Pillow-backed image decode: payload → grayscale pixels in [0, 1).
-    Same output schema as the fake path; Arrow-batched, one worker-side
-    Image.open per row (Pillow is lazy — only the header is parsed until
-    the pixel access). Non-image rows and undecodable payloads are
-    dropped (a real pipeline would route them to a quarantine sink)."""
+    """Real decode: image payload → Pillow grayscale pixels in [0, 1);
+    audio payload → stdlib-wave PCM samples in [-1, 1) (no optional
+    dependency). Same output schema as the fake path; Arrow-batched,
+    one worker-side open per row (Pillow is lazy — only the header is
+    parsed until the pixel access). Video rows and undecodable payloads
+    are dropped (a real pipeline would route them to a quarantine sink).
+    Pillow is imported lazily per batch so audio-only frames decode on
+    workers without it."""
     import io
 
     out_schema = StructType(
@@ -158,13 +194,21 @@ def _decode_media_real(media: DataFrame) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from PIL import Image
-
+        Image = None
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                if payload is None or kind != "image":
+                if payload is None:
                     continue
+                if kind == "audio":
+                    vals = _decode_audio_wav(bytes(payload))
+                    if vals is not None:
+                        rows.append((int(mid), kind, len(vals), vals))
+                    continue
+                if kind != "image":
+                    continue
+                if Image is None:
+                    from PIL import Image
                 try:
                     img = Image.open(io.BytesIO(payload)).convert("L")
                 except Exception:

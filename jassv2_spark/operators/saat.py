@@ -60,8 +60,13 @@ from jassv2_spark.functions.tokenizer import tokenize
 from jassv2_spark.operators.build import Index
 from jassv2_spark.operators.search import MAX_RSV
 
-# per-worker cache: path -> mmap'd ndarray (page cache shared across workers)
+# per-worker cache: path -> mmap'd ndarray. The mappings are page-cache-
+# backed (cheap RAM-wise) but each holds an open file descriptor, so a
+# long-lived worker serving many packages would otherwise accumulate fds
+# without bound — BOUNDED with the same FIFO eviction as _DIR_CACHE
+# (evicted entries close their fd when the last ndarray view drops).
 _MMAP_CACHE: dict[str, np.ndarray] = {}
+_MMAP_CACHE_MAX = 512  # open shard fds per worker across all packages
 
 # per-worker cache: directory-parquet path -> {term: [(impact, seg_freq,
 # shard, start, end)] impact-ascending}. A worker only ever populates the
@@ -231,6 +236,8 @@ def _load_shard(pkg: dict, shard: int) -> np.ndarray:
     arr = _MMAP_CACHE.get(path)
     if arr is None:
         arr = np.load(_resolve(path), mmap_mode="r", allow_pickle=False)
+        while len(_MMAP_CACHE) >= _MMAP_CACHE_MAX:
+            _MMAP_CACHE.pop(next(iter(_MMAP_CACHE)))  # FIFO eviction
         _MMAP_CACHE[path] = arr
     return arr
 

@@ -68,6 +68,80 @@ def test_frame_sampling(media):
         assert len(r["frame"]) > 0
 
 
+def _wav_bytes(samples, width=2, rate=16000, channels=1) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 1:
+            w.writeframes(bytes((s + 128) & 0xFF for s in samples))
+        else:
+            fmt = "<" + ("h" if width == 2 else "i") * len(samples)
+            w.writeframes(struct.pack(fmt, *samples))
+    return buf.getvalue()
+
+
+def test_real_audio_decode_via_stdlib_wave(spark):
+    """The REAL audio path needs no optional dependency: RIFF/WAV PCM
+    decodes through the stdlib `wave` module — including with Pillow
+    absent, via kinds=('audio',)."""
+    from jassv2_spark.operators.multimodal import decode_media
+
+    samples = [0, 1000, -1000, 32767, -32768, 12345]
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(samples)),
+         {"width": None, "height": None, "channels": 1,
+          "sample_rate": 16000, "n_frames": None}),
+        (2, "audio", bytearray(_wav_bytes([5, -5], width=4)),
+         {"width": None, "height": None, "channels": 1,
+          "sample_rate": 8000, "n_frames": None}),
+        (3, "audio", bytearray(b"not a wav"),
+         {"width": None, "height": None, "channels": 1,
+          "sample_rate": 8000, "n_frames": None}),
+        (4, "video", bytearray(b"\x00\x01"),
+         {"width": 2, "height": 1, "channels": 1,
+          "sample_rate": None, "n_frames": 1}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,channels:int,sample_rate:int,n_frames:int>",
+    )
+    out = {r["media_id"]: r for r in
+           decode_media(media, fake=False, kinds=("audio",)).collect()}
+    # undecodable WAV (3) and non-audio kinds (4) are dropped
+    assert set(out) == {1, 2}
+    got = out[1]["values"]
+    assert out[1]["n_values"] == len(samples)
+    import pytest as _pytest
+
+    for want, have in zip(samples, got):
+        assert have == _pytest.approx(want / 32768.0, abs=1e-9)
+    assert all(-1.0 <= v < 1.0 for v in got)
+    assert out[2]["n_values"] == 2
+
+
+def test_real_audio_8bit_unsigned_midpoint(spark):
+    from jassv2_spark.operators.multimodal import decode_media
+
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(_wav_bytes([0, 127, -128], width=1)),
+          {"width": None, "height": None, "channels": 1,
+           "sample_rate": 8000, "n_frames": None})],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,channels:int,sample_rate:int,n_frames:int>",
+    )
+    (row,) = decode_media(media, fake=False, kinds=("audio",)).collect()
+    assert row["values"][0] == 0.0          # unsigned midpoint 128 -> 0
+    assert abs(row["values"][1] - 127 / 128) < 1e-9
+    assert row["values"][2] == -1.0
+
+
 def test_real_decode_without_pillow_raises_clearly(spark):
     """Optional-dep gating: without Pillow the real path raises the
     documented NotImplementedError; with it, it decodes (skip-covered)."""

@@ -122,3 +122,38 @@ def test_saat_stats_match_declarative_metrics(spark, syn):
         got = {r["query_id"]: r["postings_processed"] for r in rows if r["postings_processed"] > 0}
         assert got == {q: p for q, p in want.items() if p > 0}, rho
         assert all(r["usec"] >= 0 for r in rows)
+
+
+def test_mmap_cache_bounded():
+    """Review follow-up (round-3 verdict #8): mmaps are page-cache-backed
+    but hold an open fd each — _load_shard must evict FIFO past the cap
+    exactly like _DIR_CACHE, so a long-lived worker serving many packages
+    cannot accumulate file descriptors without bound."""
+    import numpy as np
+
+    from jassv2_spark.operators import saat
+
+    saved = dict(saat._MMAP_CACHE)
+    saat._MMAP_CACHE.clear()
+    try:
+        with __import__("tempfile").TemporaryDirectory() as d:
+            import os
+
+            paths = []
+            for i in range(saat._MMAP_CACHE_MAX + 8):
+                p = os.path.join(d, f"shard_tok_{i:05d}.npy")
+                np.save(p, np.arange(4, dtype=np.int32))
+                paths.append(p)
+            pkg = {"dir": d, "token": "tok"}
+            for i in range(len(paths)):
+                arr = saat._load_shard(pkg, i)
+                assert arr.shape == (4,)
+            assert len(saat._MMAP_CACHE) <= saat._MMAP_CACHE_MAX
+            # FIFO: the most recent shard is resident, the first evicted
+            assert paths[-1] in saat._MMAP_CACHE
+            assert paths[0] not in saat._MMAP_CACHE
+            # evicted shard reloads on demand
+            assert saat._load_shard(pkg, 0).tolist() == [0, 1, 2, 3]
+    finally:
+        saat._MMAP_CACHE.clear()
+        saat._MMAP_CACHE.update(saved)
