@@ -232,3 +232,27 @@ def test_ndcg_goldens(spark, run_and_qrels):
     assert hot["dcg_int"] == 15 * wi[1]
     assert hot["idcg_int"] == 15 * wi[1]
     assert hot["ndcg"] == 1.0
+
+
+def test_rbp_moffat_vector(spark):
+    """The Moffat et al. worked example the reference's OWN RBP class
+    unittests ($$---$----$-----$--- at p=0.95 → 0.1881,
+    `evaluate_rank_biased_precision.cpp:44-56`). The JASS_eval CLI cannot
+    serve as the oracle here — its RBP line calls the MAP computer
+    (`tools/JASS_eval.cpp:836`), a live bug documented by
+    tests/test_eval_differential.py — so the class vector is the anchor."""
+    import pytest as _pytest
+
+    from jassv2_spark.operators.evaluate import evaluate_run
+
+    pattern = "$$---$----$-----$---"
+    run = spark.createDataFrame(
+        [("m1", f"d{i}", i + 1) for i in range(len(pattern))],
+        "query_id string, doc_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("m1", f"d{i}") for i, c in enumerate(pattern) if c == "$"],
+        "query_id string, doc_id string",
+    )
+    (row,) = evaluate_run(run, qrels, depth=len(pattern)).collect()
+    assert row["rbp"] == _pytest.approx(0.1881, abs=5e-5)

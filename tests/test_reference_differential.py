@@ -154,6 +154,44 @@ def test_v2_byte_identical_to_live_JASS_index(corpus, ref_corpora,
             assert a.read() == b.read(), f"{corpus}/v2/{f} differs from JASS_index"
 
 
+@pytest.mark.parametrize("version", [1, 2])
+def test_ciff_export_feeds_live_ciff_to_JASS(version, refbin, spark,
+                                             built_indexes, tmp_path):
+    """CIFF interop against the living tool: our `write_ciff` export is
+    fed to the compiled `ciff_to_JASS` (which re-quantizes from the CIFF
+    doc lengths and serialises v1/v2), and the result must byte-match our
+    own `build_index_from_ciff` → binary writer chain — proving the CIFF
+    wire format, the doc-length semantics, and the quantized build agree
+    with the reference end to end."""
+    from jassv2_spark.plans.jass_v1 import write_jass_v1, write_jass_v2
+    from jassv2_spark.sources.ciff import build_index_from_ciff, write_ciff
+
+    ciff_path = str(tmp_path / "corpus.ciff")
+    write_ciff(built_indexes["syn"], ciff_path)
+
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    cmd = [os.path.join(refbin, "ciff_to_JASS"), ciff_path]
+    if version == 2:
+        cmd.append("-2")
+    r = subprocess.run(cmd, cwd=ref_dir, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr
+
+    imported = build_index_from_ciff(spark, ciff_path)
+    ours = str(tmp_path / "ours")
+    # the tool passes codex 'g' explicitly for BOTH versions
+    # (ciff_to_JASS.cpp:238-240) — i.e. carryover-12 in the live binary
+    writer = write_jass_v2 if version == 2 else write_jass_v1
+    writer(imported, ours, codex=CODEX_ELIAS_GAMMA_SIMD_VB, alignment=1,
+           impacts="quantized")
+    for f in CI_FILES:
+        with open(os.path.join(ref_dir, f), "rb") as a, \
+             open(os.path.join(ours, f), "rb") as b:
+            assert a.read() == b.read(), f"ciff/v{version}/{f}"
+    imported.unpersist()
+
+
 ANYTIME_QUERIES = [
     ("1", "w0001 w0002"),
     ("2", "w0010"),

@@ -72,6 +72,8 @@ link unittest     "$REF/tools/unittest.cpp"
 link JASS_index   "$REF/tools/JASS_index.cpp"
 link JASS_anytime "$REF/anytime/JASS_anytime.cpp" "$REF/anytime/JASS_anytime_api.cpp"
 link test_integer_compress "$REF/tools/test_integer_compress.cpp"
+link JASS_eval    "$REF/tools/JASS_eval.cpp"
+link ciff_to_JASS "$REF/tools/ciff_to_JASS.cpp"
 
 # differential-test drivers (sources in this repo's tools/)
 HERE=$(cd "$(dirname "$0")" && pwd)
