@@ -200,3 +200,130 @@ def index_space_audit(index: Index) -> DataFrame:
         )
         .withColumn("raw_bits", (F.lit(32) * F.col("n_postings")).cast("long"))
     )
+
+
+# ------------------------------------------------------- binary exporters
+# The three remaining JASS_index sink formats, byte-identical to the live
+# binary (tests/test_reference_differential.py): `-Ib` serialise_integers,
+# `-If` serialise_forward_index, `-Ic` serialise_ci. All three consume the
+# shared iteration_frame (plans/jass_v1.py) — reference hash-walk term
+# order, dense-position docids — via toLocalIterator (the formats are
+# single sequential streams, same exporter-epilogue class as the v1/v2
+# binary writers; the forward/compiled artifacts additionally buffer
+# per-document/driver-side state exactly as the reference serialisers do,
+# `serialise_forward_index.h` document[] / generated-source-by-design, so
+# they are small-corpus artifacts by the format's own nature).
+
+# `version::build()` (`source/version.h:64`) — the banner the generated
+# files carry
+_JASS_BANNER = ("/* Generated by JASS Version 0.1 64-bit Copyright (c) "
+                "2016-2019 Andrew Trotman, University of Otago */\n")
+
+
+def write_serialise_integers(index: Index, path: str,
+                             impacts: str = "quantized") -> dict:
+    """`JASS_index -Ib` (`source/serialise_integers.cpp:30-58`): per term
+    in iteration order, per impact segment highest-first: u32 length then
+    the ascending 0-based docids as u32s. No header, no vocabulary — the
+    postings regression-test dump."""
+    import struct as _struct
+
+    from jassv2_spark.plans.jass_v1 import iteration_frame
+
+    ordered, remap, value_col = iteration_frame(index, impacts)
+    n_terms = 0
+    with open(path, "wb") as f:
+        for row in ordered.toLocalIterator():
+            n_terms += 1
+            by_impact: dict[int, list[int]] = {}
+            for p in row["ps"]:
+                by_impact.setdefault(int(p[value_col]), []).append(int(p["doc_id"]))
+            for impact in sorted(by_impact, reverse=True):
+                ids = by_impact[impact]
+                f.write(_struct.pack("<I", len(ids)))
+                for d in ids:
+                    f.write(_struct.pack("<I", d - 1))
+    remap.unpersist()
+    return {"path": path, "n_terms": n_terms}
+
+
+def write_forward_index(index: Index, path: str,
+                        impacts: str = "quantized") -> dict:
+    """`JASS_index -If` (`source/serialise_forward_index.cpp`): one line
+    per non-empty document, ``<DOC><DOCNO>{docid}</DOCID>term:impact ...
+    </DOC>`` (the mismatched </DOCID> tag is the reference's own), terms
+    in ITERATION order within each document (the per-term delegate
+    appends to per-doc buffers), docids the dense 0-based positions the
+    reference's finish() prints."""
+    from jassv2_spark.plans.jass_v1 import iteration_frame
+
+    ordered, remap, value_col = iteration_frame(index, impacts)
+    docs: dict[int, list[str]] = {}
+    for row in ordered.toLocalIterator():
+        term = row["term"]
+        for p in row["ps"]:
+            docs.setdefault(int(p["doc_id"]), []).append(
+                f"{term}:{int(p[value_col])} "
+            )
+    remap.unpersist()
+    n = 0
+    with open(path, "w", encoding="utf-8") as f:
+        for doc_id in sorted(docs):
+            f.write(f"<DOC><DOCNO>{doc_id}</DOCID>{''.join(docs[doc_id])}</DOC>\n")
+            n += 1
+    return {"path": path, "n_docs": n}
+
+
+def write_compiled_index_cpp(index: Index, out_dir: str,
+                             impacts: str = "quantized") -> dict:
+    """`JASS_index -Ic` (`source/serialise_ci.cpp`): the four generated
+    C++ sources — JASS_postings.cpp (one ``void T_<term>(query_heap&)``
+    per term, ``q.add_rsv(docid, impact)`` docid-ascending),
+    JASS_postings.h (prototypes), JASS_vocabulary.cpp (``dictionary[]``
+    in iteration order + ``dictionary_length``), JASS_primary_keys.cpp
+    ("-" then the keys position-ascending). Term bytes go into the C
+    identifiers unescaped, exactly as the reference emits them (its own
+    non-identifier vocab would not compile there either).
+
+    This is the byte-faithful sibling of plans/compiled.py's Python
+    codegen (`compile_index`), which remains the engine's usable compiled
+    artifact."""
+    import os as _os
+
+    from jassv2_spark.plans.jass_v1 import iteration_frame
+
+    _os.makedirs(out_dir, exist_ok=True)
+    ordered, remap, value_col = iteration_frame(index, impacts)
+    postings = open(_os.path.join(out_dir, "JASS_postings.cpp"), "w", encoding="utf-8")
+    header = open(_os.path.join(out_dir, "JASS_postings.h"), "w", encoding="utf-8")
+    vocab = open(_os.path.join(out_dir, "JASS_vocabulary.cpp"), "w", encoding="utf-8")
+    keys_f = open(_os.path.join(out_dir, "JASS_primary_keys.cpp"), "w", encoding="utf-8")
+
+    vocab.write(_JASS_BANNER + "#include <stdint.h>\n\n"
+                '#include"JASS_postings.h"\n#include"JASS_vocabulary.h"\n'
+                "JASS_ci_vocab dictionary[] = {\n")
+    postings.write(_JASS_BANNER + "#include <stddef.h>\n#include <stdint.h>\n"
+                   '#include"query_heap.h"\n\nusing namespace JASS;\n')
+    header.write(_JASS_BANNER + '#include"query_heap.h"\n\nusing namespace JASS;\n')
+    keys_f.write(_JASS_BANNER + "#include <string>\n#include <vector>\n"
+                 "std::vector<std::string> primary_key =\n{\n")
+
+    n_terms = 0
+    for row in ordered.toLocalIterator():
+        term = row["term"]
+        n_terms += 1
+        postings.write(f"void T_{term}(query_heap &q)\n{{\n")
+        for p in row["ps"]:
+            postings.write(f"q.add_rsv({int(p['doc_id'])},{int(p[value_col])});\n")
+        postings.write("}\n")
+        vocab.write(f'{{"{term}",T_{term}}},\n')
+        header.write(f"void T_{term}(query_heap &);\n")
+    vocab.write("};\n" + f"uint64_t dictionary_length = {n_terms};\n")
+    keys_f.write('"-",\n')
+    for r in remap.orderBy("__pos").toLocalIterator():
+        keys_f.write(f'"{r["key"]}",\n')
+    keys_f.write("};\n")
+    remap.unpersist()
+    for f in (postings, header, vocab, keys_f):
+        f.close()
+    return {"dir": out_dir, "n_terms": n_terms}

@@ -385,35 +385,22 @@ def read_jass_v2(in_dir: str) -> dict:
     return {"terms": terms, "keys": keys, "codex": codex}
 
 
-def write_jass_v1(index, out_dir: str, codex: int = CODEX_QMX,
-                  alignment: int | None = None, impacts: str = "tf",
-                  version: int = 1) -> dict:
-    """Serialise an Index to the JASS v1 (default) or v2 (``version=2``,
-    vbyte headers/vocab — `serialise_jass_v2.cpp`) 4-file binary format.
-
-    ``impacts``: "tf" writes raw term frequencies (the reference
-    unittest's un-quantized path, `index.iterate(serialiser)`); "quantized"
-    writes the [1,1024] uniform-quantized impacts (the `JASS_index -I...`
-    production path, `tools/JASS_index.cpp:348`).
-
-    Postings stream to the driver via ``toLocalIterator`` over a frame
-    sorted in reference iteration order — no postings-scale collect.
-    """
+def iteration_frame(index, impacts: str = "tf"):
+    """The serialisation-ready view every binary exporter shares: a frame
+    of (term, ps=[(position, value)]) sorted in the reference's hash-walk
+    ITERATION order (Pearson slot asc, within-slot byte-length/memcmp
+    desc), plus the persisted docid→dense-position remap whose `__pos`
+    order is the CIdoclist/primary-key order.  Callers must
+    ``remap.unpersist()`` when done.  ``impacts``: "tf" = raw term
+    frequencies (the unittest path) or "quantized" (the production
+    path)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import (IntegerType, StringType, StructField,
-                                   StructType)
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
     from jassv2_spark.sources.docids import assign_doc_ids
 
     source = index.postings if impacts == "tf" else index.impacts
     value_col = "tf" if impacts == "tf" else "impact"
-    # canonical v1 docids are 0-based POSITIONS in CIdoclist: remap the
-    # engine's internal ids (arbitrary ints when doc_id_col was used) to
-    # dense 1-based rank-of-doc_id; the d1 first-element -1 then lands
-    # them 0-based on disk exactly as `JASS_index` itself would. For a
-    # 1-based dense source the remap is the identity (golden checksums
-    # unchanged). Distributed two-phase assignment; persisted because the
-    # postings join and the key pass must see one numbering.
     remap = assign_doc_ids(
         index.doc_map.select("doc_id", "key"), key_col="doc_id", out_col="__pos"
     ).persist()
@@ -450,6 +437,31 @@ def write_jass_v1(index, out_dir: str, codex: int = CODEX_QMX,
                  F.encode("term", "UTF-8").desc())
         .select("term", "ps")
     )
+    return ordered, remap, value_col
+
+
+def write_jass_v1(index, out_dir: str, codex: int = CODEX_QMX,
+                  alignment: int | None = None, impacts: str = "tf",
+                  version: int = 1) -> dict:
+    """Serialise an Index to the JASS v1 (default) or v2 (``version=2``,
+    vbyte headers/vocab — `serialise_jass_v2.cpp`) 4-file binary format.
+
+    ``impacts``: "tf" writes raw term frequencies (the reference
+    unittest's un-quantized path, `index.iterate(serialiser)`); "quantized"
+    writes the [1,1024] uniform-quantized impacts (the `JASS_index -I...`
+    production path, `tools/JASS_index.cpp:348`).
+
+    Postings stream to the driver via ``toLocalIterator`` over a frame
+    sorted in reference iteration order — no postings-scale collect.
+
+    Canonical v1 docids are 0-based POSITIONS in CIdoclist: the
+    iteration_frame remaps the engine's internal ids (arbitrary ints when
+    doc_id_col was used) to dense 1-based rank-of-doc_id; the d1
+    first-element -1 then lands them 0-based on disk exactly as
+    `JASS_index` itself would. For a 1-based dense source the remap is
+    the identity (golden checksums unchanged).
+    """
+    ordered, remap, value_col = iteration_frame(index, impacts)
 
     writer_cls = {1: _JassV1Writer, 2: _JassV2Writer}[int(version)]
     writer = writer_cls(out_dir, n_docs=index.n_docs, codex=codex,

@@ -154,6 +154,48 @@ def test_v2_byte_identical_to_live_JASS_index(corpus, ref_corpora,
             assert a.read() == b.read(), f"{corpus}/v2/{f} differs from JASS_index"
 
 
+@pytest.mark.parametrize("corpus", ["ten", "syn"])
+@pytest.mark.parametrize("sink,ref_files", [
+    ("Ib", ["postings.bin"]),
+    ("If", ["JASS_forward.index"]),
+    ("Ic", ["JASS_postings.cpp", "JASS_postings.h", "JASS_vocabulary.cpp",
+            "JASS_primary_keys.cpp"]),
+])
+def test_remaining_sinks_byte_identical(corpus, sink, ref_files, refbin,
+                                        built_indexes, tmp_path):
+    """The three remaining `JASS_index` sink formats — `-Ib`
+    serialise_integers, `-If` serialise_forward_index, `-Ic` serialise_ci
+    (compiled index C++ codegen) — byte-compared against the live binary
+    on both corpora (quantized production path)."""
+    from jassv2_spark.plans.export import (write_compiled_index_cpp,
+                                           write_forward_index,
+                                           write_serialise_integers)
+
+    trec = tmp_path / "c.trec"
+    rows = ten_documents() if corpus == "ten" else synthetic_corpus(250)
+    trec.write_bytes(b"".join(r["html"] + b"\n" for r in rows))
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    r = subprocess.run(
+        [os.path.join(refbin, "JASS_index"), "-q", f"-{sink}", "-f", str(trec)],
+        cwd=ref_dir, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+
+    ours_dir = tmp_path / "ours"
+    ours_dir.mkdir()
+    idx = built_indexes[corpus]
+    if sink == "Ib":
+        write_serialise_integers(idx, str(ours_dir / "postings.bin"))
+    elif sink == "If":
+        write_forward_index(idx, str(ours_dir / "JASS_forward.index"))
+    else:
+        write_compiled_index_cpp(idx, str(ours_dir))
+    for f in ref_files:
+        with open(os.path.join(ref_dir, f), "rb") as a, \
+             open(os.path.join(ours_dir, f), "rb") as b:
+            assert a.read() == b.read(), f"{sink}/{corpus}/{f}"
+
+
 @pytest.mark.parametrize("version", [1, 2])
 def test_ciff_export_feeds_live_ciff_to_JASS(version, refbin, spark,
                                              built_indexes, tmp_path):
