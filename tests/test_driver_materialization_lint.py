@@ -34,6 +34,19 @@ ALLOWED = {
     ("build.py", "build_index_from_counts", "collect"): "vocab-bounded",
     ("build.py", "build_prequantized_index", "collect"): "scalar",
     ("ciff.py", "write_ciff", "toLocalIterator"): "epilogue",
+    # gate-scale streaming fixtures: chunk files for a FINITE stream over
+    # the sf tables (sf<=0.01 in the driver gate); never a serving path
+    ("entry_queries.py", "_chunked_dir", "collect"): "gate-fixture",
+    ("entry_queries.py", "_stream_dedup", "collect"): "gate-fixture",
+    ("entry_queries.py", "_stream_sessions", "collect"): "gate-fixture",
+    ("entry_queries.py", "_stream_tumbling", "collect"): "gate-fixture",
+    # binary-format exporter epilogues (single sequential streams, the
+    # sanctioned jass_v1 pattern); forward/compiled additionally buffer
+    # driver-side exactly as the reference serialisers do — small-corpus
+    # artifacts by the format's own nature (documented in export.py)
+    ("export.py", "write_serialise_integers", "toLocalIterator"): "epilogue",
+    ("export.py", "write_forward_index", "toLocalIterator"): "epilogue",
+    ("export.py", "write_compiled_index_cpp", "toLocalIterator"): "epilogue",
     ("cli.py", "jass_anytime_main", "collect"): "cli",
     ("cli.py", "jass_curate_main", "collect"): "cli",
     ("cli.py", "jass_eval_main", "collect"): "cli",

@@ -154,6 +154,41 @@ def test_v2_byte_identical_to_live_JASS_index(corpus, ref_corpora,
             assert a.read() == b.read(), f"{corpus}/v2/{f} differs from JASS_index"
 
 
+def test_trec_topics_match_live_trec_to_query(refbin, spark, tmp_path):
+    """TREC topic parsing + tokenization vs the live `trec_to_query`
+    tool: our parse_trec_topics('t') titles, run through the parity
+    tokenizer, must equal the tool's query lines token-for-token —
+    punctuation splits, casefolding, digit runs, Unicode included."""
+    from jassv2_spark.functions.tokenizer import tokenize
+    from jassv2_spark.sources.instreams import parse_trec_topics
+
+    topics = (
+        "<top>\n<num> Number: 701\n<title> U.S. Oil-Industry History\n"
+        "<desc> Describe the history.\n<narr> Relevant documents.\n</top>\n"
+        "<top>\n<num> Number: 702\n<title>  Pearl farming (2024) αβ\n"
+        "<desc> ops\n</top>\n"
+        "<top>\n<num> Number: 703\n<title>R2-D2 versus C-3PO!\n</top>\n"
+    )
+    tfile = tmp_path / "topics.txt"
+    tfile.write_text(topics, encoding="utf-8")
+    r = subprocess.run([os.path.join(refbin, "trec_to_query"), str(tfile)],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    ref = {}
+    for line in r.stdout.splitlines():
+        qid, _, rest = line.partition(" ")
+        if qid:  # the tool emits one trailing empty line
+            ref[qid] = rest.split()
+
+    blobs = spark.createDataFrame([(bytearray(topics.encode()),)], "blob binary")
+    ours = {
+        row["query_id"]: tokenize(row["query"], xml=False)
+        for row in parse_trec_topics(blobs, tag="t").collect()
+    }
+    assert ours == ref
+    assert set(ref) == {"701", "702", "703"}
+
+
 @pytest.mark.parametrize("corpus", ["ten", "syn"])
 @pytest.mark.parametrize("sink,ref_files", [
     ("Ib", ["postings.bin"]),

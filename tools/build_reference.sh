@@ -74,6 +74,7 @@ link JASS_anytime "$REF/anytime/JASS_anytime.cpp" "$REF/anytime/JASS_anytime_api
 link test_integer_compress "$REF/tools/test_integer_compress.cpp"
 link JASS_eval    "$REF/tools/JASS_eval.cpp"
 link ciff_to_JASS "$REF/tools/ciff_to_JASS.cpp"
+link trec_to_query "$REF/tools/trec_to_query.cpp"
 
 # differential-test drivers (sources in this repo's tools/)
 HERE=$(cd "$(dirname "$0")" && pwd)
