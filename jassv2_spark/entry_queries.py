@@ -7798,31 +7798,51 @@ FROM cma""",
         q.awaitTermination()
         return name
 
-    def _chunked_dir(df, order_col: str, n_chunks: int, base: str):
-        """Write df as n_chunks single-file parquets named in arrival
-        order (file listing order == lexicographic == chunk order)."""
+    def _write_chunk(spark, rows, schema, data_dir, chunk_no: int):
+        """One arrival-ordered chunk file: write a single-part parquet,
+        promote the part file to a deterministic name, and PIN ITS MTIME
+        (the file source orders micro-batches by MODIFICATION TIME;
+        same-second writes would tie arbitrarily, and late real events
+        behind a sentinel-advanced watermark would then be dropped)."""
         import os as _os
 
+        tmp = _os.path.join(data_dir, f"tmp_{chunk_no:03d}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = _os.path.join(data_dir, f"chunk_{chunk_no:03d}.parquet")
+        _os.rename(_os.path.join(tmp, part), dest)
+        t = 1_600_000_000 + chunk_no * 10
+        _os.utime(dest, (t, t))
+
+    def _chunked_dir(df, order_col: str, n_chunks: int, base: str,
+                     start: int = 0):
+        """Write df as n_chunks single-file parquets named (and
+        mtime-ordered) in arrival order, starting at chunk index
+        ``start``."""
         rows = df.orderBy(order_col).collect()
         per = (len(rows) + n_chunks - 1) // n_chunks
         spark = df.sparkSession
         for c in range(n_chunks):
             chunk = rows[c * per : (c + 1) * per]
-            if not chunk:
-                continue
-            cdf = spark.createDataFrame(chunk, df.schema).coalesce(1)
-            cdf.write.mode("overwrite").parquet(_os.path.join(base, f"tmp_{c:03d}"))
-            # promote the single part file to a deterministic name, and
-            # pin mtime: the file source orders batches by MODIFICATION
-            # TIME, and same-second writes would tie arbitrarily (late
-            # real events behind a sentinel-advanced watermark would be
-            # dropped)
-            part = [f for f in _os.listdir(_os.path.join(base, f"tmp_{c:03d}"))
-                    if f.endswith(".parquet")][0]
-            dest = _os.path.join(base, f"chunk_{c:03d}.parquet")
-            _os.rename(_os.path.join(base, f"tmp_{c:03d}", part), dest)
-            _os.utime(dest, (1_600_000_000 + c * 10, 1_600_000_000 + c * 10))
+            if chunk:
+                _write_chunk(spark, chunk, df.schema, base, start + c)
         return base
+
+    def _sentinel_chunks(spark, schema, data_dir, n: int = 3):
+        """Far-future single-event chunks that advance the watermark past
+        every real window; chunk indices 900+ keep them after the data
+        chunks in mtime order. More than one is needed: append-mode
+        emission happens a batch behind each watermark advance."""
+        import datetime as _dt
+
+        far = _dt.datetime(2031, 1, 1)
+        for i in range(n):
+            _write_chunk(
+                spark,
+                [(far + _dt.timedelta(days=30 * i), "__sentinel__", -1, 0.0)],
+                schema, data_dir, 900 + i,
+            )
 
     def _stream_dedup(spark, sf):
         """streaming/dedup_stream.py across REAL micro-batch boundaries:
@@ -7844,19 +7864,7 @@ FROM cma""",
         try:
             _chunked_dir(docs, "doc_id", 3, data_dir)
             dups = docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
-            rows = dups.orderBy("doc_id").collect()
-            per = (len(rows) + 2) // 3
-            for c in range(3):
-                chunk = rows[c * per : (c + 1) * per]
-                if chunk:
-                    spark.createDataFrame(chunk, dups.schema).coalesce(1).write.mode(
-                        "overwrite").parquet(os.path.join(data_dir, f"tmp_d{c}"))
-                    part = [f for f in os.listdir(os.path.join(data_dir, f"tmp_d{c}"))
-                            if f.endswith(".parquet")][0]
-                    dest = os.path.join(data_dir, f"chunk_{c + 3:03d}.parquet")
-                    os.rename(os.path.join(data_dir, f"tmp_d{c}", part), dest)
-                    os.utime(dest, (1_600_000_000 + (c + 3) * 10,
-                                    1_600_000_000 + (c + 3) * 10))
+            _chunked_dir(dups, "doc_id", 3, data_dir, start=3)
             stream = (
                 spark.readStream.schema(docs.schema)
                 .option("maxFilesPerTrigger", 1)
@@ -7880,7 +7888,6 @@ FROM cma""",
         files + two far-future sentinel chunks that push the watermark
         past every real window; append-mode rows are emitted exactly once
         and must equal the batch GROUP BY."""
-        import datetime
         import os
         import shutil
         import tempfile
@@ -7893,18 +7900,7 @@ FROM cma""",
         os.makedirs(data_dir)
         try:
             _chunked_dir(ev, "ts", 3, data_dir)
-            far = datetime.datetime(2031, 1, 1)
-            for i, dt in enumerate([far, far + datetime.timedelta(days=30),
-                                    far + datetime.timedelta(days=60)]):
-                spark.createDataFrame(
-                    [(dt, "__sentinel__", -1, 0.0)], ev.schema
-                ).coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(data_dir, f"tmp_s{i}"))
-                part = [f for f in os.listdir(os.path.join(data_dir, f"tmp_s{i}"))
-                        if f.endswith(".parquet")][0]
-                dest = os.path.join(data_dir, f"chunk_{i + 900:03d}.parquet")
-                os.rename(os.path.join(data_dir, f"tmp_s{i}", part), dest)
-                os.utime(dest, (1_600_009_000 + i * 10, 1_600_009_000 + i * 10))
+            _sentinel_chunks(spark, ev.schema, data_dir)
             stream = (
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1)
@@ -7944,7 +7940,6 @@ FROM cma""",
         sentinel-advanced watermark passes last-event + gap. Oracle is
         the islands SQL with session_window's half-open boundary rule
         (>= gap starts a new session) and end = last event + gap."""
-        import datetime
         import os
         import shutil
         import tempfile
@@ -7957,18 +7952,7 @@ FROM cma""",
         os.makedirs(data_dir)
         try:
             _chunked_dir(ev, "ts", 3, data_dir)
-            far = datetime.datetime(2031, 1, 1)
-            for i, dt in enumerate([far, far + datetime.timedelta(days=30),
-                                    far + datetime.timedelta(days=60)]):
-                spark.createDataFrame(
-                    [(dt, "__sentinel__", -1, 0.0)], ev.schema
-                ).coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(data_dir, f"tmp_s{i}"))
-                part = [f for f in os.listdir(os.path.join(data_dir, f"tmp_s{i}"))
-                        if f.endswith(".parquet")][0]
-                dest = os.path.join(data_dir, f"chunk_{i + 900:03d}.parquet")
-                os.rename(os.path.join(data_dir, f"tmp_s{i}", part), dest)
-                os.utime(dest, (1_600_009_000 + i * 10, 1_600_009_000 + i * 10))
+            _sentinel_chunks(spark, ev.schema, data_dir)
             stream = (
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1)

@@ -237,8 +237,13 @@ def _load_shard(pkg: dict, shard: int) -> np.ndarray:
     if arr is None:
         arr = np.load(_resolve(path), mmap_mode="r", allow_pickle=False)
         while len(_MMAP_CACHE) >= _MMAP_CACHE_MAX:
-            _MMAP_CACHE.pop(next(iter(_MMAP_CACHE)))  # FIFO eviction
-        _MMAP_CACHE[path] = arr
+            _MMAP_CACHE.pop(next(iter(_MMAP_CACHE)))  # evict least-recent
+    else:
+        # LRU touch (dict preserves insertion order): without it a
+        # working set above the cap evicts its hottest shards first and
+        # thrashes np.load on every query
+        _MMAP_CACHE.pop(path)
+    _MMAP_CACHE[path] = arr
     return arr
 
 
@@ -358,11 +363,19 @@ def _search_one(
             acc[_load_shard(pkg, shard)[start:end]] += impact
         hit_ids = np.nonzero(acc[: max_doc + 1])[0]
         vals = acc[hit_ids].astype(np.int64)
-        # reset via the UNIQUE touched entries (every touched entry is
-        # nonzero — impacts are positive — so hit_ids covers them all):
-        # one write per distinct doc instead of one per posting, ~30%
-        # less scatter traffic on Zipf-headed plans
-        acc[hit_ids] = 0
+        # reset via the UNIQUE touched entries: one write per distinct
+        # doc instead of one per posting, ~30% less scatter traffic on
+        # Zipf-headed plans. Sound only while every plan impact is > 0
+        # (then every touched entry is nonzero and hit_ids covers them
+        # all); the scaled-impact formula can go non-positive for
+        # degenerate >=(MAX_RSV - 1)-term queries, where residue in the
+        # reused buffer would corrupt later queries on this worker — fall
+        # back to the exhaustive per-segment reset there.
+        if plan[-1][0] > 0:  # plan is impact-descending; min is last
+            acc[hit_ids] = 0
+        else:
+            for _impact, shard, start, end in plan:
+                acc[_load_shard(pkg, shard)[start:end]] = 0
     else:
         ids = np.concatenate([_load_shard(pkg, sh)[s:e] for _i, sh, s, e in plan])
         wts = np.concatenate(

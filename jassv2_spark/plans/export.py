@@ -232,18 +232,20 @@ def write_serialise_integers(index: Index, path: str,
 
     ordered, remap, value_col = iteration_frame(index, impacts)
     n_terms = 0
-    with open(path, "wb") as f:
-        for row in ordered.toLocalIterator():
-            n_terms += 1
-            by_impact: dict[int, list[int]] = {}
-            for p in row["ps"]:
-                by_impact.setdefault(int(p[value_col]), []).append(int(p["doc_id"]))
-            for impact in sorted(by_impact, reverse=True):
-                ids = by_impact[impact]
-                f.write(_struct.pack("<I", len(ids)))
-                for d in ids:
-                    f.write(_struct.pack("<I", d - 1))
-    remap.unpersist()
+    try:
+        with open(path, "wb") as f:
+            for row in ordered.toLocalIterator():
+                n_terms += 1
+                by_impact: dict[int, list[int]] = {}
+                for p in row["ps"]:
+                    by_impact.setdefault(int(p[value_col]), []).append(int(p["doc_id"]))
+                for impact in sorted(by_impact, reverse=True):
+                    ids = by_impact[impact]
+                    f.write(_struct.pack("<I", len(ids)))
+                    for d in ids:
+                        f.write(_struct.pack("<I", d - 1))
+    finally:
+        remap.unpersist()
     return {"path": path, "n_terms": n_terms}
 
 
@@ -253,19 +255,23 @@ def write_forward_index(index: Index, path: str,
     per non-empty document, ``<DOC><DOCNO>{docid}</DOCID>term:impact ...
     </DOC>`` (the mismatched </DOCID> tag is the reference's own), terms
     in ITERATION order within each document (the per-term delegate
-    appends to per-doc buffers), docids the dense 0-based positions the
-    reference's finish() prints."""
+    appends to per-doc buffers). The printed DOCNO is the reference
+    finish()'s document-vector INDEX — slot 0 is the always-empty null
+    document, so non-empty docs print their 1-based dense position
+    verbatim (subtracting 1 here would break byte-parity)."""
     from jassv2_spark.plans.jass_v1 import iteration_frame
 
     ordered, remap, value_col = iteration_frame(index, impacts)
     docs: dict[int, list[str]] = {}
-    for row in ordered.toLocalIterator():
-        term = row["term"]
-        for p in row["ps"]:
-            docs.setdefault(int(p["doc_id"]), []).append(
-                f"{term}:{int(p[value_col])} "
-            )
-    remap.unpersist()
+    try:
+        for row in ordered.toLocalIterator():
+            term = row["term"]
+            for p in row["ps"]:
+                docs.setdefault(int(p["doc_id"]), []).append(
+                    f"{term}:{int(p[value_col])} "
+                )
+    finally:
+        remap.unpersist()
     n = 0
     with open(path, "w", encoding="utf-8") as f:
         for doc_id in sorted(docs):
@@ -294,36 +300,41 @@ def write_compiled_index_cpp(index: Index, out_dir: str,
 
     _os.makedirs(out_dir, exist_ok=True)
     ordered, remap, value_col = iteration_frame(index, impacts)
-    postings = open(_os.path.join(out_dir, "JASS_postings.cpp"), "w", encoding="utf-8")
-    header = open(_os.path.join(out_dir, "JASS_postings.h"), "w", encoding="utf-8")
-    vocab = open(_os.path.join(out_dir, "JASS_vocabulary.cpp"), "w", encoding="utf-8")
-    keys_f = open(_os.path.join(out_dir, "JASS_primary_keys.cpp"), "w", encoding="utf-8")
+    from contextlib import ExitStack
 
-    vocab.write(_JASS_BANNER + "#include <stdint.h>\n\n"
-                '#include"JASS_postings.h"\n#include"JASS_vocabulary.h"\n'
-                "JASS_ci_vocab dictionary[] = {\n")
-    postings.write(_JASS_BANNER + "#include <stddef.h>\n#include <stdint.h>\n"
-                   '#include"query_heap.h"\n\nusing namespace JASS;\n')
-    header.write(_JASS_BANNER + '#include"query_heap.h"\n\nusing namespace JASS;\n')
-    keys_f.write(_JASS_BANNER + "#include <string>\n#include <vector>\n"
-                 "std::vector<std::string> primary_key =\n{\n")
+    with ExitStack() as stack:
+        stack.callback(remap.unpersist)
+        postings = stack.enter_context(
+            open(_os.path.join(out_dir, "JASS_postings.cpp"), "w", encoding="utf-8"))
+        header = stack.enter_context(
+            open(_os.path.join(out_dir, "JASS_postings.h"), "w", encoding="utf-8"))
+        vocab = stack.enter_context(
+            open(_os.path.join(out_dir, "JASS_vocabulary.cpp"), "w", encoding="utf-8"))
+        keys_f = stack.enter_context(
+            open(_os.path.join(out_dir, "JASS_primary_keys.cpp"), "w", encoding="utf-8"))
 
-    n_terms = 0
-    for row in ordered.toLocalIterator():
-        term = row["term"]
-        n_terms += 1
-        postings.write(f"void T_{term}(query_heap &q)\n{{\n")
-        for p in row["ps"]:
-            postings.write(f"q.add_rsv({int(p['doc_id'])},{int(p[value_col])});\n")
-        postings.write("}\n")
-        vocab.write(f'{{"{term}",T_{term}}},\n')
-        header.write(f"void T_{term}(query_heap &);\n")
-    vocab.write("};\n" + f"uint64_t dictionary_length = {n_terms};\n")
-    keys_f.write('"-",\n')
-    for r in remap.orderBy("__pos").toLocalIterator():
-        keys_f.write(f'"{r["key"]}",\n')
-    keys_f.write("};\n")
-    remap.unpersist()
-    for f in (postings, header, vocab, keys_f):
-        f.close()
+        vocab.write(_JASS_BANNER + "#include <stdint.h>\n\n"
+                    '#include"JASS_postings.h"\n#include"JASS_vocabulary.h"\n'
+                    "JASS_ci_vocab dictionary[] = {\n")
+        postings.write(_JASS_BANNER + "#include <stddef.h>\n#include <stdint.h>\n"
+                       '#include"query_heap.h"\n\nusing namespace JASS;\n')
+        header.write(_JASS_BANNER + '#include"query_heap.h"\n\nusing namespace JASS;\n')
+        keys_f.write(_JASS_BANNER + "#include <string>\n#include <vector>\n"
+                     "std::vector<std::string> primary_key =\n{\n")
+
+        n_terms = 0
+        for row in ordered.toLocalIterator():
+            term = row["term"]
+            n_terms += 1
+            postings.write(f"void T_{term}(query_heap &q)\n{{\n")
+            for p in row["ps"]:
+                postings.write(f"q.add_rsv({int(p['doc_id'])},{int(p[value_col])});\n")
+            postings.write("}\n")
+            vocab.write(f'{{"{term}",T_{term}}},\n')
+            header.write(f"void T_{term}(query_heap &);\n")
+        vocab.write("};\n" + f"uint64_t dictionary_length = {n_terms};\n")
+        keys_f.write('"-",\n')
+        for r in remap.orderBy("__pos").toLocalIterator():
+            keys_f.write(f'"{r["key"]}",\n')
+        keys_f.write("};\n")
     return {"dir": out_dir, "n_terms": n_terms}

@@ -73,9 +73,6 @@ def _gen(seed: int = 5, n_queries: int = 40, depth: int = 10):
     return run_rows, qrel_rows
 
 
-_METRIC_RE = re.compile(r"^(.*\((?:[A-Za-z0-9@]+)\)|Number [A-Za-z ]+) *: (.*)$")
-
-
 def _parse_per_query(text: str) -> dict[str, dict[str, float]]:
     """JASS_eval -p prints one block per query then an Averages block;
     key each block's metrics by the short name in parentheses."""

@@ -149,11 +149,18 @@ def test_mmap_cache_bounded():
                 arr = saat._load_shard(pkg, i)
                 assert arr.shape == (4,)
             assert len(saat._MMAP_CACHE) <= saat._MMAP_CACHE_MAX
-            # FIFO: the most recent shard is resident, the first evicted
+            # LRU: the most recent shard is resident, the oldest evicted
             assert paths[-1] in saat._MMAP_CACHE
             assert paths[0] not in saat._MMAP_CACHE
             # evicted shard reloads on demand
             assert saat._load_shard(pkg, 0).tolist() == [0, 1, 2, 3]
+            # a cache HIT refreshes recency: shard 0 (just reloaded) must
+            # survive an eviction wave that a pure-FIFO cache would sweep
+            # it out with
+            saat._load_shard(pkg, 0)
+            for i in range(1, saat._MMAP_CACHE_MAX // 2):
+                saat._load_shard(pkg, i)
+            assert paths[0] in saat._MMAP_CACHE
     finally:
         saat._MMAP_CACHE.clear()
         saat._MMAP_CACHE.update(saved)
