@@ -4595,6 +4595,60 @@ SELECT query_id, doc_id, combsum, n_runs, combmnz, rank FROM csr WHERE rank <= {
            FROM documents d, (SELECT unnest(range(16)) AS idx) i""",
     )
 
+    # Real video decode (stdlib RIFF/AVI demux, no codec libraries): a
+    # deterministic uncompressed-frame AVI per document, decoded through
+    # decode_media(fake=False, kinds=('video',)), samples re-integerized.
+    def _mm_video(spark, sf):
+        import struct
+
+        from pyspark.sql.types import (BinaryType, LongType, StringType,
+                                       StructField, StructType)
+
+        from jassv2_spark.operators.multimodal import META_SCHEMA, decode_media
+
+        n_bytes = 12
+        media_schema = StructType([
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("meta", META_SCHEMA, False),
+        ])
+
+        def make_avis(batches):
+            import pandas as pd
+
+            def chunk(fourcc, body):
+                pad = b"\x00" if len(body) & 1 else b""
+                return fourcc + struct.pack("<I", len(body)) + body + pad
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    frame = bytes((did * 37 + i * 11) % 256 for i in range(n_bytes))
+                    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", bytes(56)))
+                    movi = chunk(b"LIST", b"movi" + chunk(b"00db", frame))
+                    body = b"AVI " + hdrl + movi
+                    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+                    rows.append((did, "video", avi, (4, 3, 1, None, 1)))
+                yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+        media = _docs(spark, sf).select("doc_id").mapInPandas(
+            make_avis, schema=media_schema)
+        decoded = decode_media(media, fake=False, kinds=("video",))
+        return decoded.select("media_id", F.posexplode("values").alias("idx", "v")).select(
+            "media_id",
+            F.col("idx").cast("long").alias("idx"),
+            F.round(F.col("v") * 256).cast("long").alias("byte_val"),
+        )
+
+    r["multimodal_video_frame"] = (
+        _mm_video,
+        """SELECT d.doc_id AS media_id, i.idx::BIGINT AS idx,
+                  ((d.doc_id * 37 + i.idx * 11) % 256)::BIGINT AS byte_val
+           FROM documents d, (SELECT unnest(range(12)) AS idx) i""",
+    )
+
     # ---- input-contract web pages: (url, warc_ts, html, text, lang) ----
     # The north-rule input shape. Spark side synthesizes the contract table
     # from `documents` (TREC-framed html bytes, zero-padded urls), then runs

@@ -103,12 +103,14 @@ def decode_media(media: DataFrame, fake: bool = False,
     path; the schema and batch plumbing are exactly what a real decoder
     uses. With fake=False the REAL path decodes image payloads via Pillow
     when it is installed (optional dependency; grayscale-flattened pixels
-    normalized to [0, 1)) and audio payloads via the stdlib ``wave``
-    module (RIFF/WAV PCM → float samples in [-1, 1), no dependency);
-    video needs codecs neither provides and is dropped by the real path.
-    ``kinds`` restricts decoding to the named kinds — pass
-    ``kinds=("audio",)`` to use the real audio path without Pillow
-    installed. Without Pillow, a real path that may include images raises
+    normalized to [0, 1)), audio payloads via the stdlib ``wave`` module
+    (RIFF/WAV PCM → float samples in [-1, 1), no dependency), and video
+    payloads via a stdlib RIFF/AVI demux (first uncompressed frame →
+    [0, 1) floats; compressed codecs still need external libraries and
+    such payloads are dropped). ``kinds`` restricts decoding to the
+    named kinds — pass ``kinds=("audio",)`` / ``("video",)`` (or both)
+    to use the dependency-free paths without Pillow installed. Without
+    Pillow, a real path that may include images raises
     NotImplementedError (install pillow, pass fake=True, or narrow
     ``kinds``)."""
     if kinds is not None:
@@ -173,6 +175,38 @@ def _decode_audio_wav(payload: bytes) -> list[float] | None:
     return arr.tolist()
 
 
+def _decode_video_avi(payload: bytes) -> list[float] | None:
+    """stdlib RIFF/AVI demux for the uncompressed-frame case: walk the
+    container ('RIFF'/'AVI ' → LIST 'movi' → '##db'/'##dc' chunks), take
+    the FIRST video frame's raw bytes and normalize to [0, 1) floats —
+    the per-frame analogue of the image path's grayscale flatten.  Only
+    uncompressed / DIB frames are meaningful here (compressed codecs
+    still need external libraries); anything that does not parse as AVI
+    returns None and the row is dropped."""
+    import struct as _struct
+
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+
+    def walk(buf: bytes, at: int, end: int):
+        while at + 8 <= end:
+            fourcc = buf[at : at + 4]
+            (size,) = _struct.unpack_from("<I", buf, at + 4)
+            body_at = at + 8
+            body_end = min(body_at + size, end)
+            if fourcc in (b"LIST", b"RIFF"):
+                yield from walk(buf, body_at + 4, body_end)
+            else:
+                yield fourcc, buf[body_at:body_end]
+            at = body_at + size + (size & 1)  # chunks are word-aligned
+
+    for fourcc, body in walk(payload, 12, len(payload)):
+        if len(fourcc) == 4 and fourcc[2:4] in (b"db", b"dc") and body:
+            arr = np.frombuffer(body, dtype=np.uint8)
+            return (arr.astype(np.float64) / 256.0).tolist()
+    return None
+
+
 def _decode_media_real(media: DataFrame) -> DataFrame:
     """Real decode: image payload → Pillow grayscale pixels in [0, 1);
     audio payload → stdlib-wave PCM samples in [-1, 1) (no optional
@@ -202,6 +236,11 @@ def _decode_media_real(media: DataFrame) -> DataFrame:
                     continue
                 if kind == "audio":
                     vals = _decode_audio_wav(bytes(payload))
+                    if vals is not None:
+                        rows.append((int(mid), kind, len(vals), vals))
+                    continue
+                if kind == "video":
+                    vals = _decode_video_avi(bytes(payload))
                     if vals is not None:
                         rows.append((int(mid), kind, len(vals), vals))
                     continue

@@ -176,3 +176,47 @@ def test_real_decode_without_pillow_raises_clearly(spark):
     assert out and out[0]["n_values"] == 16
     rs = resize_images(png, 2, 2, fake=False).collect()
     assert rs and len(rs[0]["payload"]) == 4
+
+
+def _avi_bytes(frames: list[bytes]) -> bytes:
+    """Minimal RIFF/AVI: hdrl stub + movi list with 00db (uncompressed)
+    frame chunks, word-aligned — enough container for the stdlib demux."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    hdrl = lst(b"hdrl", chunk(b"avih", bytes(56)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + __import__("struct").pack("<I", len(body)) + body
+
+
+def test_real_video_decode_uncompressed_avi(spark):
+    """The REAL video path: first uncompressed AVI frame through the
+    stdlib RIFF demux — no Pillow, no codec libraries."""
+    from jassv2_spark.operators.multimodal import decode_media
+
+    frame0 = bytes([0, 64, 128, 255, 3])
+    rows = [
+        (1, "video", bytearray(_avi_bytes([frame0, b"\x10\x20"])),
+         {"width": 5, "height": 1, "channels": 1, "sample_rate": None,
+          "n_frames": 2}),
+        (2, "video", bytearray(b"not an avi"),
+         {"width": 1, "height": 1, "channels": 1, "sample_rate": None,
+          "n_frames": 1}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,channels:int,sample_rate:int,n_frames:int>",
+    )
+    out = {r["media_id"]: r for r in
+           decode_media(media, fake=False, kinds=("video",)).collect()}
+    assert set(out) == {1}  # non-AVI payload dropped
+    assert out[1]["n_values"] == len(frame0)
+    assert out[1]["values"] == [b / 256.0 for b in frame0]

@@ -154,6 +154,48 @@ def test_v2_byte_identical_to_live_JASS_index(corpus, ref_corpora,
             assert a.read() == b.read(), f"{corpus}/v2/{f} differs from JASS_index"
 
 
+def test_index_to_human_matches_live_dump(refbin, ref_corpora, spark,
+                                          built_indexes):
+    """`JASSv1_to_human` over the reference-built index vs
+    plans/export.py's index_to_human: identical vocabulary, and per term
+    identical postings walk (segment order, docids) — with the live
+    tool's two dump quirks pinned: it prints docids 0-BASED and
+    truncates impacts to uint8 (its walk stores them in an 8-bit type,
+    so impact 990 prints as 222). A fixed upstream flips the truncation
+    assertion loudly."""
+    import re as _re
+
+    from jassv2_spark.plans.export import index_to_human
+
+    idx_dir = ref_corpora[("syn", 1)]
+    r = subprocess.run([os.path.join(refbin, "JASSv1_to_human")], cwd=idx_dir,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    tool: dict[str, list[tuple[int, int]]] = {}
+    in_postings = False
+    for line in r.stdout.splitlines():
+        if line.startswith("POSTINGS"):
+            in_postings = True
+            continue
+        if not in_postings or " <" not in line:
+            continue
+        term, _, rest = line.partition(" ")
+        tool[term] = [(int(a), int(b))
+                      for a, b in _re.findall(r"<(\d+),(\d+)>", rest)]
+
+    ours = {}
+    for row in index_to_human(built_indexes["syn"]).collect():
+        term, _, rest = row["line"].partition(" ")
+        ours[term] = [(int(a), int(b))
+                      for a, b in _re.findall(r"<(\d+),(\d+)>", rest)]
+
+    assert set(tool) == set(ours)
+    for term in tool:
+        want = tool[term]
+        got = [(d - 1, imp & 0xFF) for d, imp in ours[term]]  # the quirks
+        assert got == want, term
+
+
 def test_trec_topics_match_live_trec_to_query(refbin, spark, tmp_path):
     """TREC topic parsing + tokenization vs the live `trec_to_query`
     tool: our parse_trec_topics('t') titles, run through the parity

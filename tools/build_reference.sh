@@ -75,6 +75,7 @@ link test_integer_compress "$REF/tools/test_integer_compress.cpp"
 link JASS_eval    "$REF/tools/JASS_eval.cpp"
 link ciff_to_JASS "$REF/tools/ciff_to_JASS.cpp"
 link trec_to_query "$REF/tools/trec_to_query.cpp"
+link JASSv1_to_human "$REF/tools/JASSv1_to_human.cpp"
 
 # differential-test drivers (sources in this repo's tools/)
 HERE=$(cd "$(dirname "$0")" && pwd)
