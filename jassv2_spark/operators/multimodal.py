@@ -176,34 +176,57 @@ def _decode_audio_wav(payload: bytes) -> list[float] | None:
 
 
 def _decode_video_avi(payload: bytes) -> list[float] | None:
-    """stdlib RIFF/AVI demux for the uncompressed-frame case: walk the
-    container ('RIFF'/'AVI ' → LIST 'movi' → '##db'/'##dc' chunks), take
-    the FIRST video frame's raw bytes and normalize to [0, 1) floats —
-    the per-frame analogue of the image path's grayscale flatten.  Only
-    uncompressed / DIB frames are meaningful here (compressed codecs
-    still need external libraries); anything that does not parse as AVI
-    returns None and the row is dropped."""
+    """stdlib RIFF/AVI demux: walk the container ('RIFF'/'AVI ' → LIST
+    'movi' → '##db'/'##dc' chunks) and take the FIRST decodable video
+    frame, normalized to [0, 1) floats — the per-frame analogue of the
+    image path's grayscale flatten.  '##db' (uncompressed/DIB) frames
+    use the raw bytes directly; '##dc' (compressed — MJPEG) frames route
+    through the same Pillow gate as the image path: decoded to grayscale
+    when Pillow is importable, skipped otherwise.  Anything that does not
+    parse as AVI, or whose frames all fail to decode, returns None and
+    the row is dropped."""
     import struct as _struct
 
     if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return None
 
     def walk(buf: bytes, at: int, end: int):
-        while at + 8 <= end:
-            fourcc = buf[at : at + 4]
-            (size,) = _struct.unpack_from("<I", buf, at + 4)
-            body_at = at + 8
-            body_end = min(body_at + size, end)
-            if fourcc in (b"LIST", b"RIFF"):
-                yield from walk(buf, body_at + 4, body_end)
-            else:
+        # Iterative with an explicit stack: a hostile payload of deeply
+        # nested LIST chunks must exhaust the scan, not Python's recursion
+        # limit — undecodable rows are dropped, never a task failure.
+        stack = [(at, end)]
+        while stack:
+            at, end = stack.pop()
+            while at + 8 <= end:
+                fourcc = buf[at : at + 4]
+                (size,) = _struct.unpack_from("<I", buf, at + 4)
+                body_at = at + 8
+                body_end = min(body_at + size, end)
+                next_at = body_at + size + (size & 1)  # chunks are word-aligned
+                if next_at <= at:  # zero/overflowed size: refuse to loop forever
+                    break
+                if fourcc in (b"LIST", b"RIFF"):
+                    stack.append((next_at, end))  # resume after this LIST
+                    at, end = body_at + 4, body_end  # descend into it
+                    continue
                 yield fourcc, buf[body_at:body_end]
-            at = body_at + size + (size & 1)  # chunks are word-aligned
+                at = next_at
 
     for fourcc, body in walk(payload, 12, len(payload)):
-        if len(fourcc) == 4 and fourcc[2:4] in (b"db", b"dc") and body:
+        if len(fourcc) != 4 or not body:
+            continue
+        if fourcc[2:4] == b"db":  # uncompressed frame: raw bytes
             arr = np.frombuffer(body, dtype=np.uint8)
             return (arr.astype(np.float64) / 256.0).tolist()
+        if fourcc[2:4] == b"dc":  # compressed frame: MJPEG via the Pillow gate
+            try:
+                import io
+                from PIL import Image
+                img = Image.open(io.BytesIO(body)).convert("L")
+            except Exception:
+                continue  # Pillow absent or not a decodable JPEG: try next frame
+            arr = np.asarray(img, dtype=np.float64).ravel() / 256.0
+            return arr.tolist()
     return None
 
 

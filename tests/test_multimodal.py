@@ -220,3 +220,93 @@ def test_real_video_decode_uncompressed_avi(spark):
     assert set(out) == {1}  # non-AVI payload dropped
     assert out[1]["n_values"] == len(frame0)
     assert out[1]["values"] == [b / 256.0 for b in frame0]
+
+
+def test_video_decode_hostile_deep_nesting_no_recursion_error():
+    """A malformed AVI of deeply nested LIST chunks must be dropped (None),
+    not blow Python's recursion limit and kill the Spark task — the walk is
+    an explicit-stack iteration (advice r4)."""
+    import struct
+    from jassv2_spark.operators.multimodal import _decode_video_avi
+
+    depth = 5000  # far beyond the default recursion limit at ~12 B/level
+    inner = b""
+    for _ in range(depth):
+        body = b"movi" + inner
+        inner = b"LIST" + struct.pack("<I", len(body)) + body
+    payload = b"RIFF" + struct.pack("<I", len(b"AVI " + inner)) + b"AVI " + inner
+    assert _decode_video_avi(payload) is None
+
+    # zero-size / overflowed chunk sizes must terminate, not spin
+    evil = b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"AVI " + b"LIST" + struct.pack("<I", 0) + b""
+    assert _decode_video_avi(evil) is None
+
+
+def test_video_decode_frame_after_nested_list():
+    """The iterative walk must still resume scanning AFTER a descended LIST:
+    a frame chunk that follows a sibling LIST is found."""
+    import struct
+    from jassv2_spark.operators.multimodal import _decode_video_avi
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", bytes(56)))
+    frame = bytes([7, 9, 250])
+    movi = chunk(b"LIST", b"movi" + chunk(b"00db", frame))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    vals = _decode_video_avi(payload)
+    assert vals == [b / 256.0 for b in frame]
+
+
+def test_video_decode_mjpeg_dc_frame_pillow_gated():
+    """'##dc' (MJPEG) frames route through the Pillow gate: with Pillow the
+    JPEG decodes to grayscale [0,1) floats; without it the frame is skipped
+    (and a later '##db' frame can still win)."""
+    import io
+    import struct
+    from jassv2_spark.operators.multimodal import _decode_video_avi
+
+    try:
+        from PIL import Image
+    except ImportError:
+        import pytest
+        pytest.skip("Pillow not installed — MJPEG video path gated off")
+
+    img = Image.new("L", (2, 2))
+    img.putdata([0, 64, 128, 255])
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=100)
+    jpeg = buf.getvalue()
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", bytes(56)))
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", jpeg))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    vals = _decode_video_avi(payload)
+    assert vals is not None and len(vals) == 4
+    assert all(0.0 <= v < 1.0 for v in vals)
+
+
+def test_video_decode_dc_frame_skipped_without_pillow_falls_to_db():
+    """Without Pillow (or with an undecodable dc payload) the scan continues
+    to the next frame instead of returning garbage raw bytes of a
+    compressed stream."""
+    import struct
+    from jassv2_spark.operators.multimodal import _decode_video_avi
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    frame = bytes([1, 2, 3, 4])
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", b"\xde\xad") + chunk(b"00db", frame))
+    body = b"AVI " + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert _decode_video_avi(payload) == [b / 256.0 for b in frame]
