@@ -188,9 +188,16 @@ def run_level(cores: int, amplify: int, n_queries: int, phases_sel: str) -> dict
             idx.unpersist()
         t0 = time.perf_counter()
         idx = build_index(docs, text_col="text", key_col="doc_id", doc_id_col="doc_id", conf=conf)
-        n_segments = idx.segments.count()
-        idx.seg_stats.count()
-        idx.term_stats.count()
+        # ONE action materializes all three persisted tables: term_stats
+        # derives from seg_stats derives from segments, so the first scan
+        # fills every cache bottom-up — three separate counts re-scanned
+        # the (large) cached segment table twice and paid two extra
+        # driver round-trips, a serial cost that depresses the N→4N ratio.
+        from pyspark.sql import functions as _F
+
+        n_segments = int(
+            idx.term_stats.agg(_F.sum("n_segments")).collect()[0][0] or 0
+        )
         best_build = min(best_build, time.perf_counter() - t0)
     phases["build"] = best_build
 

@@ -397,13 +397,39 @@ def build_index_from_counts(
     if cache:
         profile = profile.persist()
 
+    term_df = profile.groupBy("term").agg(F.sum("n_pairs").alias("df"))
+
+    # ONE driver action replaces three (collection length, the distinct-df
+    # ln domain, and the quantization min/max pass): roll the profile up to
+    # (df, tf) groups carrying Σsum_cnt and the dl extremes. Everything
+    # below derives on the driver from this table, which is bounded by
+    # distinct (df, tf) pairs — the same capped-domain regime as the ln
+    # table (fallback below). Eliminating two driver round-trips (each a
+    # full Catalyst analyze + job schedule) cuts the build's serial fixed
+    # cost, which is what bounds N→4N scaling efficiency at bench scale.
+    from jassv2_spark.functions.lntable import DEFAULT_MAX_DISTINCT
+
+    rollup = (
+        profile.join(term_df, "term")
+        .groupBy("df", "tf")
+        .agg(
+            F.sum("sum_cnt").alias("cl"),
+            F.min("dl_lo").alias("dl_lo"),
+            F.max("dl_hi").alias("dl_hi"),
+        )
+        .limit(DEFAULT_MAX_DISTINCT + 1)
+        .collect()
+    )
+    capped = len(rollup) > DEFAULT_MAX_DISTINCT
+
     if collection_length is None:
-        collection_length = profile.agg(F.sum("sum_cnt")).collect()[0][0] or 0
+        if capped:
+            collection_length = profile.agg(F.sum("sum_cnt")).collect()[0][0] or 0
+        else:
+            collection_length = sum(int(r["cl"]) for r in rollup)
     # mean = Σlen / (slots-1); slot 0 is the unused doc 0 ⇒ Σlen / N
     # (source/ranking_function_atire_bm25.h:65-69)
     mean_dl = float(collection_length) / float(n_docs) if n_docs else 0.0
-
-    term_df = profile.groupBy("term").agg(F.sum("n_pairs").alias("df"))
 
     # idf = ln(N/df), computed on the DRIVER per distinct df value and
     # broadcast-joined. Rationale: the JVM's Math.log differs from
@@ -417,7 +443,10 @@ def build_index_from_counts(
     # oracle parity, announced in the log.
     from jassv2_spark.functions.lntable import capped_distinct
 
-    df_vals = capped_distinct(term_df, "df")
+    if not capped:
+        df_vals: list | None = sorted({int(r["df"]) for r in rollup})
+    else:
+        df_vals = capped_distinct(term_df, "df")
     if df_vals is not None:
         idf_rows = [(int(d), math.log(n_docs / d)) for d in df_vals]
         idf_map = F.broadcast(
@@ -460,19 +489,37 @@ def build_index_from_counts(
     # WITHOUT scanning all (term, doc) scores: for a fixed (term, tf), BM25
     # is monotone non-increasing in dl (idf ≥ 0, the denominator grows with
     # dl), so the global max lives at some (term, tf, min dl) and the
-    # global min at some (term, tf, max dl) — both already in `profile`.
-    # The candidate scores use the SAME column expression on the same
-    # values, so the result is bitwise-identical to the full scan.
-    mm = (
-        profile.join(vocab, "term")
-        .transform(_with_idf)
-        .agg(
-            F.min(_score_expr("dl_hi")).alias("lo"),
-            F.max(_score_expr("dl_lo")).alias("hi"),
+    # global min at some (term, tf, max dl) — both already in the (df, tf)
+    # rollup, evaluated ON THE DRIVER below with the SAME IEEE-binary64
+    # operation sequence as `_score_expr` (+, *, / are correctly rounded,
+    # so identical operand order ⇒ identical bits — no extra Spark action).
+    if not capped:
+        def _score_py(idf: float, tf: int, dl: int) -> float:
+            tf_f = float(tf)
+            lc = k1 * ((1.0 - b) + (b * float(dl)) / mean_dl)
+            return idf * ((tf_f * (k1 + 1.0)) / (tf_f + lc))
+
+        if rollup:
+            ln = math.log  # same libm as the broadcast idf table
+            min_rsv = min(
+                _score_py(ln(n_docs / r["df"]), r["tf"], r["dl_hi"]) for r in rollup
+            )
+            max_rsv = max(
+                _score_py(ln(n_docs / r["df"]), r["tf"], r["dl_lo"]) for r in rollup
+            )
+        else:
+            min_rsv = max_rsv = 0.0
+    else:
+        mm = (
+            profile.join(vocab, "term")
+            .transform(_with_idf)
+            .agg(
+                F.min(_score_expr("dl_hi")).alias("lo"),
+                F.max(_score_expr("dl_lo")).alias("hi"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    min_rsv, max_rsv = float(mm["lo"] or 0.0), float(mm["hi"] or 0.0)
+        min_rsv, max_rsv = float(mm["lo"] or 0.0), float(mm["hi"] or 0.0)
 
     if max_rsv > min_rsv:
         impact_col = (
