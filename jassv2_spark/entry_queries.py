@@ -8070,4 +8070,213 @@ FROM cma""",
            GROUP BY l_returnflag, l_linestatus""",
     )
 
+    # ---- index inspection: examine_index (experimental/examine_index.cpp) ----
+    # Per-impact-segment docid-gap bit-width statistics over the engine's
+    # segment table (d1 convention: first docid minus 1, then gaps —
+    # plans/jass_v1.py). Faithful reference quirks: bitness(0)=1 and
+    # bitness(v)=bit_length(v) (:51-56); the per-segment "median" is the
+    # MODE with smallest-bitness tie-break (:84-89); the "exception" ends
+    # up the segment's MAX bitness because the reference keeps overwriting
+    # it past the 90th percentile (:81-88).
+    def _examine(spark, sf):
+        from pyspark.sql import Window as _W
+
+        g = (
+            get_index(spark, sf)
+            .segments.select("term", "impact", F.explode("doc_ids").alias("doc_id"))
+        )
+        w = _W.partitionBy("term", "impact").orderBy("doc_id")
+        g = g.withColumn(
+            "gap",
+            F.when(F.lag("doc_id").over(w).isNull(), F.col("doc_id") - 1)
+            .otherwise(F.col("doc_id") - F.lag("doc_id").over(w)),
+        ).withColumn(
+            "bitness",
+            F.when(F.col("gap") == 0, F.lit(1)).otherwise(
+                F.length(F.bin("gap")).cast("long")
+            ),
+        )
+        seg = g.groupBy("term", "impact").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bitness").alias("sum_b"),
+            F.max("bitness").alias("max_b"),
+        )
+        bw = _W.partitionBy("term", "impact").orderBy(
+            F.col("cnt").desc(), F.col("bitness").asc()
+        )
+        mode = (
+            g.groupBy("term", "impact", "bitness")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(bw))
+            .where(F.col("rn") == 1)
+            .select("term", "impact", F.col("bitness").alias("mode"))
+        )
+        per = seg.join(mode, ["term", "impact"]).select(
+            F.ceil(F.col("sum_b").cast("double") / F.col("n")).cast("long").alias("mean_mag"),
+            F.col("mode").cast("long").alias("mode"),
+            F.col("max_b").cast("long").alias("max_b"),
+        )
+        means = per.groupBy("mean_mag").agg(F.count(F.lit(1)).alias("n_segments")).select(
+            F.lit("mean").alias("stat"), F.col("mean_mag").alias("row_bucket"),
+            F.lit(0).cast("long").alias("col_bucket"), "n_segments")
+        medians = per.groupBy("mode").agg(F.count(F.lit(1)).alias("n_segments")).select(
+            F.lit("median").alias("stat"), F.col("mode").alias("row_bucket"),
+            F.lit(0).cast("long").alias("col_bucket"), "n_segments")
+        exc = (
+            per.where(F.col("max_b") > F.col("mode"))
+            .groupBy("mode", "max_b").agg(F.count(F.lit(1)).alias("n_segments"))
+            .select(F.lit("exception").alias("stat"), F.col("mode").alias("row_bucket"),
+                    F.col("max_b").alias("col_bucket"), "n_segments")
+        )
+        return means.unionAll(medians).unionAll(exc)
+
+    r["jass_examine_index"] = (
+        _examine,
+        _sql(_BASE)
+        + """,
+gaps AS (SELECT term, impact,
+           CASE WHEN lag(doc_id) OVER w IS NULL THEN doc_id - 1
+                ELSE doc_id - lag(doc_id) OVER w END AS gap
+         FROM imp WINDOW w AS (PARTITION BY term, impact ORDER BY doc_id)),
+bitn AS (SELECT term, impact,
+           CASE WHEN gap = 0 THEN 1 ELSE length(bin(gap)) END::BIGINT AS bitness
+         FROM gaps),
+segstats AS (SELECT term, impact, count(*)::BIGINT AS n, sum(bitness)::BIGINT AS sum_b,
+                    max(bitness)::BIGINT AS max_b
+             FROM bitn GROUP BY term, impact),
+modes AS (SELECT term, impact, bitness AS mode FROM (
+            SELECT term, impact, bitness,
+                   row_number() OVER (PARTITION BY term, impact
+                                      ORDER BY count(*) DESC, bitness ASC) AS rn
+            FROM bitn GROUP BY term, impact, bitness) WHERE rn = 1),
+per AS (SELECT CAST(ceil(s.sum_b::DOUBLE / s.n) AS BIGINT) AS mean_mag,
+               m.mode::BIGINT AS mode, s.max_b
+        FROM segstats s JOIN modes m USING (term, impact))
+SELECT 'mean' AS stat, mean_mag AS row_bucket, 0::BIGINT AS col_bucket,
+       count(*)::BIGINT AS n_segments FROM per GROUP BY mean_mag
+UNION ALL
+SELECT 'median', mode, 0::BIGINT, count(*)::BIGINT FROM per GROUP BY mode
+UNION ALL
+SELECT 'exception', mode, max_b, count(*)::BIGINT FROM per
+WHERE max_b > mode GROUP BY mode, max_b""",
+    )
+
+    # ---- index inspection: bin_to_human over the -Ib sink ----
+    def _bin_to_human(spark, sf):
+        """Write the engine's byte-identical `-Ib` file, parse it back with
+        the bin_to_human reader (plans/export.py), and summarize the lists
+        structurally (lengths are invariant under the hash-walk term order
+        and dense-docid remap the file embeds, so the oracle can recompute
+        them from the parquet directly). Content-level parity of the same
+        byte stream is separately proven vs `JASS_index -Ib`
+        (tests/test_reference_differential.py) and via jass_v1_roundtrip."""
+        import shutil
+        import tempfile
+
+        from jassv2_spark.plans.export import (read_serialise_integers,
+                                               write_serialise_integers)
+
+        idx = get_index(spark, sf)
+        d = tempfile.mkdtemp(prefix="jass_bin_entry_")
+        try:
+            path = f"{d}/postings.bin"
+            write_serialise_integers(idx, path)
+            lists = read_serialise_integers(path)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        import pandas as pd
+
+        pdf = pd.DataFrame({"length": [n for n, _ids in lists]})
+        agg = pdf.groupby("length").size().reset_index(name="n_lists")
+        return spark.createDataFrame(agg).select(
+            F.col("length").cast("long"), F.col("n_lists").cast("long")
+        )
+
+    r["jass_bin_to_human"] = (
+        _bin_to_human,
+        _sql(_BASE)
+        + """ SELECT seg_freq AS length, count(*)::BIGINT AS n_lists
+              FROM seg GROUP BY seg_freq""",
+    )
+
+    # ---- ECOM19 workshop converters (tools/ECOM19_to_*.cpp) ----
+    # Deterministic ECOM19-shaped input synthesized from `part`:
+    # doc_id = p_partkey, price = p_retailprice; assessment/training/run
+    # matrices from modular rules so both engines derive identical cells.
+    def _ecom_docs(spark, sf):
+        return spark.read.parquet(f"{sf}/part.parquet").select(
+            F.col("p_partkey").cast("long").alias("doc_id"),
+            F.col("p_retailprice").cast("double").alias("price"),
+        )
+
+    def _ecom_cells(docs, mul_d, mul_q, modulus):
+        q = docs.sparkSession.range(1, 5).select(F.col("id").cast("long").alias("query_id"))
+        return (
+            docs.select("doc_id").crossJoin(F.broadcast(q))
+            .withColumn("m", (F.col("doc_id") * mul_d + F.col("query_id") * mul_q) % modulus)
+        )
+
+    def _ecom_qrels(spark, sf):
+        from jassv2_spark.operators.ecom19 import ecom19_to_jass_eval
+
+        docs = _ecom_docs(spark, sf)
+        cells = _ecom_cells(docs, 7, 13, 11)
+        assess = cells.where(F.col("m").isin(0, 1)).select(
+            "doc_id", "query_id",
+            F.when(F.col("m") == 0, F.lit(1)).otherwise(F.lit(-1)).alias("value"),
+        )
+        return ecom19_to_jass_eval(docs, assess)
+
+    r["ecom19_qrel_lines"] = (
+        _ecom_qrels,
+        """WITH docs AS (SELECT p_partkey::BIGINT AS doc_id,
+                                p_retailprice::DOUBLE AS price FROM part),
+           q AS (SELECT unnest([1, 2, 3, 4])::BIGINT AS query_id),
+           cells AS (SELECT doc_id, query_id,
+                            (doc_id * 7 + query_id * 13) % 11 AS m FROM docs, q)
+           SELECT printf('PRICE 0 %d %.2f', doc_id, price) AS line FROM docs
+           UNION ALL
+           SELECT printf('%d 0 %d %d', query_id, doc_id,
+                         CASE WHEN m = 0 THEN 1 ELSE 0 END) AS line
+           FROM cells WHERE m IN (0, 1)""",
+    )
+
+    def _ecom_run(spark, sf):
+        from jassv2_spark.operators.ecom19 import ecom19_to_run
+
+        docs = _ecom_docs(spark, sf)
+        run = _ecom_cells(docs, 3, 5, 7).where(F.col("m") == 0).select(
+            "doc_id", "query_id", F.lit(1).alias("value"))
+        training = _ecom_cells(docs, 5, 3, 13).where(F.col("m").isin(0, 1)).select(
+            "doc_id", "query_id",
+            F.when(F.col("m") == 0, F.lit(1)).otherwise(F.lit(-1)).alias("value"))
+        return ecom19_to_run(docs, training, run, run_name="ECOM19").select(
+            F.col("query_id").cast("long"), F.col("doc_id").cast("long"),
+            F.col("rank").cast("long"), F.col("score").cast("long"), "line")
+
+    r["ecom19_run_lines"] = (
+        _ecom_run,
+        """WITH docs AS (SELECT p_partkey::BIGINT AS doc_id,
+                                p_retailprice::DOUBLE AS price FROM part),
+           q AS (SELECT unnest([1, 2, 3, 4])::BIGINT AS query_id),
+           run AS (SELECT doc_id, query_id FROM docs, q
+                   WHERE (doc_id * 3 + query_id * 5) % 7 = 0),
+           train AS (SELECT doc_id, query_id FROM docs, q
+                     WHERE (doc_id * 5 + query_id * 3) % 13 IN (0, 1)),
+           kept AS (SELECT r.query_id, r.doc_id, d.price
+                    FROM run r JOIN docs d USING (doc_id)
+                    WHERE NOT EXISTS (SELECT 1 FROM train t
+                                      WHERE t.doc_id = r.doc_id
+                                        AND t.query_id = r.query_id)),
+           ranked AS (SELECT query_id, doc_id,
+                             row_number() OVER (PARTITION BY query_id
+                                                ORDER BY price ASC, doc_id ASC)::BIGINT AS rank,
+                             count(*) OVER (PARTITION BY query_id)::BIGINT AS n
+                      FROM kept)
+           SELECT query_id, doc_id, rank, (n - rank + 1)::BIGINT AS score,
+                  printf('%d Q0 %d %d %d ECOM19', query_id, doc_id, rank,
+                         n - rank + 1) AS line
+           FROM ranked""",
+    )
+
     return r

@@ -338,3 +338,32 @@ def write_compiled_index_cpp(index: Index, out_dir: str,
             keys_f.write(f'"{r["key"]}",\n')
         keys_f.write("};\n")
     return {"dir": out_dir, "n_terms": n_terms}
+
+
+def read_serialise_integers(path: str) -> list[tuple[int, list[int]]]:
+    """Parser for the `-Ib` Lemire bin format — the DataFrame-era
+    `tools/bin_to_human.cpp:28-77`: (u32 length, length × u32 docids)
+    repeated to EOF. Returns [(length, ids), ...] in file order."""
+    import struct as _struct
+
+    out: list[tuple[int, list[int]]] = []
+    with open(path, "rb") as f:
+        while True:
+            hdr = f.read(4)
+            if len(hdr) < 4:
+                break
+            (length,) = _struct.unpack("<I", hdr)
+            data = f.read(4 * length)
+            if len(data) < 4 * length:
+                raise EOFError(f"truncated postings list in {path}")
+            out.append((length, list(_struct.unpack(f"<{length}I", data))))
+    return out
+
+
+def bin_to_human(path: str) -> list[str]:
+    """The tool's exact per-list dump lines (`bin_to_human.cpp:68-71`):
+    ``length:id id id `` — one line per postings list."""
+    return [
+        f"{n}:" + "".join(f"{d} " for d in ids)
+        for n, ids in read_serialise_integers(path)
+    ]
