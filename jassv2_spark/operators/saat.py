@@ -96,8 +96,10 @@ def package_index(index: Index, path: str | None = None, n_shards: int | None = 
     """Build the serving package with NOTHING vocab- or postings-scale on
     the driver: the segment table is repartitioned by
     ``pmod(xxhash64(term), n_shards)`` into ``n_shards`` tasks; each task
-    writes one flat ascending-docid `.npy` shard per partition (int32 when
-    its docids fit, the reference's own width, `source/query.h:132`) plus
+    writes one flat ascending-docid `.npy` shard per partition (int64:
+    numpy's fancy-index fast path wants intp indices — see write(); the
+    reference's 4-byte docid width, `source/query.h:132`, would pay a
+    per-query conversion instead) plus
     one **directory parquet per bucket** (a bucket lands wholly inside one
     partition, so its directory file has a deterministic name workers can
     derive without any listing: ``dir_{token}_{bucket:05d}.parquet``). The
@@ -154,9 +156,15 @@ def package_index(index: Index, path: str | None = None, n_shards: int | None = 
                 )
                 offset += len(ids)
         if chunks:
+            # int64 ON PURPOSE (not the reference's 4-byte docids,
+            # `source/query.h:132`): numpy fancy indexing converts any
+            # non-intp index array to int64 on EVERY kernel call, so int32
+            # shards pay a per-query conversion pass — A/B-measured 20-33%
+            # of whole-query time at 640k docs (round 5). Serving reads 8
+            # cold bytes/posting instead of 4+8 convert-churn bytes; old
+            # int32 packages still load (np.load keys off the header) and
+            # simply keep paying the conversion.
             all_ids = np.concatenate(chunks)
-            if int(all_ids.max()) < (1 << 31):
-                all_ids = all_ids.astype(np.int32)
             # write-then-rename: idempotent under task retry (content is
             # deterministic, so a double write is harmless either way)
             final = os.path.join(path, f"shard_{token}_{pid:05d}.npy")
@@ -347,7 +355,18 @@ def _search_one(
         return [], processed
 
     max_doc = int(pkg.get("max_doc", 0))
-    if max_doc < DENSE_LIMIT:
+    # PER-QUERY path choice, not just a docid-space cap: the dense path
+    # carries an O(max_doc) term (the np.nonzero hit scan over the whole
+    # accumulator) that the postings volume must amortize. Measured
+    # (tools/sparse_bench.py): ~9 ns/posting dense vs ~40 ns/posting
+    # sparse, but ~2 ns per accumulator ENTRY scanned — at 67M docids and
+    # 142k planned postings the dense path is 25x SLOWER than sparse, at
+    # 640k docids and 1.4M postings it is 4.5x faster. Linear breakeven
+    # sits near max_doc ≈ 15x planned postings; 8x leaves margin for the
+    # DRAM-random scatter cost growing with accumulator size. Both paths
+    # are bitwise-identical (tests/test_saat.py), so this is purely a
+    # physical-plan choice.
+    if max_doc < DENSE_LIMIT and max_doc <= 8 * processed:
         # dense path: reused buffer, scatter-add per segment (docids are
         # unique within a segment so fancy-index += is exact), reset only
         # the touched entries afterwards (≅ accumulator_2d dirty pages).

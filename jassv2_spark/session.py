@@ -22,12 +22,17 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default local[cores] — e.g. a standalone
+    ``spark://host:port`` cluster (tools/standalone_scaling.py uses this
+    for separate-JVM executors); ``cores`` then means the TOTAL core count
+    across executors and still sizes shuffle partitions."""
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or cores
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master or f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
