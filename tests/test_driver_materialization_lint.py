@@ -54,6 +54,8 @@ ALLOWED = {
     ("compiled.py", "compile_index", "collect"): "epilogue",
     ("dedup.py", "connected_components", "collect"): "scalar",  # convergence flag
     ("docids.py", "assign_doc_ids", "collect"): "scalar",  # per-partition counts
+    # limit(1): the ECOM19 matrix header line (the query-id row) only
+    ("ecom19.py", "read_ecom19_matrix", "collect"): "scalar",
     ("export.py", "index_statistics", "collect"): "scalar",
     ("jass_v1.py", "write_jass_v1", "toLocalIterator"): "epilogue",
     ("lmdir.py", "lm_dirichlet_topk", "collect"): "query-bounded",

@@ -56,11 +56,33 @@ def _java() -> str:
     return os.path.join(jh, "bin", "java") if jh else "java"
 
 
+def _shadow_spark_home() -> str:
+    """pip-installed pyspark has no RELEASE marker, so a standalone worker
+    treats SPARK_HOME as a dev tree and dies with 'Cannot find any build
+    directories' when launching executors. A /tmp shadow home symlinking
+    the package's jars/bin (+ a RELEASE file) plus SPARK_SCALA_VERSION in
+    the worker env fixes executor launch."""
+    pkg = os.path.dirname(pyspark.__file__)
+    home = "/tmp/jass_spark_home"
+    if not os.path.isfile(os.path.join(home, "RELEASE")):
+        os.makedirs(home, exist_ok=True)
+        for d in ("jars", "bin", "data", "licenses", "conf"):
+            src, dst = os.path.join(pkg, d), os.path.join(home, d)
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.symlink(src, dst)
+        with open(os.path.join(home, "RELEASE"), "w") as f:
+            f.write("Spark (pip pyspark shadow for standalone workers)\n")
+    return home
+
+
 def _spawn(cls: str, *args: str) -> subprocess.Popen:
+    env = dict(os.environ)
+    env["SPARK_HOME"] = _shadow_spark_home()
+    env["SPARK_SCALA_VERSION"] = "2.13"
     return subprocess.Popen(
         [_java(), "-Xmx1g", "-cp", JARS, cls, *args],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        preexec_fn=os.setsid,
+        preexec_fn=os.setsid, env=env,
     )
 
 
