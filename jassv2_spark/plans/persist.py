@@ -181,8 +181,14 @@ def build_index_persisted(
     stats_path = os.path.join(out_dir, "stats.json")
     if not stage_done(out_dir, "stats"):
         t0 = time.perf_counter()
-        n_docs = doc_map_full.count()
-        clen = doc_lengths.agg(F.sum("dl")).collect()[0][0] or 0
+        # one driver action for both scalars (fused round trip — the same
+        # fixed-cost discipline as build_index_from_counts' rollup)
+        row = (
+            doc_map_full.agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(doc_lengths.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("clen")))
+            .collect()[0]
+        )
+        n_docs, clen = int(row["n"]), int(row["clen"])
         stats = {
             "n_docs": n_docs,
             "collection_length": int(clen),
