@@ -72,6 +72,8 @@ ALLOWED = {
     ("phrase.py", "_bm25_pseudo_term_topk", "collect"): "scalar",
     ("qpp.py", "qpp_features", "collect"): "query-bounded",
     ("saat.py", "package_index", "toPandas"): "scalar",  # per-bucket stats
+    # one scalar row: Σdf for the data-sized bucket count (round-5)
+    ("saat.py", "package_index", "collect"): "scalar",
     ("search.py", "_pruned_segments", "collect"): "query-bounded",  # bucket ids
     ("search.py", "search_from_terms", "collect"): "scalar",  # shard estimate
     ("textstats.py", "heaps_profile", "collect"): "scalar",
